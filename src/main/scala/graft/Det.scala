@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers for oracle (DuckDB) hash parity.
+  *
+  * The driver hash-compares each query's parquet output against DuckDB
+  * running the paired `oracleSql` on the same inputs, so every emitted
+  * cell must be bit-identical across engines. Three hazards and their
+  * mechanical fixes (see SURVEY.md §7.4):
+  *
+  *  1. Floating-point accumulation order: Spark sums doubles in
+  *     partition/task order, DuckDB sequentially — `sum(double)` is not
+  *     reproducible. Fix: cast each input to DECIMAL(18,4) first; decimal
+  *     sums are exact and order-independent in both engines; cast the
+  *     exact result back to double at the end (deterministic conversion).
+  *  2. Timestamp precision: `events.ts` is parquet ns; Spark truncates to
+  *     µs on read, DuckDB does not. Fix: truncate to millisecond in BOTH
+  *     engines before any comparison/grouping, and to second on output.
+  *  3. Row order: the driver hashes values in row order. Fix: every query
+  *     ends with a total-order sort over a unique key tuple with explicit
+  *     null placement (Spark default is NULLS FIRST asc, DuckDB NULLS
+  *     LAST — never rely on the default).
+  */
+object Det {
+  private val D = DecimalType(18, 4)
+
+  /** Order-independent exact sum of a double expression (see above). */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Order-independent mean: exact decimal sum / count, rounded. */
+  def davg(c: Column): Column = round(sum(c.cast(D)).cast("double") / count(c), 4)
+
+  /** Round a deterministic double (no accumulation) for display parity. */
+  def r4(c: Column): Column = round(c, 4)
+
+  /** events.ts normalized for cross-engine semantics (ns vs µs). */
+  def ets(c: Column): Column = date_trunc("millisecond", c)
+
+  /** Timestamp for output: second precision (identical text form). */
+  def outTs(c: Column): Column = date_trunc("second", c)
+
+  // DuckDB-side equivalents, for composing oracle SQL strings.
+  def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDavg(x: String): String =
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x), 4)"
+  def sqlEts(x: String): String = s"date_trunc('milliseconds', $x)"
+  def sqlOutTs(x: String): String = s"date_trunc('second', $x)"
+}

@@ -1,0 +1,38 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of named parquet sources under a scale-factor directory.
+  *
+  * Reference analog: pgshovel's "replication set" — a named config of
+  * which tables/columns are captured (public pgshovel
+  * `configurations.proto`, `TableConfiguration`). Here the catalog is
+  * schema-first: Spark infers `StructType` from the parquet footer, and
+  * Catalyst prunes columns/predicates down to the scan, which is the
+  * Spark-native equivalent of capture-time column configuration.
+  *
+  * Scale note (100 TB): `spark.read.parquet` over a directory tree of
+  * many files partitions by file/row-group automatically
+  * (`spark.sql.files.maxPartitionBytes`); nothing here assumes a single
+  * file. For partitioned lakes, the same call picks up hive-style
+  * partition columns and enables static/dynamic partition pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
