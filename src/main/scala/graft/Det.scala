@@ -33,8 +33,15 @@ object Det {
   /** Order-independent mean: exact decimal sum / count, rounded. */
   def davg(c: Column): Column = round(sum(c.cast(D)).cast("double") / count(c), 4)
 
-  /** Round a deterministic double (no accumulation) for display parity. */
-  def r4(c: Column): Column = round(c, 4)
+  /** Cross-engine round-to-4-decimals for computed doubles.
+    *
+    * NOT `round(x, 4)`: Spark rounds via BigDecimal.valueOf (shortest
+    * decimal string, HALF_UP) while DuckDB rounds in C++ off the scaled
+    * double — values whose true expansion exceeds 4 decimals (e.g.
+    * price*(1-disc)*(1+tax), 6 decimals) land on .xxxx5 boundaries and
+    * the engines disagree. floor(x*1e4 + 0.5)/1e4 is pure IEEE-double
+    * arithmetic — bit-identical in any engine. */
+  def r4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000.0)
 
   /** events.ts normalized for cross-engine semantics (ns vs µs). */
   def ets(c: Column): Column = date_trunc("millisecond", c)
@@ -43,6 +50,7 @@ object Det {
   def outTs(c: Column): Column = date_trunc("second", c)
 
   // DuckDB-side equivalents, for composing oracle SQL strings.
+  def sqlR4(x: String): String = s"FLOOR(($x) * 10000 + 0.5) / 10000"
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDavg(x: String): String =
     s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x), 4)"

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det
+import graft.io.Tables
+
+/** Join operators (SURVEY.md §2.C).
+  *
+  * Reference analog: pgshovel applies keyed mutations to targets by
+  * primary-key identity (public pgshovel `streams.proto` identity
+  * columns) — i.e. every reference "join" is an equi-join on a key.
+  * Here the full relational join surface is declared; Catalyst/AQE pick
+  * broadcast-hash vs shuffled-hash vs sort-merge per side sizes.
+  *
+  * Scale notes (100 TB): fact-fact joins shuffle on the equi-key — at
+  * 1000 executors that is the intended hash partitioning, and AQE handles
+  * skewed keys (skew-join split). Dimension joins are broadcast
+  * explicitly so no shuffle of the fact side ever happens. The interval
+  * and as-of joins stay keyed (equi on user/customer) so the range logic
+  * runs within a key partition, never as a global cross product.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Inner equi-join orders⋈customer. Both sides shuffle-hash on the key
+    * at scale; AQE broadcasts customer when it is small enough. */
+  private val innerHash: Q = (s, d) =>
+    Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc)
+
+  /** Broadcast hash join: part is a dimension — ship it to every
+    * executor; the lineitem side is never shuffled. */
+  private val broadcastJoin: Q = (s, d) =>
+    Tables.lineitem(s, d).join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+        col("p_type"), col("l_quantity"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("p_brand").asc, col("p_type").asc, col("l_quantity").asc)
+
+  /** Left outer: every customer, order columns nullable. */
+  private val leftJoin: Q = (s, d) =>
+    Tables.customer(s, d).join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** Full outer: customer key space vs observed event users. */
+  private val fullJoin: Q = (s, d) => {
+    val users = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    Tables.customer(s, d)
+      .join(users, col("c_custkey") === col("user_id"), "full")
+      .select(col("c_custkey"), col("user_id"), col("n_events"))
+      .orderBy(coalesce(col("c_custkey"), col("user_id")).asc,
+        col("c_custkey").asc_nulls_first)
+  }
+
+  /** Left-semi = EXISTS: customers having at least one order; the right
+    * side only gates, its columns never materialize. */
+  private val semiJoin: Q = (s, d) =>
+    Tables.customer(s, d).join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey").asc)
+
+  /** Left-anti = NOT EXISTS: customers without orders. */
+  private val antiJoin: Q = (s, d) =>
+    Tables.customer(s, d).join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey").asc)
+
+  /** Cartesian product of two tiny dims (BroadcastNestedLoopJoin). */
+  private val crossJoin: Q = (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+        col("n_name"))
+      .orderBy(col("r_regionkey").asc, col("n_nationkey").asc)
+
+  /** Equi-key + theta residual: hash join on partkey, inequality applied
+    * as a post-join filter (never a nested loop). */
+  private val thetaJoin: Q = (s, d) =>
+    Tables.lineitem(s, d).join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey") &&
+        col("l_extendedprice") > col("p_retailprice"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        Det.r4(col("l_extendedprice") - col("p_retailprice")).as("over_retail"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("over_retail").asc)
+
+  /** Interval self-join: pairs of events of the same user ≤ 5 minutes
+    * apart. Equi on user_id keeps it partition-local; the time band is a
+    * residual range predicate within each key — at 100 TB this is the
+    * bucketed-by-user co-located join, never a cross product. */
+  private val intervalJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), Det.ets(col("ts")).as("ts"))
+    val a = e.select(col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"),
+      col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"), "inner")
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        Det.outTs(col("a_ts")).as("a_ts"), Det.outTs(col("b_ts")).as("b_ts"))
+      .orderBy(col("user_id").asc, col("a_id").asc, col("b_id").asc)
+  }
+
+  /** As-of join: each event picks the user's latest order at-or-before
+    * the event time. Spark-first shape: equi-join on the key with the
+    * temporal inequality, then `row_number() == 1` per event over
+    * (orderdate desc, orderkey desc). At scale the join shuffles both
+    * sides by the key once; the window runs within that same partition
+    * (no second shuffle). */
+  private val asofJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), Det.ets(col("ts")).as("ts"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"), "inner")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_inner_hash" -> innerHash,
+    "q_join_broadcast"  -> broadcastJoin,
+    "q_join_left"       -> leftJoin,
+    "q_join_full"       -> fullJoin,
+    "q_join_semi"       -> semiJoin,
+    "q_join_anti"       -> antiJoin,
+    "q_join_cross"      -> crossJoin,
+    "q_join_theta"      -> thetaJoin,
+    "q_join_interval"   -> intervalJoin,
+    "q_join_asof"       -> asofJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner_hash" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_type, l_quantity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, p_brand ASC, p_type ASC, l_quantity ASC""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """WITH users AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT c_custkey, user_id, n_events
+        |FROM customer FULL OUTER JOIN users ON c_custkey = user_id
+        |ORDER BY COALESCE(c_custkey, user_id) ASC, c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey ASC, n_nationkey ASC""".stripMargin,
+    "q_join_theta" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       FLOOR((l_extendedprice - p_retailprice) * 10000 + 0.5) / 10000 AS over_retail
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, over_retail ASC""".stripMargin,
+    "q_join_interval" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+        |           FROM events)
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       date_trunc('second', a.ts) AS a_ts,
+        |       date_trunc('second', b.ts) AS b_ts
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY a.user_id ASC, a_id ASC, b_id ASC""".stripMargin,
+    "q_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+        |           FROM events),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id ASC""".stripMargin,
+  )
+}

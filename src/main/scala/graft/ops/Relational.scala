@@ -24,13 +24,17 @@ object Relational {
   private val scanParquet: Q = (s, d) =>
     Tables.lineitem(s, d)
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
-      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_suppkey").asc, col("l_quantity").asc,
+        col("l_extendedprice").asc, col("l_discount").asc, col("l_tax").asc,
+        col("l_returnflag").asc, col("l_linestatus").asc, col("l_shipdate").asc)
 
   /** Column pruning: only 3 columns must reach the scan (ReadSchema). */
   private val scanProjection: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_quantity").asc)
 
   /** Predicate pushdown: range + equality filters land in PushedFilters
     * and skip parquet row groups via min/max stats. */
@@ -42,7 +46,8 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
               col("l_shipdate").cast("date").as("l_shipdate"),
               col("l_quantity"))
-      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_shipdate").asc, col("l_quantity").asc)
 
   // ----------------------------------------------------- §2.D aggregate probe
 
@@ -63,11 +68,40 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
 
+  // ------------------------------------------------- §2.B projection / filter
+
+  /** Computed projection: per-row arithmetic stays inside whole-stage
+    * codegen; only the 4 referenced columns reach the scan. */
+  private val projectExpr: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Det.r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        Det.r4(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+               (lit(1) + col("l_tax"))).as("charged"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("revenue").asc, col("charged").asc)
+
+  /** Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE, NULLIF+IS NULL.
+    * All are Catalyst `Predicate`s — pushed to the scan where possible. */
+  private val filterPredicates: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").between(1000.0, 200000.0) &&
+          !(col("o_orderstatus") === "F")) ||
+        (col("o_orderpriority").like("%LOW") &&
+          nullif(col("o_orderstatus"), lit("P")).isNull))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey").asc)
+
   val queries: Map[String, Q] = Map(
     "q_scan_parquet"         -> scanParquet,
     "q_scan_projection"      -> scanProjection,
     "q_scan_filter_pushdown" -> scanFilterPushdown,
     "q_agg_hash"             -> aggHash,
+    "q_project_expr"         -> projectExpr,
+    "q_filter_predicates"    -> filterPredicates,
   )
 
   val oracle: Map[String, String] = Map(
@@ -76,17 +110,19 @@ object Relational {
         |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         |       CAST(l_shipdate AS DATE) AS l_shipdate
         |FROM lineitem
-        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC,
+        |         l_quantity ASC, l_extendedprice ASC, l_discount ASC, l_tax ASC,
+        |         l_returnflag ASC, l_linestatus ASC, l_shipdate ASC""".stripMargin,
     "q_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem
-        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_quantity ASC""".stripMargin,
     "q_scan_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS l_shipdate, l_quantity
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
         |  AND l_returnflag = 'R'
-        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_shipdate ASC, l_quantity ASC""".stripMargin,
     "q_agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${Det.sqlDsum("l_quantity")} AS sum_qty,
@@ -99,5 +135,19 @@ object Relational {
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "q_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000 AS revenue,
+        |       FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000 AS charged
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, revenue ASC, charged ASC""".stripMargin,
+    "q_filter_predicates" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       AND o_totalprice BETWEEN 1000.0 AND 200000.0
+        |       AND NOT (o_orderstatus = 'F'))
+        |   OR (o_orderpriority LIKE '%LOW' AND NULLIF(o_orderstatus, 'P') IS NULL)
+        |ORDER BY o_orderkey ASC""".stripMargin,
   )
 }
