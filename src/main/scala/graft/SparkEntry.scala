@@ -17,6 +17,10 @@ object SparkEntry {
     (Relational.queries, Relational.oracle),
     (Joins.queries, Joins.oracle),
     (Aggregates.queries, Aggregates.oracle),
+    (Windows.queries, Windows.oracle),
+    (Cdc.queries, Cdc.oracle),
+    (Scalars.queries, Scalars.oracle),
+    (StreamingOps.queries, StreamingOps.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det
+import graft.io.Tables
+
+/** CDC / stream-semantics operators — the reference's actual surface
+  * recast on Spark (SURVEY.md §2.H).
+  *
+  * pgshovel's consumers reconstruct row state from an ordered stream of
+  * keyed mutations: last-write-wins compaction (snapshot building),
+  * duplicate tolerance (at-least-once relay), sequence-gap / ordering
+  * audits (stream validation), and applying validated deltas to a target
+  * (replication targets). `events` plays the mutation stream:
+  * event_id ≡ publisher sequence, user_id ≡ primary key, ts ≡ commit
+  * time, value ≡ payload.
+  *
+  * Scale notes (100 TB): every operator here is keyed by the entity key
+  * — compaction, dedup and gap detection are one shuffle by key followed
+  * by a partition-local sort (window), which is the plan you want on a
+  * 1000-executor cluster. Nothing collects to the driver; nothing is
+  * quadratic. The streaming twins (Structured Streaming with RocksDB
+  * state) share these exact frame semantics — see graft.streaming.
+  */
+object Cdc {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normalized mutation stream: cross-engine-safe ts (see Det.ets). */
+  private def stream(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts", Det.ets(col("ts")))
+
+  private val wLatest =
+    Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+
+  /** Last-write-wins compaction: the reference's snapshot fold. One
+    * shuffle by key; row_number beats groupBy+join for "whole latest
+    * row" because the payload never leaves its partition. */
+  private val latestState: Q = (s, d) =>
+    stream(s, d)
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), Det.outTs(col("ts")).as("ts"))
+      .orderBy(col("user_id").asc)
+
+  /** At-least-once dedup: self-union simulates relay redelivery; exact
+    * once restored by key. dropDuplicates = hash shuffle on event_id,
+    * first row wins (rows are identical here, so deterministic). */
+  private val dedup: Q = (s, d) => {
+    val e = stream(s, d)
+    e.unionAll(e)
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), Det.outTs(col("ts")).as("ts"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Sequence-gap detection (reference: SequencingError on
+    * non-contiguous publisher sequence). Flags per-user jumps larger
+    * than 3× the expected stride (~100 here). */
+  private val sequenceGaps: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    stream(s, d)
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("gap", col("event_id") - col("prev_id"))
+      .filter(col("gap") > 300)
+      .select(col("user_id"), col("prev_id"), col("event_id"), col("gap"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
+  /** Ordering-violation audit (reference: stream validation rejects
+    * non-monotonic states). The raw feed is perfectly ordered, so both
+    * engines first apply the same deterministic perturbation —
+    * pts = ts - (event_id % 13) minutes — then flag rows whose pts is
+    * behind the running max of earlier rows in sequence order. */
+  private val outOfOrder: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stream(s, d)
+      .withColumn("pts",
+        expr("ts - make_interval(0, 0, 0, 0, 0, CAST(event_id % 13 AS INT), 0)"))
+      .withColumn("prior_max", max(col("pts")).over(w))
+      .filter(col("pts") < col("prior_max"))
+      .select(col("user_id"), col("event_id"),
+        Det.outTs(col("pts")).as("pts"),
+        Det.outTs(col("prior_max")).as("prior_max"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
+  /** MERGE/upsert: compact the purchase deltas (latest per key), then
+    * full-outer apply onto the customer base — coalesce(new, old).
+    * At scale: the compacted delta is small → broadcast side of the
+    * apply join; the base never shuffles. */
+  private val mergeUpsert: Q = (s, d) => {
+    val deltas = stream(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("new_acctbal"))
+    Tables.customer(s, d)
+      .join(deltas, col("c_custkey") === col("user_id"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("key"),
+        col("c_acctbal").as("old_acctbal"),
+        coalesce(col("new_acctbal"), col("c_acctbal")).as("acctbal"))
+      .orderBy(col("key").asc)
+  }
+
+  /** Point-in-time snapshot: filter to the horizon, then compact —
+    * the reference's consistent-bootstrap semantics without MVCC
+    * (the stream is totally ordered). */
+  private val snapshotAt: Q = (s, d) => {
+    val horizon = lit("2024-01-15 00:00:00").cast("timestamp")
+    stream(s, d)
+      .filter(col("ts") <= horizon)
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), Det.outTs(col("ts")).as("ts"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Batch/transaction accounting: per (key, hour) — the relay's
+    * Begin..Commit batch summary. min_by/max_by pick first/last payload
+    * by sequence without a second window pass. */
+  private val txnStats: Q = (s, d) =>
+    stream(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"))
+      .orderBy(col("user_id").asc, col("hour").asc)
+
+  val queries: Map[String, Q] = Map(
+    "q_cdc_latest_state"  -> latestState,
+    "q_cdc_dedup"         -> dedup,
+    "q_cdc_sequence_gaps" -> sequenceGaps,
+    "q_cdc_out_of_order"  -> outOfOrder,
+    "q_cdc_merge_upsert"  -> mergeUpsert,
+    "q_cdc_snapshot_at"   -> snapshotAt,
+    "q_cdc_txn_stats"     -> txnStats,
+  )
+
+  private val sqlStream =
+    "SELECT event_id, user_id, event_type, value, props, " +
+      s"${Det.sqlEts("ts")} AS ts FROM events"
+
+  val oracle: Map[String, String] = Map(
+    "q_cdc_latest_state" ->
+      s"""WITH s AS ($sqlStream),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                ORDER BY ts DESC, event_id DESC) AS rn FROM s)
+         |SELECT user_id, event_id, event_type, value,
+         |       ${Det.sqlOutTs("ts")} AS ts
+         |FROM r WHERE rn = 1
+         |ORDER BY user_id ASC""".stripMargin,
+    "q_cdc_dedup" ->
+      s"""WITH s AS ($sqlStream),
+         |u AS (SELECT * FROM s UNION ALL SELECT * FROM s)
+         |SELECT DISTINCT event_id, user_id, event_type, value,
+         |       ${Det.sqlOutTs("ts")} AS ts
+         |FROM u
+         |ORDER BY event_id ASC""".stripMargin,
+    "q_cdc_sequence_gaps" ->
+      """SELECT user_id, prev_id, event_id, gap
+        |FROM (SELECT user_id, event_id,
+        |             LAG(event_id, 1) OVER (PARTITION BY user_id
+        |                                    ORDER BY event_id ASC) AS prev_id,
+        |             event_id - LAG(event_id, 1) OVER (PARTITION BY user_id
+        |                                    ORDER BY event_id ASC) AS gap
+        |      FROM events)
+        |WHERE gap > 300
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "q_cdc_out_of_order" ->
+      s"""WITH s AS ($sqlStream),
+         |p AS (SELECT user_id, event_id,
+         |             ts - (event_id % 13) * INTERVAL 1 MINUTE AS pts
+         |      FROM s),
+         |m AS (SELECT user_id, event_id, pts,
+         |             MAX(pts) OVER (PARTITION BY user_id ORDER BY event_id ASC
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |               AS prior_max
+         |      FROM p)
+         |SELECT user_id, event_id, ${Det.sqlOutTs("pts")} AS pts,
+         |       ${Det.sqlOutTs("prior_max")} AS prior_max
+         |FROM m WHERE pts < prior_max
+         |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "q_cdc_merge_upsert" ->
+      s"""WITH s AS ($sqlStream),
+         |d AS (SELECT user_id, value AS new_acctbal
+         |      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                      ORDER BY ts DESC, event_id DESC) AS rn
+         |            FROM s WHERE event_type = 'purchase')
+         |      WHERE rn = 1)
+         |SELECT COALESCE(c_custkey, user_id) AS key,
+         |       c_acctbal AS old_acctbal,
+         |       COALESCE(new_acctbal, c_acctbal) AS acctbal
+         |FROM customer FULL OUTER JOIN d ON c_custkey = user_id
+         |ORDER BY key ASC""".stripMargin,
+    "q_cdc_snapshot_at" ->
+      s"""WITH s AS ($sqlStream),
+         |f AS (SELECT * FROM s WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+         |SELECT user_id, event_id, event_type, value,
+         |       ${Det.sqlOutTs("ts")} AS ts
+         |FROM r WHERE rn = 1
+         |ORDER BY user_id ASC""".stripMargin,
+    "q_cdc_txn_stats" ->
+      s"""WITH s AS ($sqlStream)
+         |SELECT user_id, date_trunc('hour', ts) AS hour,
+         |       COUNT(*) AS n_events,
+         |       ${Det.sqlDsum("value")} AS sum_value,
+         |       ARG_MIN(event_type, event_id) AS first_type,
+         |       ARG_MAX(event_type, event_id) AS last_type
+         |FROM s
+         |GROUP BY user_id, date_trunc('hour', ts)
+         |ORDER BY user_id ASC, hour ASC""".stripMargin,
+  )
+}
