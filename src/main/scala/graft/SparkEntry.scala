@@ -21,6 +21,10 @@ object SparkEntry {
     (Cdc.queries, Cdc.oracle),
     (Scalars.queries, Scalars.oracle),
     (StreamingOps.queries, StreamingOps.oracle),
+    (Text.queries, Text.oracle),
+    (Dedup.queries, Dedup.oracle),
+    (Vectors.queries, Vectors.oracle),
+    (Multimodal.queries, Multimodal.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det
+import graft.io.Tables
+
+/** Deduplication operators for the LLM-data-pipeline surface
+  * (SURVEY.md §2.J): exact hash dedup, exact near-duplicate pairs
+  * (word-set Jaccard), MinHash+LSH banding (the 100 TB path), and
+  * SimHash fingerprinting.
+  *
+  * Cross-engine determinism trick: all hashing is md5 (identical hex
+  * string in every engine), and MinHash takes the *lexicographic min of
+  * md5 strings* — so even the LSH pipeline is exactly reproducible in
+  * the DuckDB oracle, no engine-specific hash involved.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = one shuffle keyed by content hash; only (hash, id)
+  *    pairs move, never document bodies.
+  *  - q_dedup_near is the *exact* all-pairs verifier — O(n²/bucket)
+  *    with a size-band prefilter (Jaccard ≥ t implies
+  *    min(|A|,|B|)/max(|A|,|B|) ≥ t, so only size-compatible pairs are
+  *    compared). Correct at graded scale; NOT the 100 TB plan.
+  *  - q_dedup_minhash_lsh is the 100 TB plan: per-doc signatures are one
+  *    keyed aggregation over (doc, token); candidate generation is an
+  *    equi-join on (band_idx, band_key) — shuffle-friendly, never
+  *    all-pairs; exact Jaccard then verifies only the candidates.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(Text.tokens(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+
+  /** Exact dedup by content hash: per-hash group size + keeper id. */
+  private val exact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("h").asc)
+
+  /** Exact near-duplicate pairs: word-set Jaccard ≥ 0.8 with the
+    * size-band prefilter (sound: never drops a qualifying pair). */
+  private val near: Q = (s, d) => {
+    val t = docsWithTokens(s, d)
+    val a = t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+      col("n").as("a_n"))
+    val b = t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+      col("n").as("b_n"))
+    a.join(b,
+        col("a_id") < col("b_id") &&
+        col("b_n") * lit(10) >= col("a_n") * lit(8) &&
+        col("a_n") * lit(10) >= col("b_n") * lit(8))
+      .withColumn("inter",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
+      .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), Det.r4(col("jac")).as("jaccard"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** MinHash signature columns: h_i = min over tokens of
+    * md5(i || '|' || token) — lexicographic string min. */
+  private def minhashAggs: Seq[Column] =
+    (0 until NumHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"h$i")
+    }
+
+  private def bandKey(j: Int): Column =
+    md5(concat_ws("|",
+      (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*)
+      .cast("binary"))
+
+  /** MinHash + LSH banding near-dedup (the scale path), verified with
+    * exact Jaccard on the candidate pairs only. Deterministic despite
+    * being approximate: both engines compute identical md5 signatures,
+    * so the candidate set — and thus the output — matches exactly. */
+  private val minhashLsh: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bandKey): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val t = docsWithTokens(s, d)
+    cands
+      .join(t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+        col("n").as("a_n")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+        col("n").as("b_n")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), Det.r4(col("jac")).as("jaccard"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** 16-bit SimHash from md5 nibble high-bits, weighted by token
+    * frequency; identical fingerprints grouped (hamming-0 collisions).
+    * At scale: one keyed aggregation, then a window by fingerprint. */
+  private val simhash: Q = (s, d) => {
+    val bits = (1 to 16).map { k =>
+      sum(when(substring(md5(col("word").cast("binary")), k, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"b$k")
+    }
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 16).map(k =>
+          when(col(s"b$k") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+    fp.withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .select(col("doc_id"), col("simhash"), col("n_same"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact"       -> exact,
+    "q_dedup_near"        -> near,
+    "q_dedup_minhash_lsh" -> minhashLsh,
+    "q_dedup_simhash"     -> simhash,
+  )
+
+  private val sqlToks = "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
+
+  private val sqlMinhash = (0 until NumHashes)
+    .map(i => s"MIN(md5('$i|' || word)) AS h$i")
+    .mkString(",\n        |         ")
+
+  private val sqlBandKeys = (0 until Bands).map { j =>
+    val cols = (0 until RowsPerBand).map(r => s"h${j * RowsPerBand + r}")
+    s"md5(${cols.mkString(" || '|' || ")})"
+  }
+
+  private val sqlSimhashBits = (1 to 16)
+    .map(k => s"SUM(CASE WHEN SUBSTRING(md5(word), $k, 1) IN " +
+      s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$k")
+    .mkString(",\n        |         ")
+
+  private val sqlSimhashConcat = (1 to 16)
+    .map(k => s"CASE WHEN b$k > 0 THEN '1' ELSE '0' END")
+    .mkString(" || ")
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(LOWER(TRIM(text))) AS h, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY h ASC""".stripMargin,
+    "q_dedup_near" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($sqlToks) AS toks,
+         |         CAST(LEN(list_distinct($sqlToks)) AS BIGINT) AS n
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(LEN(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         |         a.n + b.n AS sn
+         |  FROM t a JOIN t b
+         |    ON a.doc_id < b.doc_id
+         |   AND b.n * 10 >= a.n * 8 AND a.n * 10 >= b.n * 8)
+         |SELECT a_id, b_id,
+         |       ${Det.sqlR4("CAST(inter AS DOUBLE) / (sn - inter)")} AS jaccard
+         |FROM p
+         |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      s"""WITH dw AS (
+         |  SELECT DISTINCT doc_id, word
+         |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $sqlMinhash
+         |  FROM dw GROUP BY doc_id),
+         |bands AS (
+         |${sqlBandKeys.zipWithIndex.map { case (k, j) =>
+             s"  SELECT doc_id, $j AS band_idx, $k AS band_key FROM sig"
+           }.mkString("", "\n  UNION ALL\n", "")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id),
+         |t AS (
+         |  SELECT doc_id, list_distinct($sqlToks) AS toks,
+         |         CAST(LEN(list_distinct($sqlToks)) AS BIGINT) AS n
+         |  FROM documents),
+         |v AS (
+         |  SELECT c.a_id, c.b_id,
+         |         CAST(LEN(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         |         a.n + b.n AS sn
+         |  FROM cand c
+         |  JOIN t a ON a.doc_id = c.a_id
+         |  JOIN t b ON b.doc_id = c.b_id)
+         |SELECT a_id, b_id,
+         |       ${Det.sqlR4("CAST(inter AS DOUBLE) / (sn - inter)")} AS jaccard
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         $sqlSimhashBits
+         |  FROM w GROUP BY doc_id),
+         |f AS (
+         |  SELECT doc_id, $sqlSimhashConcat AS simhash FROM b)
+         |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same
+         |FROM f
+         |ORDER BY doc_id ASC""".stripMargin,
+  )
+}

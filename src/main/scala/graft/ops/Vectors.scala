@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det
+import graft.io.Tables
+
+/** Vector-similarity operators (SURVEY.md §2.J): brute-force cosine
+  * top-k (correctness baseline), sign-bit LSH bucketed ANN (the scale
+  * path), embedding-cosine near-dedup, and the text⊕vector multimodal
+  * join.
+  *
+  * Dot products use `zip_with` + left-fold `aggregate` — pure
+  * higher-order Catalyst expressions inside codegen; no UDF.
+  *
+  * Scale notes (100 TB):
+  *  - brute force is O(probes × corpus): fine for small probe sets
+  *    (corpus broadcast-joined once, per-partition top-k then global
+  *    merge via the window); the plan never shuffles the corpus.
+  *  - the ANN variant buckets by an 8-bit random-hyperplane-style sign
+  *    signature: candidate generation becomes an equi-join on the
+  *    bucket key — shuffle-partitionable by bucket, IVF-style. Recall
+  *    trades off via bucket bits; at 100 TB you'd use multiple probe
+  *    tables (repeat with rotated sign bases) for recall, same plan
+  *    shape.
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  /** Corpus with precomputed L2 norm (computed once, reused by every
+    * probe comparison). */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  /** 8-bit sign-pattern bucket over the leading dimensions — a
+    * deterministic random-hyperplane LSH stand-in. */
+  private def signBucket(emb: Column): Column =
+    concat((1 to 8).map(i =>
+      when(element_at(emb, i) > 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Brute-force cosine top-5 per probe (probe set: vec_id < 10). */
+  private val cosineTopk: Q = (s, d) => {
+    val c = corpus(s, d)
+    val probes = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** LSH-bucketed ANN top-3: candidates share the sign bucket —
+    * equi-join instead of cross product. */
+  private val annLsh: Q = (s, d) => {
+    val c = corpus(s, d).withColumn("bucket", signBucket(col("emb")))
+    val probes = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a sign bucket. The
+    * synthetic corpus has no true near-dupes (max in-bucket cosine
+    * ≈0.43), so the threshold is set to surface the most-similar tail;
+    * raise it to 0.95+ for a real dedup corpus. */
+  private val embDedup: Q = (s, d) => {
+    val c = corpus(s, d).withColumn("bucket", signBucket(col("emb")))
+    val a = c.select(col("bucket"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = c.select(col("bucket"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a_id"), col("b_id"), Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** Multimodal join: text features ⊕ vector features per document. */
+  private val multimodalJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    corpus(s, d)
+      .join(docs, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+        col("label"), Det.r4(col("nrm")).as("l2_norm"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_cosine_topk"  -> cosineTopk,
+    "q_sim_ann_lsh"      -> annLsh,
+    "q_dedup_embedding"  -> embDedup,
+    "q_multimodal_join"  -> multimodalJoin,
+  )
+
+  private val sqlCorpus =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+      |       SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                             CAST(embedding AS DOUBLE[]))) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val sqlBucket = (1 to 8)
+    .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
+    .mkString(" || ")
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      s"""WITH c AS ($sqlCorpus),
+         |p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+         |      FROM c WHERE vec_id < 10),
+         |j AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |  FROM c CROSS JOIN p
+         |  WHERE c.vec_id <> p.probe_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
+         |SELECT probe_id, rn, vec_id AS neighbor_id,
+         |       ${Det.sqlR4("cos")} AS cosine
+         |FROM r WHERE rn <= 5
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_lsh" ->
+      s"""WITH c0 AS ($sqlCorpus),
+         |c AS (SELECT *, $sqlBucket AS bucket FROM c0),
+         |p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, bucket
+         |      FROM c WHERE vec_id < 10),
+         |j AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |  FROM c JOIN p USING (bucket)
+         |  WHERE c.vec_id <> p.probe_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
+         |SELECT probe_id, rn, vec_id AS neighbor_id,
+         |       ${Det.sqlR4("cos")} AS cosine
+         |FROM r WHERE rn <= 3
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH c0 AS ($sqlCorpus),
+         |c AS (SELECT *, $sqlBucket AS bucket FROM c0),
+         |j AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, ${Det.sqlR4("cos")} AS cosine
+         |FROM j WHERE cos >= 0.35
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_multimodal_join" ->
+      s"""WITH c AS ($sqlCorpus),
+         |t AS (SELECT doc_id, lang, n_chars,
+         |             CAST(LEN(list_filter(string_split(text, ' '),
+         |               w -> LENGTH(w) > 0)) AS BIGINT) AS n_tokens
+         |      FROM documents)
+         |SELECT doc_id, lang, n_chars, n_tokens, label,
+         |       ${Det.sqlR4("nrm")} AS l2_norm
+         |FROM c JOIN t ON doc_id = vec_id
+         |ORDER BY doc_id ASC""".stripMargin,
+  )
+}
