@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det
+
+/** Structured-Streaming builders — the true streaming twins of the
+  * batch-declared §2.I queries (SURVEY.md). Each takes a (possibly
+  * streaming) DataFrame so the identical plan runs under `readStream`
+  * in production and under MemoryStream in tests; batch/stream parity
+  * is asserted in StreamsSpec.
+  *
+  * Reference analogs: tumbling windows = PgQ tick batching; watermarked
+  * dedup = relay at-least-once redelivery tolerance; stream-static join
+  * = consumers enriching mutations with target/config state.
+  *
+  * Scale notes: watermarks bound state (late data past the watermark is
+  * dropped, state evicted); at 100 TB use the RocksDB state store and an
+  * idempotent `foreachBatch` sink — the checkpoint WAL plays the role of
+  * PgQ's `finish_batch` acknowledgment.
+  */
+object Streams {
+
+  /** Tumbling 1-hour counts/sums per event type, 10-minute watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows per user (10-minute gap), watermarked. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
+  /** Exactly-once view of an at-least-once feed: watermarked dedup
+    * keeps one state entry per event_id only within the watermark
+    * horizon — bounded state, unlike global dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Enrich a mutation stream with a static dimension (broadcast —
+    * the stream side never shuffles). */
+  def enrichWithDim(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer),
+      events("user_id") === customer("c_custkey"), "left")
+}

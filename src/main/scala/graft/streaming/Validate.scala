@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Transaction-bracket stream validation — the reference's consumer-side
+  * state machine recast as a typed Spark fold.
+  *
+  * pgshovel publishes per-publisher, sequence-numbered messages
+  * bracketed `Begin → Mutation* → (Commit|Rollback)` (public pgshovel
+  * `streams.proto`), and consumers enforce: contiguous sequence
+  * (SequencingError), duplicate drop (at-least-once relay), and legal
+  * operation transitions (InvalidOperation / TransactionAborted) —
+  * public pgshovel `replication/validation/transactions.py` semantics.
+  * Violations are emitted as rows, never thrown, so a bad publisher
+  * cannot kill the pipeline.
+  *
+  * The transition function [[step]] is a pure fold shared verbatim by:
+  *  - [[validateBatch]]: `groupByKey(publisher).flatMapGroups` over a
+  *    recorded stream (per-group in-memory sort — groups are per
+  *    publisher, bounded by the relay's batch size at the reference);
+  *  - [[validateStream]]: `flatMapGroupsWithState` under Structured
+  *    Streaming — state lives in the state store (RocksDB at scale),
+  *    one entry per publisher, so state size is O(publishers), not
+  *    O(messages).
+  *
+  * Batch/stream parity of the two is asserted in ValidateSpec, and FSM
+  * laws (well-formed accepted; injected gaps/duplicates/bracket breaks
+  * detected) are ScalaCheck properties.
+  */
+object Validate {
+
+  /** One stream message. op ∈ begin | mutation | commit | rollback. */
+  case class Msg(publisher: String, seq: Long, op: String)
+
+  /** Per-publisher FSM state. lastSeq = -1 ⇒ nothing seen yet. */
+  case class TxnState(lastSeq: Long, inTxn: Boolean)
+  val initialState: TxnState = TxnState(-1L, inTxn = false)
+
+  /** A validation finding, emitted as data. */
+  case class Violation(publisher: String, seq: Long, op: String, kind: String)
+
+  /** Pure transition: returns the next state plus any violations this
+    * message triggers. Duplicates (seq ≤ lastSeq) are dropped without a
+    * state change — the reference's redelivery tolerance. */
+  def step(st: TxnState, m: Msg): (TxnState, List[Violation]) = {
+    if (st.lastSeq >= 0 && m.seq <= st.lastSeq)
+      (st, List(Violation(m.publisher, m.seq, m.op, "duplicate")))
+    else {
+      val gap =
+        if (st.lastSeq >= 0 && m.seq != st.lastSeq + 1)
+          List(Violation(m.publisher, m.seq, m.op, "sequence_gap"))
+        else Nil
+      val (inTxn, bracket) = m.op match {
+        case "begin" if st.inTxn =>
+          (true, List(Violation(m.publisher, m.seq, m.op, "begin_in_txn")))
+        case "begin" => (true, Nil)
+        case "mutation" if !st.inTxn =>
+          (false, List(Violation(m.publisher, m.seq, m.op, "mutation_outside_txn")))
+        case "mutation" => (true, Nil)
+        case "commit" | "rollback" if !st.inTxn =>
+          (false, List(Violation(m.publisher, m.seq, m.op, "end_outside_txn")))
+        case "commit" | "rollback" => (false, Nil)
+        case _ =>
+          (st.inTxn, List(Violation(m.publisher, m.seq, m.op, "unknown_op")))
+      }
+      (TxnState(m.seq, inTxn), gap ++ bracket)
+    }
+  }
+
+  /** Fold a publisher's messages (already in arrival order). */
+  def run(msgs: Iterator[Msg], init: TxnState = initialState)
+      : (TxnState, List[Violation]) =
+    msgs.foldLeft((init, List.empty[Violation])) {
+      case ((st, acc), m) =>
+        val (st2, vs) = step(st, m)
+        (st2, acc ++ vs)
+    }
+
+  /** Batch twin: validate a recorded stream. */
+  def validateBatch(msgs: Dataset[Msg]): Dataset[Violation] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs.groupByKey(_.publisher).flatMapGroups { (_, it) =>
+      run(it.toSeq.sortBy(_.seq).iterator)._2
+    }
+  }
+
+  /** Streaming form: one state-store entry per publisher; violations
+    * append per micro-batch. */
+  def validateStream(msgs: Dataset[Msg]): Dataset[Violation] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs.groupByKey(_.publisher)
+      .flatMapGroupsWithState[TxnState, Violation](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it: Iterator[Msg], state: GroupState[TxnState]) =>
+          val init = state.getOption.getOrElse(initialState)
+          val (st, vs) = run(it.toSeq.sortBy(_.seq).iterator, init)
+          state.update(st)
+          vs.iterator
+      }
+  }
+}

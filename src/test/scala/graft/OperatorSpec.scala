@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator sanity on sf0.001: every declared query runs, returns
+  * rows (or a known-empty result), and module-specific invariants hold.
+  * Value-level correctness is the driver's DuckDB oracle (and
+  * tools/check.py locally); these specs guard semantics that the oracle
+  * can't see — uniqueness, containment, idempotence. */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  // q_join_anti: at sf0.001 every customer has orders → legitimately empty
+  private val mayBeEmpty =
+    Set("q_cdc_sequence_gaps", "q_join_interval", "q_join_anti")
+
+  test("every declared query executes at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, sf).count()
+        if (n == 0 && !mayBeEmpty(name)) Some(s"$name: 0 rows") else None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("every query key has oracle SQL or is a documented sketch") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q_agg_approx_distinct"), s"missing oracle: $noOracle")
+  }
+
+  test("cdc latest_state: exactly one row per user") {
+    val df = SparkEntry.queries("q_cdc_latest_state")(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("cdc dedup is idempotent and a no-op on unique input") {
+    val n = SparkEntry.queries("q_cdc_dedup")(spark, sf).count()
+    val raw = graft.io.Tables.events(spark, sf).count()
+    assert(n == raw)
+  }
+
+  test("snapshot_at is a subset of latest_state keys and monotone") {
+    val snap = SparkEntry.queries("q_cdc_snapshot_at")(spark, sf)
+    val full = SparkEntry.queries("q_cdc_latest_state")(spark, sf)
+    assert(snap.count() <= full.count())
+    assert(snap.select("user_id").except(full.select("user_id")).count() == 0)
+  }
+
+  test("minhash-LSH near-dup pairs are a subset of exact pairs") {
+    val exact = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .select("a_id", "b_id")
+    val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id")
+    assert(lsh.except(exact).count() == 0)
+    val recall = lsh.count().toDouble / exact.count()
+    assert(recall > 0.8, s"LSH recall too low: $recall")
+  }
+
+  test("ann-lsh cosines agree with brute-force for shared pairs") {
+    val bf = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c1"))
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c2"))
+    val joined = bf.join(ann, Seq("probe_id", "neighbor_id"))
+    assert(joined.filter(col("c1") =!= col("c2")).count() == 0)
+  }
+
+  test("topk per group never exceeds k and ranks are contiguous") {
+    val df = SparkEntry.queries("q_topk_per_group")(spark, sf)
+    val bad = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .filter(col("n") > 3 || col("mx") =!= col("n"))
+    assert(bad.count() == 0)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Structured-Streaming behavior: batch/stream parity for windowed
+  * aggregation, watermark late-data drop, and watermarked dedup —
+  * driven synchronously with MemoryStream + processAllAvailable. */
+object StreamsSpec {
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+}
+
+class StreamsSpec extends AnyFunSuite {
+  import StreamsSpec.Ev
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val evs: Seq[Ev] = Seq(
+    Ev(0, ts(5), 1, "click", 1.0),
+    Ev(1, ts(20), 1, "click", 2.0),
+    Ev(2, ts(65), 2, "view", 3.0),
+    Ev(3, ts(70), 1, "click", 4.0),
+    Ev(4, ts(130), 2, "view", 5.0))
+
+  private def runStream(input: Seq[Seq[Ev]],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String = "append") = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = build(mem.toDF()).writeStream
+      .format("memory").queryName(s"s_${System.nanoTime()}")
+      .outputMode(mode).start()
+    input.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    val out = spark.table(q.name).collect()
+    q.stop()
+    out
+  }
+
+  test("tumbling agg: stream (complete mode) equals batch on same input") {
+    val batch = Streams.tumblingAgg(evs.toDF()).collect().toSet
+    val streamed = runStream(Seq(evs.take(3), evs.drop(3)),
+      Streams.tumblingAgg, mode = "complete").toSet
+    assert(streamed == batch)
+  }
+
+  test("watermark drops late data in append mode") {
+    // epoch1 advances watermark to 130-10=120min; a 0-60min window can
+    // emit; epoch2's event at minute 15 is behind the watermark → dropped
+    val late = Ev(9, ts(15), 9, "late", 9.0)
+    val out = runStream(Seq(evs, Seq(late)), Streams.tumblingAgg)
+    assert(!out.exists(_.getAs[String]("event_type") == "late"))
+  }
+
+  test("dedupWithinWatermark: redelivery within horizon collapses") {
+    val dup = evs(4).copy(value = 99.0) // same event_id=4 redelivered
+    val out = runStream(Seq(evs, Seq(dup)),
+      df => Streams.dedupWithinWatermark(df))
+    assert(out.map(_.getAs[Long]("event_id")).toSeq.sorted ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("stream-static join enriches with broadcast dim") {
+    val dim = Seq((1L, "cust-1"), (2L, "cust-2")).toDF("c_custkey", "c_name")
+    val out = runStream(Seq(evs),
+      df => Streams.enrichWithDim(df, dim))
+    assert(out.length == evs.length)
+    assert(out.count(_.getAs[String]("c_name") != null) == evs.length)
+  }
+
+  test("session windows split at the gap in batch form") {
+    val sess = Streams.sessionAgg(evs.toDF()).collect()
+    // user 1: 5 | 20 | 70 (15- and 50-min gaps); user 2: 65 | 130
+    assert(sess.length == 5)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkTestSession
+import Validate.{Msg, TxnState, Violation, initialState, validateBatch, validateStream}
+import Validate.{run => foldMsgs}
+
+/** FSM unit + property tests, and batch/stream parity via MemoryStream. */
+class ValidateSpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(r.passed, r.status.toString)
+  }
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def wellFormed(publisher: String, txns: Int,
+      mutsPerTxn: Int): List[Msg] = {
+    var seq = -1L
+    (0 until txns).flatMap { _ =>
+      val ops = List("begin") ++ List.fill(mutsPerTxn)("mutation") ++ List("commit")
+      ops.map { op => seq += 1; Msg(publisher, seq, op) }
+    }.toList
+  }
+
+  test("well-formed stream produces no violations") {
+    val (st, vs) = foldMsgs(wellFormed("p1", 5, 3).iterator)
+    assert(vs.isEmpty)
+    assert(!st.inTxn && st.lastSeq == 24)
+  }
+
+  test("sequence gap detected, stream continues") {
+    // drop a mutation: begin(0), [1 missing], commit(2) — gap only
+    val msgs = wellFormed("p1", 2, 1).filterNot(_.seq == 1)
+    val vs = foldMsgs(msgs.iterator)._2
+    assert(vs.map(_.kind) == List("sequence_gap"))
+    // drop a commit: the gap AND the resulting bracket break both surface
+    val msgs2 = wellFormed("p1", 2, 1).filterNot(_.seq == 2)
+    assert(foldMsgs(msgs2.iterator)._2.map(_.kind) ==
+      List("sequence_gap", "begin_in_txn"))
+  }
+
+  test("duplicate dropped without state corruption") {
+    val ms = wellFormed("p1", 1, 1)
+    val withDup = ms.take(2) ++ List(ms(1)) ++ ms.drop(2)
+    val (st, vs) = foldMsgs(withDup.iterator)
+    assert(vs.map(_.kind) == List("duplicate"))
+    assert(!st.inTxn)
+  }
+
+  test("bracket violations: begin-in-txn, mutation/end outside txn") {
+    val vs1 = foldMsgs(List(Msg("p", 0, "begin"), Msg("p", 1, "begin")).iterator)._2
+    assert(vs1.map(_.kind) == List("begin_in_txn"))
+    val vs2 = foldMsgs(List(Msg("p", 0, "mutation")).iterator)._2
+    assert(vs2.map(_.kind) == List("mutation_outside_txn"))
+    val vs3 = foldMsgs(List(Msg("p", 0, "commit")).iterator)._2
+    assert(vs3.map(_.kind) == List("end_outside_txn"))
+  }
+
+  test("property: any single non-final dropped message is detected") {
+    // dropping the FINAL message is undetectable mid-stream by design:
+    // the FSM flags on the next arrival (the reference behaves the same;
+    // a truncated tail only surfaces at the next batch/rewind).
+    val base = wellFormed("p", 4, 2)
+    checkProp(Prop.forAll(Gen.choose(1, base.size - 2)) { i =>
+      foldMsgs(base.patch(i, Nil, 1).iterator)._2.nonEmpty
+    })
+  }
+
+  test("property: well-formed streams of any shape are accepted") {
+    checkProp(Prop.forAll(Gen.choose(1, 10), Gen.choose(0, 5)) { (txns, muts) =>
+      foldMsgs(wellFormed("p", txns, muts).iterator)._2.isEmpty
+    })
+  }
+
+  test("batch and streaming validation agree (MemoryStream, 2 epochs)") {
+    val msgs = wellFormed("a", 3, 2) ++
+      wellFormed("b", 2, 1).filterNot(_.seq == 1) ++ // gap in b
+      List(Msg("c", 0, "mutation"))                  // bracket break in c
+    val batch = validateBatch(spark.createDataset(msgs)).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Msg]
+    val q = validateStream(mem.toDS()).writeStream
+      .format("memory").queryName(s"fsm_out_${System.nanoTime()}")
+      .outputMode("append").start()
+    val (e1, e2) = msgs.splitAt(msgs.size / 2)
+    mem.addData(e1); q.processAllAvailable()
+    mem.addData(e2); q.processAllAvailable()
+    val streamed = spark.table(q.name).as[Violation].collect().toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+}
