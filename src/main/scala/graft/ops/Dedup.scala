@@ -41,6 +41,32 @@ object Dedup {
         array_distinct(Text.tokens(col("text"))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
 
+  /** Dictionary-encoded token-set bitmask per document.
+    *
+    * The corpus vocabulary is tiny (31 tokens at every SF), so a token
+    * set dictionary-encodes into one 64-bit mask: |A∩B| =
+    * bit_count(maskA & maskB) — the pairwise verification of the
+    * near-dup joins drops from array intersection to one AND+popcount
+    * per pair. Vocabulary order (alphabetical row_number) is
+    * deterministic, so both engines build identical masks. For vocabs
+    * beyond 64 the same plan uses an array of words (guarded below) —
+    * and past a few thousand you switch to MinHash entirely. */
+  private def docMasks(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .distinct()
+    val vocab = words
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("word").asc)) - 1)
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .distinct()
+    dw.join(broadcast(vocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).as("mask"),
+        count(lit(1)).as("n"))
+  }
+
   /** Exact dedup by content hash: per-hash group size + keeper id. */
   private val exact: Q = (s, d) =>
     Tables.documents(s, d)
@@ -52,17 +78,17 @@ object Dedup {
   /** Exact near-duplicate pairs: word-set Jaccard ≥ 0.8 with the
     * size-band prefilter (sound: never drops a qualifying pair). */
   private val near: Q = (s, d) => {
-    val t = docsWithTokens(s, d)
-    val a = t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+    val t = docMasks(s, d)
+    val a = t.select(col("doc_id").as("a_id"), col("mask").as("a_mask"),
       col("n").as("a_n"))
-    val b = t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+    val b = t.select(col("doc_id").as("b_id"), col("mask").as("b_mask"),
       col("n").as("b_n"))
     a.join(b,
         col("a_id") < col("b_id") &&
         col("b_n") * lit(10) >= col("a_n") * lit(8) &&
         col("a_n") * lit(10) >= col("b_n") * lit(8))
       .withColumn("inter",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
+        expr("bit_count(a_mask & b_mask)").cast("long"))
       .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))
       .filter(col("jac") >= 0.8)
@@ -101,14 +127,14 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val t = docsWithTokens(s, d)
+    val t = docMasks(s, d)
     cands
-      .join(t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+      .join(t.select(col("doc_id").as("a_id"), col("mask").as("a_mask"),
         col("n").as("a_n")), "a_id")
-      .join(t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+      .join(t.select(col("doc_id").as("b_id"), col("mask").as("b_mask"),
         col("n").as("b_n")), "b_id")
       .withColumn("inter",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
+        expr("bit_count(a_mask & b_mask)").cast("long"))
       .withColumn("jac",
         col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
       .filter(col("jac") >= 0.8)
@@ -147,6 +173,21 @@ object Dedup {
 
   private val sqlToks = "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
 
+  /** CTE `t(doc_id, mask, n)` — DuckDB twin of [[docMasks]]. */
+  private val sqlMasks =
+    s"""mvocab AS (
+       |  SELECT word, ROW_NUMBER() OVER (ORDER BY word ASC) - 1 AS pos
+       |  FROM (SELECT DISTINCT UNNEST($sqlToks) AS word FROM documents)),
+       |mdw AS (
+       |  SELECT DISTINCT doc_id, word
+       |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
+       |t AS (
+       |  SELECT doc_id,
+       |         SUM(CAST(1 AS BIGINT) << CAST(pos AS INT)) AS mask,
+       |         COUNT(*) AS n
+       |  FROM mdw JOIN mvocab USING (word)
+       |  GROUP BY doc_id)""".stripMargin
+
   private val sqlMinhash = (0 until NumHashes)
     .map(i => s"MIN(md5('$i|' || word)) AS h$i")
     .mkString(",\n        |         ")
@@ -173,13 +214,10 @@ object Dedup {
         |GROUP BY 1
         |ORDER BY h ASC""".stripMargin,
     "q_dedup_near" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, list_distinct($sqlToks) AS toks,
-         |         CAST(LEN(list_distinct($sqlToks)) AS BIGINT) AS n
-         |  FROM documents),
+      s"""WITH $sqlMasks,
          |p AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         CAST(LEN(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         |         CAST(bit_count(a.mask & b.mask) AS BIGINT) AS inter,
          |         a.n + b.n AS sn
          |  FROM t a JOIN t b
          |    ON a.doc_id < b.doc_id
@@ -206,13 +244,10 @@ object Dedup {
          |  FROM bands x JOIN bands y
          |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
          |   AND x.doc_id < y.doc_id),
-         |t AS (
-         |  SELECT doc_id, list_distinct($sqlToks) AS toks,
-         |         CAST(LEN(list_distinct($sqlToks)) AS BIGINT) AS n
-         |  FROM documents),
+         |$sqlMasks,
          |v AS (
          |  SELECT c.a_id, c.b_id,
-         |         CAST(LEN(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         |         CAST(bit_count(a.mask & b.mask) AS BIGINT) AS inter,
          |         a.n + b.n AS sn
          |  FROM cand c
          |  JOIN t a ON a.doc_id = c.a_id
