@@ -103,6 +103,30 @@ object Vectors {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Brute-force top-5 again, but through the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression instead of the
+    * higher-order zip_with/aggregate composition — one fused loop per
+    * pair, no intermediate arrays. Shares q_sim_cosine_topk's oracle
+    * (bit-identical summation order); Bench shows the two side by
+    * side. */
+  private val cosineNative: Q = (s, d) => {
+    import graft.functions.cosineSim
+    val c = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val probes = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosineSim(col("emb"), col("p_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** Multimodal join: text features ⊕ vector features per document. */
   private val multimodalJoin: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -116,10 +140,11 @@ object Vectors {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_sim_cosine_topk"  -> cosineTopk,
-    "q_sim_ann_lsh"      -> annLsh,
-    "q_dedup_embedding"  -> embDedup,
-    "q_multimodal_join"  -> multimodalJoin,
+    "q_sim_cosine_topk"   -> cosineTopk,
+    "q_sim_cosine_native" -> cosineNative,
+    "q_sim_ann_lsh"       -> annLsh,
+    "q_dedup_embedding"   -> embDedup,
+    "q_multimodal_join"   -> multimodalJoin,
   )
 
   private val sqlCorpus =
@@ -132,8 +157,7 @@ object Vectors {
     .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
     .mkString(" || ")
 
-  val oracle: Map[String, String] = Map(
-    "q_sim_cosine_topk" ->
+  private val sqlCosineTopk: String =
       s"""WITH c AS ($sqlCorpus),
          |p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
          |      FROM c WHERE vec_id < 10),
@@ -147,7 +171,11 @@ object Vectors {
          |SELECT probe_id, rn, vec_id AS neighbor_id,
          |       ${Det.sqlR4("cos")} AS cosine
          |FROM r WHERE rn <= 5
-         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" -> sqlCosineTopk,
+    "q_sim_cosine_native" -> sqlCosineTopk,
     "q_sim_ann_lsh" ->
       s"""WITH c0 AS ($sqlCorpus),
          |c AS (SELECT *, $sqlBucket AS bucket FROM c0),

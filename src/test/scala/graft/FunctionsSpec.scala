@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{cosineSim, MinHashAgg}
+
+/** Custom function surface: native expression vs built-in composition
+  * parity, and the typed MinHash Aggregator's sketch laws. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("native cosine expression == higher-order composition, bit-exact") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, SparkTestSession.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = emb.select(col("vec_id").as("a_id"), col("emb").as("a"))
+      .filter(col("a_id") < 30)
+    val b = emb.select(col("vec_id").as("b_id"), col("emb").as("b"))
+      .filter(col("b_id").between(30, 60))
+    val both = a.crossJoin(b)
+      .withColumn("native", cosineSim(col("a"), col("b")))
+      .withColumn("composed",
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), _ + _)
+          / (sqrt(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y), lit(0.0), _ + _))
+            * sqrt(aggregate(zip_with(col("b"), col("b"), (x, y) => x * y), lit(0.0), _ + _))))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("native cosine registers for SQL text and handles zero vectors") {
+    graft.functions.CosineSimilarity.register(spark)
+    val row = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS same,
+        |       cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS orth,
+        |       cosine_sim(array(0.0d, 0.0d), array(1.0d, 0.0d)) AS zero
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 0.0)
+    assert(row.isNullAt(2))
+  }
+
+  test("MinHashAgg: deterministic, merge=element-min, estimates track Jaccard") {
+    val agg = new MinHashAgg(numHashes = 64)
+    def sig(tokens: Seq[String]) =
+      tokens.foldLeft(agg.zero)(agg.reduce)
+    val a = sig(Seq("the", "fast", "query", "engine", "scans", "tables"))
+    val a2 = sig(Seq("the", "fast", "query", "engine", "scans", "tables"))
+    assert(a.toSeq == a2.toSeq)
+
+    // merge equals reduce over the union (order-insensitive sketch law)
+    val left = sig(Seq("the", "fast", "query"))
+    val right = sig(Seq("engine", "scans", "tables"))
+    assert(agg.merge(left.clone(), right).toSeq == a.toSeq)
+
+    val identical = MinHashAgg.estimate(a, a2)
+    assert(identical == 1.0)
+    val disjoint = MinHashAgg.estimate(
+      sig(Seq("aa", "bb", "cc", "dd")), sig(Seq("ee", "ff", "gg", "hh")))
+    assert(disjoint < 0.3)
+    // true Jaccard 0.5 (4 shared of 8): estimate within sketch error
+    val half = MinHashAgg.estimate(
+      sig(Seq("a", "b", "c", "d", "e", "f")),
+      sig(Seq("a", "b", "c", "g", "h", "i")))
+    assert(half > 0.15 && half < 0.75, s"estimate=$half")
+  }
+
+  test("MinHashAgg as typed Dataset aggregation (partial-merge path)") {
+    import spark.implicits._
+    val agg = new MinHashAgg(numHashes = 32)
+    val sigs = graft.io.Tables.documents(spark, SparkTestSession.sf)
+      .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("word"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .collect()
+    assert(sigs.length == 500)
+    assert(sigs.forall(_._2.length == 32))
+  }
+}
