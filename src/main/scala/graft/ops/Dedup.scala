@@ -118,27 +118,26 @@ object Dedup {
       .distinct()
       .groupBy(col("doc_id"))
       .agg(minhashAggs.head, minhashAggs.tail: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(bandKey): _*))
-        .as(Seq("band_idx", "band_key")))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val t = docMasks(s, d)
-    cands
-      .join(t.select(col("doc_id").as("a_id"), col("mask").as("a_mask"),
-        col("n").as("a_n")), "a_id")
-      .join(t.select(col("doc_id").as("b_id"), col("mask").as("b_mask"),
-        col("n").as("b_n")), "b_id")
+    // carry the verification payload (mask, n) on the banded rows so
+    // candidate pairs verify inline in the band join — no follow-up
+    // joins, and the dedup shuffle runs on the post-filter pair set
+    val banded = sigs.join(docMasks(s, d), "doc_id")
+      .select(col("doc_id"), col("mask"), col("n"),
+        posexplode(array((0 until Bands).map(bandKey): _*))
+          .as(Seq("band_idx", "band_key")))
+    val x = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("a_id"), col("mask").as("a_mask"), col("n").as("a_n"))
+    val y = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("b_id"), col("mask").as("b_mask"), col("n").as("b_n"))
+    x.join(y, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("inter",
         expr("bit_count(a_mask & b_mask)").cast("long"))
       .withColumn("jac",
         col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), Det.r4(col("jac")).as("jaccard"))
+      .distinct()
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
