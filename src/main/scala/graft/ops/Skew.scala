@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities.
+  *
+  * AQE's skew-join split handles most skew at runtime
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default). Salting is
+  * the explicit fallback for pathological keys (one entity owning a
+  * double-digit percentage of a 100 TB fact table) or for non-AQE
+  * paths: spread each fact row across `salt` sub-keys and replicate the
+  * dimension side once per sub-key, so a hot key's rows land on `salt`
+  * different reducers instead of one.
+  */
+object Skew {
+
+  /** Equi-join `fact ⋈ dim` on `key`, salted `salt` ways.
+    *
+    * The fact side's salt assignment only needs to spread rows (any
+    * assignment is correct); the dim side is replicated across all salt
+    * values via a literal-range explode. Result equals the plain inner
+    * join, with `salt`× better worst-key parallelism at the cost of a
+    * `salt`× larger (usually broadcast) dim side.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    require(salt > 0)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()),
+        lit(salt)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until salt).map(i => lit(i)): _*)))
+    saltedFact.join(saltedDim,
+        saltedFact(key) === saltedDim(key) &&
+        saltedFact("__salt") === saltedDim("__salt"))
+      .drop(saltedDim(key)).drop("__salt")
+  }
+}

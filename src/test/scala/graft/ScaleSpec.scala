@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{Bucketing, Tables}
+import graft.ops.Skew
+
+/** Scale-path mechanics that local-mode correctness tests can still
+  * prove: bucketed joins plan without shuffles, salted joins preserve
+  * results, RocksDB state store runs the streaming aggregation. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("bucketed co-located join plans with no shuffle exchange") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the metastore is fresh per JVM but the warehouse dir persists —
+    // clear leftover table locations from previous runs
+    Seq("orders_b", "customer_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    Bucketing.writeBucketed(
+      Tables.orders(s, sf).withColumnRenamed("o_custkey", "custkey"),
+      "orders_b", "custkey", 8)
+    Bucketing.writeBucketed(
+      Tables.customer(s, sf).withColumnRenamed("c_custkey", "custkey"),
+      "customer_b", "custkey", 8)
+    val joined = Bucketing.colocatedJoin(s, "orders_b", "customer_b", "custkey")
+    joined.count() // materialize through AQE
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      "bucketed join should not shuffle:\n" + plan.take(2000))
+    assert(joined.count() ==
+      Tables.orders(s, sf).join(Tables.customer(s, sf),
+        col("o_custkey") === col("c_custkey")).count())
+  }
+
+  test("salted join equals plain join") {
+    val fact = Tables.events(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumnRenamed("c_custkey", "user_id")
+    val plain = fact.join(dim, "user_id")
+      .groupBy("user_id").count()
+      .orderBy("user_id").collect().toSeq
+    val salted = Skew.saltedJoin(fact, dim, "user_id", salt = 8)
+      .groupBy("user_id").count()
+      .orderBy("user_id").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("streaming aggregation runs on the RocksDB state store") {
+    import java.sql.Timestamp
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamsSpec.Ev](s)
+    val q = graft.streaming.Streams.tumblingAgg(mem.toDF()).writeStream
+      .format("memory").queryName("rocks_out").outputMode("complete")
+      .option("checkpointLocation",
+        s"/tmp/graft-rocks-ckpt-${System.nanoTime()}")
+      .start()
+    mem.addData(Seq(
+      graft.streaming.StreamsSpec.Ev(0, Timestamp.valueOf("2024-01-01 00:05:00"), 1, "click", 1.0),
+      graft.streaming.StreamsSpec.Ev(1, Timestamp.valueOf("2024-01-01 00:20:00"), 1, "click", 2.0),
+      graft.streaming.StreamsSpec.Ev(2, Timestamp.valueOf("2024-01-01 01:05:00"), 2, "view", 3.0)))
+    q.processAllAvailable()
+    val rows = s.table("rocks_out").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("n")).sum == 3)
+  }
+}
