@@ -25,6 +25,7 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracle),
     (Vectors.queries, Vectors.oracle),
     (Multimodal.queries, Multimodal.oracle),
+    (Extras.queries, Extras.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

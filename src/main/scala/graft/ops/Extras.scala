@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det
+import graft.io.Tables
+
+/** Statistical aggregates and subquery forms.
+  *
+  * Variance/correlation are computed from explicit decimal-exact moment
+  * sums (Σx, Σx², Σxy) instead of the built-in `stddev`/`corr`: the
+  * built-ins use streaming (Welford-style) updates whose float error
+  * depends on partition order — fine for analytics, not reproducible
+  * across engines. The moment form is order-free and still one
+  * aggregation pass; at scale it is the same partial/final plan as any
+  * sum. Squares/products need DECIMAL(28,4): price² ~1e10 × 600k rows
+  * overflows DECIMAL(18,4)'s 1e14 headroom.
+  *
+  * Percentiles: Spark `percentile` and DuckDB `quantile_cont` both use
+  * the standard (n−1)p linear interpolation on the sorted values —
+  * identical arithmetic on identical input doubles.
+  *
+  * Subqueries: scalar and IN forms go through Catalyst's
+  * decorrelation (`RewriteCorrelatedScalarSubquery`) into the same
+  * joins the explicit formulations would produce — declared as SQL text
+  * against temp views to exercise that path.
+  */
+object Extras {
+  type Q = (SparkSession, String) => DataFrame
+  private val D28 = "decimal(28,4)"
+
+  /** Exact statistical aggregates per order-priority group. */
+  private val aggStats: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val x = col("o_totalprice")
+    val sx = sum(x.cast("decimal(18,4)")).cast("double")
+    val sxx = sum((x * x).cast(D28)).cast("double")
+    val n = count(lit(1)).cast("double")
+    o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.davg(x).as("mean_price"),
+        Det.r4(sqrt((sxx - sx * sx / n) / (n - lit(1.0)))).as("stddev_price"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** Exact Pearson correlation from moment sums (quantity vs price). */
+  private val aggCorr: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val n = count(lit(1)).cast("double")
+    val sx = sum(x.cast("decimal(18,4)")).cast("double")
+    val sy = sum(y.cast("decimal(18,4)")).cast("double")
+    val sxx = sum((x * x).cast(D28)).cast("double")
+    val syy = sum((y * y).cast(D28)).cast("double")
+    val sxy = sum((x * y).cast(D28)).cast("double")
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Det.r4((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Median + p90 via exact interpolated percentile. */
+  private val aggPercentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        Det.r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+      .orderBy(col("o_orderstatus").asc)
+
+  /** Correlated scalar subquery (decorrelated by Catalyst). */
+  private val subqueryScalar: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       (SELECT c_name FROM customer_sq WHERE c_custkey = o_custkey)
+        |         AS cust_name
+        |FROM orders_sq
+        |WHERE o_totalprice > 400000.0
+        |ORDER BY o_orderkey ASC""".stripMargin)
+  }
+
+  /** IN + NOT IN subqueries (plan as semi/anti joins). */
+  private val subqueryIn: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq2")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq2")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders_sq2
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_sq2
+        |                     WHERE l_quantity >= 45.0)
+        |ORDER BY o_orderkey ASC""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_stats"       -> aggStats,
+    "q_agg_corr"        -> aggCorr,
+    "q_agg_percentile"  -> aggPercentile,
+    "q_subquery_scalar" -> subqueryScalar,
+    "q_subquery_in"     -> subqueryIn,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |       ${Det.sqlDavg("o_totalprice")} AS mean_price,
+         |       ${Det.sqlR4(
+               "SQRT((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE)" +
+               " - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)" +
+               " * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)" +
+               " / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0))")}
+         |         AS stddev_price
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_agg_corr" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag,
+         |         CAST(COUNT(*) AS DOUBLE) AS n,
+         |         COUNT(*) AS n_rows,
+         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+         |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_rows,
+         |       ${Det.sqlR4("(n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))")}
+         |         AS corr_qty_price
+         |FROM m
+         |ORDER BY l_returnflag ASC""".stripMargin,
+    "q_agg_percentile" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |       ${Det.sqlR4("quantile_cont(o_totalprice, 0.5)")} AS p50,
+         |       ${Det.sqlR4("quantile_cont(o_totalprice, 0.9)")} AS p90
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey,
+        |       (SELECT c_name FROM customer WHERE c_custkey = o_custkey)
+        |         AS cust_name
+        |FROM orders
+        |WHERE o_totalprice > 400000.0
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_subquery_in" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_quantity >= 45.0)
+        |ORDER BY o_orderkey ASC""".stripMargin,
+  )
+}
