@@ -26,6 +26,7 @@ object SparkEntry {
     (Vectors.queries, Vectors.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extras.queries, Extras.oracle),
+    (Sampling.queries, Sampling.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

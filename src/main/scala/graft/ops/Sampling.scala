@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det
+import graft.io.Tables
+
+/** Deterministic sampling & split operators for training-data
+  * pipelines.
+  *
+  * `df.sample()` is seed-and-partitioning dependent — unusable when a
+  * sample must be reproducible across engines, reruns, and cluster
+  * sizes. The reproducible technique is *hash-keyed selection*: a row
+  * is in the sample iff a stable content hash of its key falls under a
+  * threshold. md5-hex prefixes give an engine-neutral uniform variate
+  * (fixed-width lowercase hex compares lexicographically ==
+  * numerically), so the same rows are selected everywhere, forever —
+  * and membership is O(1) per row with no shuffle at all for the flat
+  * sample.
+  *
+  * The same hash orders rows for stratified per-group quotas and
+  * assigns stable train/test splits (a document never migrates between
+  * splits when the corpus grows — the property dataset versioning
+  * needs).
+  */
+object Sampling {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** md5 hex of a column's string form — the shared uniform variate. */
+  private def h(c: Column): Column = md5(c.cast("string").cast("binary"))
+
+  /** ~10% flat sample of documents: md5(doc_id) prefix < 0x1999/0x10000. */
+  private val sampleHash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(substring(h(col("doc_id")), 1, 4) < "1999")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** Stratified sample: up to 20 docs per language, chosen by hash
+    * order (reproducible quota sampling; one shuffle by stratum). */
+  private val sampleStratified: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(h(col("doc_id")).asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang").asc, col("rn").asc)
+  }
+
+  /** Stable ~80/20 train/test assignment (0xcc/0x100 ≈ 0.797), with
+    * per-(lang, split) accounting. A row's split never changes as the
+    * corpus grows — hash membership, not position. */
+  private val splitTrainTest: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(substring(h(col("doc_id")), 1, 2) < "cc", "train")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        Det.davg(col("n_chars")).as("avg_chars"))
+      .orderBy(col("lang").asc, col("split").asc)
+
+  val queries: Map[String, Q] = Map(
+    "q_sample_hash"       -> sampleHash,
+    "q_sample_stratified" -> sampleStratified,
+    "q_split_train_test"  -> splitTrainTest,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, rn, doc_id, n_chars
+        |FROM (SELECT lang, doc_id, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |      FROM documents)
+        |WHERE rn <= 20
+        |ORDER BY lang ASC, rn ASC""".stripMargin,
+    "q_split_train_test" ->
+      s"""SELECT lang,
+         |       CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         |            THEN 'train' ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs,
+         |       ${Det.sqlDavg("n_chars")} AS avg_chars
+         |FROM documents
+         |GROUP BY 1, 2
+         |ORDER BY lang ASC, split ASC""".stripMargin,
+  )
+}
