@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Det
+
+/** One event of the mutation stream (typed twin of the events table). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double)
 
 /** Structured-Streaming builders — the true streaming twins of the
   * batch-declared §2.I queries (SURVEY.md). Each takes a (possibly
@@ -52,4 +57,24 @@ object Streams {
   def enrichWithDim(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),
       events("user_id") === customer("c_custkey"), "left")
+
+  /** Continuously-maintained last-write-wins snapshot — the streaming
+    * twin of q_cdc_latest_state (the reference's consumer loop: fold
+    * each keyed mutation into current row state). One state entry per
+    * key holds the winning event; each micro-batch emits the keys it
+    * updated (Update mode), i.e. a changelog of the snapshot. State is
+    * O(live keys) in the state store (RocksDB at scale). */
+  def compactStream(events: Dataset[Event]): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Event, Event](
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[Event]) =>
+          val candidates = state.getOption.iterator ++ it
+          val winner = candidates.maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(winner)
+          winner
+      }
+  }
 }

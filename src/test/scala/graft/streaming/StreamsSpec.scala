@@ -74,6 +74,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.count(_.getAs[String]("c_name") != null) == evs.length)
   }
 
+  test("compactStream: streaming snapshot equals batch compaction") {
+    // typed events across two epochs; redelivery + out-of-order updates
+    val epoch1 = Seq(
+      Event(0, ts(5), 1, "signup", 1.0),
+      Event(1, ts(10), 1, "purchase", 5.0),
+      Event(2, ts(7), 2, "signup", 2.0))
+    val epoch2 = Seq(
+      Event(1, ts(10), 1, "purchase", 5.0),  // redelivered
+      Event(3, ts(8), 1, "click", 9.0),      // late, loses to event 1
+      Event(4, ts(30), 2, "purchase", 7.0))  // new winner for user 2
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.compactStream(mem.toDS()).writeStream
+      .format("memory").queryName(s"snap_${System.nanoTime()}")
+      .outputMode("update").start()
+    mem.addData(epoch1); q.processAllAvailable()
+    mem.addData(epoch2); q.processAllAvailable()
+    // last Update emission per key = final state
+    val byKey = spark.table(q.name).as[Event].collect()
+      .groupBy(_.user_id).map { case (k, vs) =>
+        k -> vs.maxBy(e => (e.ts.getTime, e.event_id)) }
+    q.stop()
+    assert(byKey(1L).event_id == 1 && byKey(1L).value == 5.0)
+    assert(byKey(2L).event_id == 4 && byKey(2L).value == 7.0)
+  }
+
+  test("epoch parquet sink writes idempotent epoch directories") {
+    val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-epoch-ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = graft.io.Sinks.epochParquetSink(mem.toDF(), out, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData(evs)
+    q.awaitTermination(60000)
+    val epochs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName)
+    assert(epochs.nonEmpty)
+    assert(spark.read.parquet(s"$out/${epochs.head}").count() > 0)
+  }
+
   test("session windows split at the gap in batch form") {
     val sess = Streams.sessionAgg(evs.toDF()).collect()
     // user 1: 5 | 20 | 70 (15- and 50-min gaps); user 2: 65 | 130
