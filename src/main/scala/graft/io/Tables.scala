@@ -27,6 +27,20 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Format-agnostic loader for non-parquet lake layouts. CSV/JSON
+    * should always be read with an explicit schema: inference scans the
+    * data twice and guesses types — never acceptable on a 100 TB feed.
+    * TablesSpec round-trips parquet → csv/json → DataFrame. */
+  def load(spark: SparkSession, path: String, format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format)
+    val withSchema = schema.fold(r)(r.schema)
+    format match {
+      case "csv"  => withSchema.option("header", "true").load(path)
+      case _      => withSchema.load(path)
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -125,18 +125,37 @@ object Dedup {
       .select(col("doc_id"), col("mask"), col("n"),
         posexplode(array((0 until Bands).map(bandKey): _*))
           .as(Seq("band_idx", "band_key")))
-    val x = banded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("a_id"), col("mask").as("a_mask"), col("n").as("a_n"))
-    val y = banded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("b_id"), col("mask").as("b_mask"), col("n").as("b_n"))
-    x.join(y, Seq("band_idx", "band_key"))
-      .filter(col("a_id") < col("b_id"))
+    // Skew split: this corpus produces a mega-bucket (~2300 docs share
+    // one band key at sf0.1 ⇒ ~2.7M pairs on a single join key/task).
+    // Chunk each bucket into G slices and join on (band, target-chunk):
+    // the hot bucket fans out across G keys. Pair set is unchanged —
+    // cross-chunk pairs enumerate once (normalized with least/greatest),
+    // same-chunk pairs dedup via a_id < b_id — so the oracle is
+    // untouched. This is the explicit version of what AQE's skew-join
+    // split does for sort-merge joins.
+    val G = 16
+    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
+      .orderBy(col("doc_id").asc)
+    val chunked = banded
+      .withColumn("ck", pmod(row_number().over(wB) - 1, lit(G)))
+    val x = chunked.select(col("band_idx"), col("band_key"),
+      col("ck").as("a_ck"), col("doc_id").as("a_id"),
+      col("mask").as("a_mask"), col("n").as("a_n"))
+      .withColumn("b_ck", explode(array((0 until G).map(lit): _*)))
+      .filter(col("b_ck") >= col("a_ck"))
+    val y = chunked.select(col("band_idx"), col("band_key"),
+      col("ck").as("b_ck"), col("doc_id").as("b_id"),
+      col("mask").as("b_mask"), col("n").as("b_n"))
+    x.join(y, Seq("band_idx", "band_key", "b_ck"))
+      .filter(col("a_ck") < col("b_ck") || col("a_id") < col("b_id"))
       .withColumn("inter",
         expr("bit_count(a_mask & b_mask)").cast("long"))
       .withColumn("jac",
         col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
       .filter(col("jac") >= 0.8)
-      .select(col("a_id"), col("b_id"), Det.r4(col("jac")).as("jaccard"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        Det.r4(col("jac")).as("jaccard"))
       .distinct()
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
