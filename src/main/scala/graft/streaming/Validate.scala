@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues}
 
 /** Transaction-bracket stream validation — the reference's consumer-side
   * state machine recast as a typed Spark fold.
@@ -84,6 +85,37 @@ object Validate {
     msgs.groupByKey(_.publisher).flatMapGroups { (_, it) =>
       run(it.toSeq.sortBy(_.seq).iterator)._2
     }
+  }
+
+  /** The same FSM on the Spark 4 `transformWithState` API — the
+    * successor to flatMapGroupsWithState: explicit typed state handles
+    * from the StatefulProcessorHandle, per-key timers, and state
+    * schema evolution. Behavior is identical to [[validateStream]]
+    * (ValidateSpec asserts parity); both fold with [[step]]. */
+  class ValidateProcessor extends StatefulProcessor[String, Msg, Violation] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[TxnState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TxnState]("txn",
+        Encoders.product[TxnState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Msg],
+        timerValues: TimerValues): Iterator[Violation] = {
+      val init = Option(state.get()).getOrElse(initialState)
+      val (st, vs) = run(rows.toSeq.sortBy(_.seq).iterator, init)
+      state.update(st)
+      vs.iterator
+    }
+  }
+
+  /** Streaming validation on transformWithState. */
+  def validateStreamTws(msgs: Dataset[Msg]): Dataset[Violation] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs.groupByKey(_.publisher)
+      .transformWithState(new ValidateProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming form: one state-store entry per publisher; violations

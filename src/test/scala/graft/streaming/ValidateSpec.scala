@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.SparkTestSession
-import Validate.{Msg, TxnState, Violation, initialState, validateBatch, validateStream}
+import Validate.{Msg, TxnState, Violation, initialState, validateBatch, validateStream, validateStreamTws}
 import Validate.{run => foldMsgs}
 
 /** FSM unit + property tests, and batch/stream parity via MemoryStream. */
@@ -74,6 +74,27 @@ class ValidateSpec extends AnyFunSuite {
     checkProp(Prop.forAll(Gen.choose(1, 10), Gen.choose(0, 5)) { (txns, muts) =>
       foldMsgs(wellFormed("p", txns, muts).iterator)._2.isEmpty
     })
+  }
+
+  test("transformWithState FSM agrees with flatMapGroupsWithState FSM") {
+    val msgs = wellFormed("a", 3, 2) ++
+      wellFormed("b", 2, 1).filterNot(_.seq == 1) ++
+      List(Msg("c", 0, "mutation"))
+    // transformWithState requires the RocksDB state store provider
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem2 = MemoryStream[Msg](s2)
+    val q = validateStreamTws(mem2.toDS()).writeStream
+      .format("memory").queryName(s"tws_${System.nanoTime()}")
+      .outputMode("append").start()
+    val (e1, e2) = msgs.splitAt(msgs.size / 2)
+    mem2.addData(e1); q.processAllAvailable()
+    mem2.addData(e2); q.processAllAvailable()
+    val streamed = s2.table(q.name).as[Violation].collect().toSet
+    q.stop()
+    val batch = validateBatch(spark.createDataset(msgs)).collect().toSet
+    assert(streamed == batch)
   }
 
   test("batch and streaming validation agree (MemoryStream, 2 epochs)") {
