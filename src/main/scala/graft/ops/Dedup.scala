@@ -121,10 +121,14 @@ object Dedup {
     // carry the verification payload (mask, n) on the banded rows so
     // candidate pairs verify inline in the band join — no follow-up
     // joins, and the dedup shuffle runs on the post-filter pair set
-    val banded = sigs.join(docMasks(s, d), "doc_id")
-      .select(col("doc_id"), col("mask"), col("n"),
-        posexplode(array((0 until Bands).map(bandKey): _*))
-          .as(Seq("band_idx", "band_key")))
+    val withKeys = sigs.join(docMasks(s, d), "doc_id")
+      .select(Seq(col("doc_id"), col("mask"), col("n")) ++
+        (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
+    val banded = withKeys.select(
+      (Seq(col("doc_id"), col("mask"), col("n")) ++
+        (0 until Bands).map(j => col(s"bk$j"))) :+
+        posexplode(array((0 until Bands).map(j => col(s"bk$j")): _*))
+          .as(Seq("band_idx", "band_key")): _*)
     // Skew split: this corpus produces a mega-bucket (~2300 docs share
     // one band key at sf0.1 ⇒ ~2.7M pairs on a single join key/task).
     // Chunk each bucket into G slices and join on (band, target-chunk):
@@ -138,16 +142,28 @@ object Dedup {
       .orderBy(col("doc_id").asc)
     val chunked = banded
       .withColumn("ck", pmod(row_number().over(wB) - 1, lit(G)))
-    val x = chunked.select(col("band_idx"), col("band_key"),
+    val x = chunked.select(Seq(col("band_idx"), col("band_key"),
       col("ck").as("a_ck"), col("doc_id").as("a_id"),
-      col("mask").as("a_mask"), col("n").as("a_n"))
+      col("mask").as("a_mask"), col("n").as("a_n")) ++
+      (0 until Bands).map(j => col(s"bk$j").as(s"a_bk$j")): _*)
       .withColumn("b_ck", explode(array((0 until G).map(lit): _*)))
       .filter(col("b_ck") >= col("a_ck"))
-    val y = chunked.select(col("band_idx"), col("band_key"),
+    val y = chunked.select(Seq(col("band_idx"), col("band_key"),
       col("ck").as("b_ck"), col("doc_id").as("b_id"),
-      col("mask").as("b_mask"), col("n").as("b_n"))
+      col("mask").as("b_mask"), col("n").as("b_n")) ++
+      (0 until Bands).map(j => col(s"bk$j").as(s"b_bk$j")): _*)
+    // first-band ownership: a pair is emitted only by the lowest band
+    // where its keys collide — exactly-once enumeration across bands,
+    // so no distinct shuffle over the (large) result set is needed
+    val firstBand = (0 until Bands).map { j =>
+        val earlierDiffer = (0 until j)
+          .map(k => col(s"a_bk$k") =!= col(s"b_bk$k"))
+          .foldLeft(lit(true))(_ && _)
+        when(col("band_idx") === j, earlierDiffer)
+      }.reduce((a, b) => coalesce(a, b))
     x.join(y, Seq("band_idx", "band_key", "b_ck"))
       .filter(col("a_ck") < col("b_ck") || col("a_id") < col("b_id"))
+      .filter(firstBand)
       .withColumn("inter",
         expr("bit_count(a_mask & b_mask)").cast("long"))
       .withColumn("jac",
@@ -156,7 +172,6 @@ object Dedup {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
         Det.r4(col("jac")).as("jaccard"))
-      .distinct()
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
