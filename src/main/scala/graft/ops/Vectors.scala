@@ -39,11 +39,14 @@ object Vectors {
         col("label"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
-  /** 8-bit sign-pattern bucket over the leading dimensions — a
-    * deterministic random-hyperplane LSH stand-in. */
-  private def signBucket(emb: Column): Column =
+  /** 8-bit sign-pattern bucket over a dimension slice — a deterministic
+    * random-hyperplane LSH stand-in; different offsets give independent
+    * probe tables (multi-probe raises recall, same plan shape). */
+  private def signBucketAt(emb: Column, offset: Int): Column =
     concat((1 to 8).map(i =>
-      when(element_at(emb, i) > 0, lit("1")).otherwise(lit("0"))): _*)
+      when(element_at(emb, offset + i) > 0, lit("1")).otherwise(lit("0"))): _*)
+
+  private def signBucket(emb: Column): Column = signBucketAt(emb, 0)
 
   /** Brute-force cosine top-5 per probe (probe set: vec_id < 10). */
   private val cosineTopk: Q = (s, d) => {
@@ -103,6 +106,36 @@ object Vectors {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Multi-probe ANN: two independent sign bases (dims 1–8 and 9–16)
+    * each generate candidates by bucket equi-join; the union is deduped
+    * per (probe, neighbor) and re-ranked. Recall strictly dominates the
+    * single-table variant (VectorsSpec asserts it) at 2× candidate
+    * cost — the knob you turn at 100 TB instead of widening buckets. */
+  private val annMultiprobe: Q = (s, d) => {
+    val c0 = corpus(s, d)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val perBase = (0 to 1).map { base =>
+      val off = base * 8
+      val c = c0.withColumn("bucket", signBucketAt(col("emb"), off))
+      val probes = c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("bucket"))
+      c.join(broadcast(probes), "bucket")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+            .as("cos"))
+    }
+    perBase.reduce(_ unionAll _)
+      .dropDuplicates("probe_id", "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** Brute-force top-5 again, but through the native codegen'd
     * [[graft.functions.CosineSimilarity]] expression instead of the
     * higher-order zip_with/aggregate composition — one fused loop per
@@ -143,6 +176,7 @@ object Vectors {
     "q_sim_cosine_topk"   -> cosineTopk,
     "q_sim_cosine_native" -> cosineNative,
     "q_sim_ann_lsh"       -> annLsh,
+    "q_sim_ann_multiprobe"-> annMultiprobe,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -188,6 +222,31 @@ object Vectors {
          |  WHERE c.vec_id <> p.probe_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
+         |SELECT probe_id, rn, vec_id AS neighbor_id,
+         |       ${Det.sqlR4("cos")} AS cosine
+         |FROM r WHERE rn <= 3
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_multiprobe" ->
+      s"""WITH c0 AS ($sqlCorpus),
+         |c AS (SELECT *, $sqlBucket AS bucket,
+         |      ${(9 to 16).map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
+               .mkString(" || ")} AS bucket2 FROM c0),
+         |p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm,
+         |             bucket, bucket2
+         |      FROM c WHERE vec_id < 10),
+         |j AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |  FROM c JOIN p ON c.bucket = p.bucket
+         |  WHERE c.vec_id <> p.probe_id
+         |  UNION ALL
+         |  SELECT p.probe_id, c.vec_id,
+         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |  FROM c JOIN p ON c.bucket2 = p.bucket2
+         |  WHERE c.vec_id <> p.probe_id),
+         |u AS (SELECT DISTINCT probe_id, vec_id, cos FROM j),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY cos DESC, vec_id ASC) AS rn FROM u)
          |SELECT probe_id, rn, vec_id AS neighbor_id,
          |       ${Det.sqlR4("cos")} AS cosine
          |FROM r WHERE rn <= 3

@@ -68,6 +68,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(joined.filter(col("c1") =!= col("c2")).count() == 0)
   }
 
+  test("multi-probe ANN recall dominates single-table ANN") {
+    def recall(key: String): Double = {
+      val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+        .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+      val got = SparkEntry.queries(key)(spark, sf)
+        .select("probe_id", "neighbor_id")
+      got.intersect(truth).count().toDouble / truth.count()
+    }
+    val single = recall("q_sim_ann_lsh")
+    val multi = recall("q_sim_ann_multiprobe")
+    assert(multi >= single, s"multi=$multi single=$single")
+  }
+
   test("topk per group never exceeds k and ranks are contiguous") {
     val df = SparkEntry.queries("q_topk_per_group")(spark, sf)
     val bad = df.groupBy("o_custkey")
