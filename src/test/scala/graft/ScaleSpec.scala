@@ -43,6 +43,41 @@ class ScaleSpec extends AnyFunSuite {
         col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("hive-partitioned lake: static and dynamic partition pruning") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    Tables.events(spark, sf)
+      .withColumn("etype", col("event_type"))
+      .write.mode("overwrite").partitionBy("etype").parquet(out)
+
+    // static pruning: the filter on the partition column becomes a
+    // PartitionFilter — only one directory of five is read
+    val one = spark.read.parquet(out).filter(col("etype") === "click")
+    one.count()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("etype"),
+      plan.take(1500))
+    assert(one.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "click").count())
+
+    // dynamic pruning: a FILTERED dim join on the partition column
+    // injects a runtime partition filter (dynamicpruning expression);
+    // useStats=false so tiny local test sizes don't veto the rewrite
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    // dim must be a file relation: a LocalRelation constant-folds the
+    // filter away and DPP's selective-predicate check then declines
+    val dimPath = s"$out-dim"
+    s2.createDataFrame(Seq(("click", 1), ("error", 2), ("view", 9)))
+      .toDF("etype", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s2.read.parquet(dimPath).filter(col("flag") === 1)
+    val j = s2.read.parquet(out).join(dim, "etype")
+    j.count()
+    val jPlan = j.queryExecution.executedPlan.toString
+    assert(jPlan.toLowerCase.contains("dynamicpruning"), jPlan.take(1500))
+  }
+
   test("salted join equals plain join") {
     val fact = Tables.events(spark, sf)
     val dim = Tables.customer(spark, sf)
