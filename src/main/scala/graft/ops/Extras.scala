@@ -95,12 +95,41 @@ object Extras {
         |ORDER BY o_orderkey ASC""".stripMargin)
   }
 
+  /** UNPIVOT (melt): wide measures → long (col, value) rows — the
+    * inverse of q_pivot, Spark 3.4+ DataFrame API. */
+  private val unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure", valueColumnName = "val")
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("measure").asc, col("val").asc)
+
+  /** Generator source: a computed table from a range — no files at all
+    * (the synthetic-source path; Spark `range` == DuckDB
+    * `generate_series`, both parallelizable by numeric splits). */
+  private val sourceRange: Q = (s, _) =>
+    s.range(0, 1000)
+      .select(col("id"),
+        (col("id") * col("id") % 97).as("sq_mod"),
+        when(col("id") % 15 === 0, "fizzbuzz")
+          .when(col("id") % 3 === 0, "fizz")
+          .when(col("id") % 5 === 0, "buzz")
+          .otherwise(col("id").cast("string")).as("label"))
+      .orderBy(col("id").asc)
+
   val queries: Map[String, Q] = Map(
     "q_agg_stats"       -> aggStats,
     "q_agg_corr"        -> aggCorr,
     "q_agg_percentile"  -> aggPercentile,
     "q_subquery_scalar" -> subqueryScalar,
     "q_subquery_in"     -> subqueryIn,
+    "q_unpivot"         -> unpivot,
+    "q_source_range"    -> sourceRange,
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,5 +181,21 @@ object Extras {
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     WHERE l_quantity >= 45.0)
         |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                      l_extendedprice, l_discount, l_tax FROM lineitem)
+        |      ON l_quantity, l_extendedprice, l_discount, l_tax
+        |      INTO NAME measure VALUE val)
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, measure ASC, val ASC""".stripMargin,
+    "q_source_range" ->
+      """SELECT CAST(r.range AS BIGINT) AS id,
+        |       CAST(r.range * r.range % 97 AS BIGINT) AS sq_mod,
+        |       CASE WHEN r.range % 15 = 0 THEN 'fizzbuzz'
+        |            WHEN r.range % 3 = 0 THEN 'fizz'
+        |            WHEN r.range % 5 = 0 THEN 'buzz'
+        |            ELSE CAST(r.range AS VARCHAR) END AS label
+        |FROM range(0, 1000) r
+        |ORDER BY id ASC""".stripMargin,
   )
 }
