@@ -30,8 +30,11 @@ object Det {
   /** Order-independent exact sum of a double expression (see above). */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
-  /** Order-independent mean: exact decimal sum / count, rounded. */
-  def davg(c: Column): Column = round(sum(c.cast(D)).cast("double") / count(c), 4)
+  /** Order-independent mean: exact decimal sum / count, floor-rounded
+    * (same IEEE-pure form as [[r4]] — `round()` would reintroduce the
+    * cross-engine .xxxx5 divergence on exact means). */
+  def davg(c: Column): Column =
+    r4(sum(c.cast(D)).cast("double") / count(c))
 
   /** Cross-engine round-to-4-decimals for computed doubles.
     *
@@ -53,7 +56,7 @@ object Det {
   def sqlR4(x: String): String = s"FLOOR(($x) * 10000 + 0.5) / 10000"
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDavg(x: String): String =
-    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x), 4)"
+    sqlR4(s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x)")
   def sqlEts(x: String): String = s"date_trunc('milliseconds', $x)"
   def sqlOutTs(x: String): String = s"date_trunc('second', $x)"
 }

@@ -43,9 +43,13 @@ object Admin {
   def listSets(metaDir: String): Seq[String] = {
     val dir = Paths.get(metaDir)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json")).toSeq.sorted
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json")).toSeq.sorted
+      finally stream.close()
+    }
   }
 
   def getSet(metaDir: String, name: String): ReplicationSet = {
@@ -79,7 +83,7 @@ object Admin {
     val name = """"name":\s*"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
     val version = """"version":\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
     val tablesBlock = """"tables":\s*\{(.*)\}""".r.findFirstMatchIn(json).get.group(1)
-    val tableRe = """"([a-z_]+)":\s*\[([^\]]*)\]""".r
+    val tableRe = """"([A-Za-z0-9_]+)":\s*\[([^\]]*)\]""".r
     val tables = tableRe.findAllMatchIn(tablesBlock).map { m =>
       val cols = """"([^"]+)"""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       m.group(1) -> cols

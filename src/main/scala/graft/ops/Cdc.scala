@@ -47,12 +47,18 @@ object Cdc {
       .orderBy(col("user_id").asc)
 
   /** At-least-once dedup: self-union simulates relay redelivery; exact
-    * once restored by key. dropDuplicates = hash shuffle on event_id,
-    * first row wins (rows are identical here, so deterministic). */
+    * once restored by the sequence key. One row per event_id survives,
+    * chosen by a total order over the payload — deterministic even if a
+    * redelivery ever carried a mutated payload (dropDuplicates would
+    * keep an arbitrary one). */
   private val dedup: Q = (s, d) => {
     val e = stream(s, d)
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("user_id").asc, col("event_type").asc,
+        col("value").asc, col("ts").asc)
     e.unionAll(e)
-      .dropDuplicates("event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), Det.outTs(col("ts")).as("ts"))
       .orderBy(col("event_id").asc)
@@ -160,10 +166,13 @@ object Cdc {
          |ORDER BY user_id ASC""".stripMargin,
     "q_cdc_dedup" ->
       s"""WITH s AS ($sqlStream),
-         |u AS (SELECT * FROM s UNION ALL SELECT * FROM s)
-         |SELECT DISTINCT event_id, user_id, event_type, value,
+         |u AS (SELECT * FROM s UNION ALL SELECT * FROM s),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+         |                ORDER BY user_id ASC, event_type ASC,
+         |                         value ASC, ts ASC) AS rn FROM u)
+         |SELECT event_id, user_id, event_type, value,
          |       ${Det.sqlOutTs("ts")} AS ts
-         |FROM u
+         |FROM r WHERE rn = 1
          |ORDER BY event_id ASC""".stripMargin,
     "q_cdc_sequence_gaps" ->
       """SELECT user_id, prev_id, event_id, gap

@@ -48,13 +48,18 @@ object Dedup {
     * bit_count(maskA & maskB) — the pairwise verification of the
     * near-dup joins drops from array intersection to one AND+popcount
     * per pair. Vocabulary order (alphabetical row_number) is
-    * deterministic, so both engines build identical masks. For vocabs
-    * beyond 64 the same plan uses an array of words (guarded below) —
-    * and past a few thousand you switch to MinHash entirely. */
+    * deterministic, so both engines build identical masks. Vocabularies
+    * beyond 64 tokens fail fast (require below) — extend to n-long
+    * masks there, and past a few thousand switch to MinHash alone. */
   private def docMasks(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .distinct()
+    val vocabSize = words.count()
+    require(vocabSize <= 64,
+      s"docMasks: vocabulary has $vocabSize tokens; the single-long " +
+        "bitmask holds at most 64 — extend to Array[Long] masks or use " +
+        "the MinHash signatures alone beyond that")
     val vocab = words
       .withColumn("pos",
         row_number().over(Window.orderBy(col("word").asc)) - 1)
@@ -204,7 +209,7 @@ object Dedup {
     "q_dedup_simhash"     -> simhash,
   )
 
-  private val sqlToks = "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
+  private def sqlToks = Text.sqlToks
 
   /** CTE `t(doc_id, mask, n)` — DuckDB twin of [[docMasks]]. */
   private val sqlMasks =

@@ -106,6 +106,10 @@ object Extras {
         values = Array(col("l_quantity"), col("l_extendedprice"),
           col("l_discount"), col("l_tax")),
         variableColumnName = "measure", valueColumnName = "val")
+      // Spark unpivot keeps NULL values, DuckDB UNPIVOT drops them by
+      // default — align on exclude-NULLs (no-op on this data, explicit
+      // so the parity holds on nullable inputs too)
+      .filter(col("val").isNotNull)
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
         col("measure").asc, col("val").asc)
 

@@ -96,13 +96,14 @@ object StreamingOps {
          |ORDER BY win_start ASC, event_type ASC""".stripMargin,
     "q_stream_session" ->
       s"""WITH s AS ($sqlStream),
-         |f AS (SELECT user_id, ts,
+         |f AS (SELECT user_id, event_id, ts,
          |             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          |                       >= INTERVAL 10 MINUTES
          |                  THEN 1 ELSE 0 END AS new_session
          |      FROM s),
          |g AS (SELECT user_id, ts,
-         |             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+         |             SUM(new_session) OVER (PARTITION BY user_id
+         |                                    ORDER BY ts ASC, event_id ASC
          |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |               AS session_id
          |      FROM f)

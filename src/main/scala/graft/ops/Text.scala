@@ -168,7 +168,10 @@ object Text {
     "q_text_fingerprint" -> fingerprint,
   )
 
-  private val sqlToks =
+  /** DuckDB twin of [[tokens]] — single source of truth for every
+    * module's oracle SQL (tokenization drift between oracles would be
+    * misread as engine drift). */
+  val sqlToks: String =
     "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
 
   private val sqlLangScores = langMarkers.map { case (l, ms) =>

@@ -264,8 +264,7 @@ object Vectors {
     "q_multimodal_join" ->
       s"""WITH c AS ($sqlCorpus),
          |t AS (SELECT doc_id, lang, n_chars,
-         |             CAST(LEN(list_filter(string_split(text, ' '),
-         |               w -> LENGTH(w) > 0)) AS BIGINT) AS n_tokens
+         |             CAST(LEN(${Text.sqlToks}) AS BIGINT) AS n_tokens
          |      FROM documents)
          |SELECT doc_id, lang, n_chars, n_tokens, label,
          |       ${Det.sqlR4("nrm")} AS l2_norm
