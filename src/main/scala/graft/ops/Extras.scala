@@ -126,7 +126,53 @@ object Extras {
           .otherwise(col("id").cast("string")).as("label"))
       .orderBy(col("id").asc)
 
+  /** first/last/nth value window family: per customer order history —
+    * frame must be the full partition for last/nth (default frame stops
+    * at CURRENT ROW), same in both engines. */
+  private val windowFirstLast: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  /** Statistical mode (most frequent value) with deterministic ties:
+    * per market segment, the most common nation among its customers. */
+  private val aggMode: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("c_nationkey").asc)
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
+        col("n").as("n_customers"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
+  /** String-distance kernel: Levenshtein (exact integer DP — identical
+    * across engines) between part brand and type prefixes. */
+  private val strDistance: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev_bt"),
+        levenshtein(substring(col("p_name"), 1, 10), col("p_brand"))
+          .cast("long").as("lev_nb"))
+      .orderBy(col("p_partkey").asc)
+
   val queries: Map[String, Q] = Map(
+    "q_window_first_last" -> windowFirstLast,
+    "q_agg_mode"        -> aggMode,
+    "q_str_distance"    -> strDistance,
     "q_agg_stats"       -> aggStats,
     "q_agg_corr"        -> aggCorr,
     "q_agg_percentile"  -> aggPercentile,
@@ -137,6 +183,30 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |       LAST_VALUE(o_totalprice)  OVER w AS last_price,
+        |       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT c_mktsegment, mode_nation, n_customers
+        |FROM (SELECT c_mktsegment, c_nationkey AS mode_nation, COUNT(*) AS n_customers,
+        |             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                                ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+        |      FROM customer GROUP BY c_mktsegment, c_nationkey)
+        |WHERE rn = 1
+        |ORDER BY c_mktsegment ASC""".stripMargin,
+    "q_str_distance" ->
+      """SELECT p_partkey,
+        |       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_bt,
+        |       CAST(levenshtein(SUBSTRING(p_name, 1, 10), p_brand) AS BIGINT) AS lev_nb
+        |FROM part
+        |ORDER BY p_partkey ASC""".stripMargin,
     "q_agg_stats" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |       ${Det.sqlDavg("o_totalprice")} AS mean_price,
