@@ -169,7 +169,34 @@ object Extras {
           .cast("long").as("lev_nb"))
       .orderBy(col("p_partkey").asc)
 
+  /** Date-part kernel: quarter / ISO week / ISO day-of-week. Engine
+    * trap: Spark dayofweek() is Sunday=1 while DuckDB dayofweek is
+    * Sunday=0 — use the ISO convention on both sides (Spark weekday()
+    * is Monday=0, DuckDB isodow is Monday=1; +1 aligns them). */
+  private val dateParts: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"))
+      .orderBy(col("o_orderkey").asc)
+
+  /** Bitwise kernel: AND/OR/XOR/shifts/popcount on integer keys. */
+  private val bitFuncs: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        expr("l_orderkey & l_partkey").as("band"),
+        expr("l_orderkey | l_partkey").as("bor"),
+        expr("l_orderkey ^ l_partkey").as("bxor"),
+        expr("shiftleft(l_linenumber, 3)").cast("long").as("shl"),
+        expr("shiftright(l_partkey, 2)").as("shr"),
+        expr("bit_count(l_orderkey)").cast("long").as("popcnt"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc)
+
   val queries: Map[String, Q] = Map(
+    "q_date_parts"      -> dateParts,
+    "q_bit_funcs"       -> bitFuncs,
     "q_window_first_last" -> windowFirstLast,
     "q_agg_mode"        -> aggMode,
     "q_str_distance"    -> strDistance,
@@ -183,6 +210,23 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |       EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+        |       EXTRACT(WEEK FROM o_orderdate) AS iso_week,
+        |       EXTRACT(ISODOW FROM o_orderdate) AS iso_dow
+        |FROM orders
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_bit_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       l_orderkey & l_partkey AS band,
+        |       l_orderkey | l_partkey AS bor,
+        |       xor(l_orderkey, l_partkey) AS bxor,
+        |       CAST(l_linenumber << 3 AS BIGINT) AS shl,
+        |       l_partkey >> 2 AS shr,
+        |       CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC""".stripMargin,
     "q_window_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |       FIRST_VALUE(o_totalprice) OVER w AS first_price,
