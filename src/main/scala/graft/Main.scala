@@ -15,6 +15,10 @@ package graft
 object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "verify" :: rest if rest.size == 2 => Verify.main(rest.toArray)
+    case "verify" :: rest =>
+      System.err.println(
+        s"verify takes exactly 2 arguments (<sfDir> <outDir>), got ${rest.size}")
+      sys.exit(2)
     case "bench" :: _                       => Bench.main(Array.empty)
     case "plans" :: rest                    => Plans.main(rest.toArray)
     case "validate-demo" :: _               => streaming.ValidateDemo.main(Array.empty)

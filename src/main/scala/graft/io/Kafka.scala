@@ -33,11 +33,18 @@ object Kafka {
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
       .load()
-      .select(col("key").cast("string").as("msg_key"),
+      // metadata columns are underscore-prefixed so payload fields named
+      // "timestamp"/"offset"/etc. cannot collide; _decode_ok flags rows
+      // whose JSON failed to parse (from_json yields a null struct) so
+      // callers can route them to a dead-letter sink instead of silently
+      // processing an all-null mutation
+      .select(col("key").cast("string").as("_msg_key"),
         from_json(col("value").cast("string"), schema).as("m"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"))
-      .select(col("msg_key"), col("m.*"), col("topic"), col("partition"),
-        col("offset"), col("timestamp"))
+        col("topic").as("_topic"), col("partition").as("_partition"),
+        col("offset").as("_offset"), col("timestamp").as("_kafka_ts"))
+      .withColumn("_decode_ok", col("m").isNotNull)
+      .select(col("_msg_key"), col("m.*"), col("_topic"), col("_partition"),
+        col("_offset"), col("_kafka_ts"), col("_decode_ok"))
 
   /** Publish a keyed changelog to a topic (the relay's output side).
     * Exactly-once on top of at-least-once: pair with checkpointing and

@@ -39,7 +39,10 @@ object Extras {
     o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         Det.davg(x).as("mean_price"),
-        Det.r4(sqrt((sxx - sx * sx / n) / (n - lit(1.0)))).as("stddev_price"))
+        // n == 1 would divide by zero — a crash under Spark 4's default
+        // ANSI mode, and NaN-vs-NULL divergence otherwise; emit NULL
+        Det.r4(sqrt((sxx - sx * sx / n) / nullif(n - lit(1.0), lit(0.0))))
+          .as("stddev_price"))
       .orderBy(col("o_orderpriority").asc)
   }
 
@@ -56,8 +59,10 @@ object Extras {
     val sxy = sum((x * y).cast(D28)).cast("double")
     li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
+        // zero variance on either side -> NULL, not ANSI crash / NaN
         Det.r4((n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+          nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), lit(0.0)))
+          .as("corr_qty_price"))
       .orderBy(col("l_returnflag").asc)
   }
 
@@ -258,7 +263,7 @@ object Extras {
                "SQRT((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE)" +
                " - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)" +
                " * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)" +
-               " / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0))")}
+               " / CAST(COUNT(*) AS DOUBLE)) / NULLIF(CAST(COUNT(*) AS DOUBLE) - 1.0, 0.0))")}
          |         AS stddev_price
          |FROM orders
          |GROUP BY o_orderpriority
@@ -275,7 +280,7 @@ object Extras {
          |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, n_rows,
-         |       ${Det.sqlR4("(n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))")}
+         |       ${Det.sqlR4("(n * sxy - sx * sy) / NULLIF(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy), 0.0)")}
          |         AS corr_qty_price
          |FROM m
          |ORDER BY l_returnflag ASC""".stripMargin,

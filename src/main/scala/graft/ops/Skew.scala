@@ -26,9 +26,14 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 0)
+    // salt MUST be a deterministic function of row content: partition
+    // ids / monotonic ids change when a lost shuffle map task is
+    // recomputed, which would route re-executed rows to different
+    // reducers than the copies already fetched (duplicated/lost rows —
+    // the SPARK-23207 class of bug). Hashing all columns is stable
+    // across retries; identical rows sharing a salt is harmless.
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()),
-        lit(salt)))
+      pmod(hash(fact.columns.map(col): _*), lit(salt)))
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i)): _*)))
     saltedFact.join(saltedDim,

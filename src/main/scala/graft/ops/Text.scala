@@ -111,12 +111,12 @@ object Text {
       .withColumn("n_stop",
         size(filter(col("toks"), w => array_contains(stop, w))).cast("long"))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
-        Det.r4(col("n_chars").cast("double") / col("n_tokens")).as("avg_tok_len"),
-        Det.r4(col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
-        Det.r4(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        Det.r4(col("n_chars").cast("double") / nullif(col("n_tokens"), lit(0L))).as("avg_tok_len"),
+        Det.r4(col("n_distinct").cast("double") / nullif(col("n_tokens"), lit(0L))).as("ttr"),
+        Det.r4(col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0L))).as("stop_ratio"),
         Det.r4(
-          col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
-          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3 +
+          col("n_distinct").cast("double") / nullif(col("n_tokens"), lit(0L)) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0L))) * 0.3 +
           least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2)
           .as("quality"))
       .orderBy(col("doc_id").asc)
@@ -237,12 +237,12 @@ object Text {
          |           AS n_stop
          |  FROM t)
          |SELECT doc_id, n_chars, n_tokens, n_distinct,
-         |       ${Det.sqlR4("CAST(n_chars AS DOUBLE) / n_tokens")} AS avg_tok_len,
-         |       ${Det.sqlR4("CAST(n_distinct AS DOUBLE) / n_tokens")} AS ttr,
-         |       ${Det.sqlR4("CAST(n_stop AS DOUBLE) / n_tokens")} AS stop_ratio,
+         |       ${Det.sqlR4("CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0)")} AS avg_tok_len,
+         |       ${Det.sqlR4("CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0)")} AS ttr,
+         |       ${Det.sqlR4("CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)")} AS stop_ratio,
          |       ${Det.sqlR4(
-               "CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 + " +
-               "(1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 + " +
+               "CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0) * 0.5 + " +
+               "(1.0 - CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)) * 0.3 + " +
                "LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2")} AS quality
          |FROM c
          |ORDER BY doc_id ASC""".stripMargin,

@@ -59,7 +59,7 @@ object Vectors {
     c.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
-        dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
@@ -79,7 +79,7 @@ object Vectors {
     c.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
-        dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
@@ -100,7 +100,7 @@ object Vectors {
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos",
-        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        dot(col("a_emb"), col("b_emb")) / nullif(col("a_nrm") * col("b_nrm"), lit(0.0)))
       .filter(col("cos") >= 0.35)
       .select(col("a_id"), col("b_id"), Det.r4(col("cos")).as("cosine"))
       .orderBy(col("a_id").asc, col("b_id").asc)
@@ -124,7 +124,7 @@ object Vectors {
       c.join(broadcast(probes), "bucket")
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          (dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+          (dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
             .as("cos"))
     }
     perBase.reduce(_ unionAll _)
@@ -197,7 +197,7 @@ object Vectors {
          |      FROM c WHERE vec_id < 10),
          |j AS (
          |  SELECT p.probe_id, c.vec_id,
-         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |         list_dot_product(c.emb, p.p_emb) / NULLIF(c.nrm * p.p_nrm, 0.0) AS cos
          |  FROM c CROSS JOIN p
          |  WHERE c.vec_id <> p.probe_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -217,7 +217,7 @@ object Vectors {
          |      FROM c WHERE vec_id < 10),
          |j AS (
          |  SELECT p.probe_id, c.vec_id,
-         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |         list_dot_product(c.emb, p.p_emb) / NULLIF(c.nrm * p.p_nrm, 0.0) AS cos
          |  FROM c JOIN p USING (bucket)
          |  WHERE c.vec_id <> p.probe_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -236,12 +236,12 @@ object Vectors {
          |      FROM c WHERE vec_id < 10),
          |j AS (
          |  SELECT p.probe_id, c.vec_id,
-         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |         list_dot_product(c.emb, p.p_emb) / NULLIF(c.nrm * p.p_nrm, 0.0) AS cos
          |  FROM c JOIN p ON c.bucket = p.bucket
          |  WHERE c.vec_id <> p.probe_id
          |  UNION ALL
          |  SELECT p.probe_id, c.vec_id,
-         |         list_dot_product(c.emb, p.p_emb) / (c.nrm * p.p_nrm) AS cos
+         |         list_dot_product(c.emb, p.p_emb) / NULLIF(c.nrm * p.p_nrm, 0.0) AS cos
          |  FROM c JOIN p ON c.bucket2 = p.bucket2
          |  WHERE c.vec_id <> p.probe_id),
          |u AS (SELECT DISTINCT probe_id, vec_id, cos FROM j),
@@ -256,7 +256,7 @@ object Vectors {
          |c AS (SELECT *, $sqlBucket AS bucket FROM c0),
          |j AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |         list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         |         list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0.0) AS cos
          |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, ${Det.sqlR4("cos")} AS cosine
          |FROM j WHERE cos >= 0.35
