@@ -20,10 +20,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = "%.3f".format(v)
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map for humans / logs (NOT the contract line — with 85
+    // queries it exceeds the driver's captured-output tail and fails to parse).
+    println(s"""BENCH_FULL {"n":${results.size},"total_sec":${r3(total)},"queries":${jsonMap(results)}}""")
+    // Contract line: keep it short (< ~1.2 KB) so it fits entirely inside the
+    // driver's tail window even with sbt's trailing "[success]" line after it.
+    // `value` is the TOTAL across ALL queries; `queries` is a representative
+    // headline subset (one per operator family, plus the heaviest ops).
+    val headline = Seq(
+      "q_scan_parquet", "q_agg_hash", "q_agg_cube", "q_join_inner_hash",
+      "q_join_broadcast", "q_join_asof", "q_join_interval", "q_window_rank",
+      "q_topk_per_group", "q_sort_limit", "q_explode", "q_unpivot",
+      "q_cdc_merge_upsert", "q_stream_session", "q_dedup_exact",
+      "q_dedup_near", "q_dedup_minhash_lsh", "q_sim_cosine_topk",
+      "q_sim_ann_lsh", "q_text_tfidf")
+    val head = headline.flatMap(k => results.get(k).map(k -> _))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
