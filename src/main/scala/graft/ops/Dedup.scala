@@ -35,41 +35,47 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
-  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+  /** Distinct (doc_id, word) pairs — the shared input of every
+    * token-set operator below. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_distinct(Text.tokens(col("text"))).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-
-  /** Dictionary-encoded token-set bitmask per document.
-    *
-    * The corpus vocabulary is tiny (31 tokens at every SF), so a token
-    * set dictionary-encodes into one 64-bit mask: |A∩B| =
-    * bit_count(maskA & maskB) — the pairwise verification of the
-    * near-dup joins drops from array intersection to one AND+popcount
-    * per pair. Vocabulary order (alphabetical row_number) is
-    * deterministic, so both engines build identical masks. Vocabularies
-    * beyond 64 tokens fail fast (require below) — extend to n-long
-    * masks there, and past a few thousand switch to MinHash alone. */
-  private def docMasks(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
-      .select(explode(Text.tokens(col("text"))).as("word"))
-      .distinct()
-    val vocabSize = words.count()
-    require(vocabSize <= 64,
-      s"docMasks: vocabulary has $vocabSize tokens; the single-long " +
-        "bitmask holds at most 64 — extend to Array[Long] masks or use " +
-        "the MinHash signatures alone beyond that")
-    val vocab = words
-      .withColumn("pos",
-        row_number().over(Window.orderBy(col("word").asc)) - 1)
-    val dw = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
       .distinct()
-    dw.join(broadcast(vocab), "word")
+
+  /** `(word, pos)` dictionary, alphabetical positions. The position is
+    * guarded lazily: any vocabulary past 64 tokens raises at execution
+    * time (no eager count() job — at 100 TB an extra full-corpus pass
+    * just to validate the dictionary is a wasted scan). Vocabulary
+    * order (alphabetical row_number) is deterministic, so both engines
+    * build identical masks. The global window is over the vocabulary
+    * (≤ 64 rows by the guard), not the corpus. */
+  private def vocab(dw: DataFrame): DataFrame =
+    dw.select(col("word")).distinct()
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("word").asc)) - 1)
+
+  /** Bit of the dictionary-encoded token-set mask: the corpus
+    * vocabulary is tiny (31 tokens at every SF), so a token set
+    * dictionary-encodes into one 64-bit mask and |A∩B| =
+    * bit_count(maskA & maskB) — pairwise verification of the near-dup
+    * joins drops from array intersection to one AND+popcount per pair.
+    * Beyond 64 tokens this raises — extend to Array[Long] masks there,
+    * and past a few thousand switch to MinHash alone. */
+  private def maskBit: Column =
+    when(col("pos") < 64,
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
+      .otherwise(raise_error(lit(
+        "docMasks: vocabulary exceeds 64 tokens; the single-long " +
+          "bitmask cannot encode it — extend to Array[Long] masks or " +
+          "use the MinHash signatures alone")))
+
+  /** Per-doc token-set bitmask + set size: one broadcast join against
+    * the dictionary, one keyed aggregation. */
+  private def docMasks(s: SparkSession, d: String): DataFrame = {
+    val dw = docTokens(s, d)
+    dw.join(broadcast(vocab(dw)), "word")
       .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).as("mask"),
-        count(lit(1)).as("n"))
+      .agg(sum(maskBit).as("mask"), count(lit(1)).as("n"))
   }
 
   /** Exact dedup by content hash: per-hash group size + keeper id. */
@@ -118,15 +124,16 @@ object Dedup {
     * being approximate: both engines compute identical md5 signatures,
     * so the candidate set — and thus the output — matches exactly. */
   private val minhashLsh: Q = (s, d) => {
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-      .distinct()
+    // One token pipeline feeds signatures AND the verification payload
+    // (mask, n): a single broadcast dictionary join + a single keyed
+    // aggregation produces all 16 minhashes, the token bitmask, and the
+    // set size per doc — no second corpus scan, no sigs⋈masks shuffle.
+    val dw = docTokens(s, d)
+    val withKeys = dw.join(broadcast(vocab(dw)), "word")
       .groupBy(col("doc_id"))
-      .agg(minhashAggs.head, minhashAggs.tail: _*)
-    // carry the verification payload (mask, n) on the banded rows so
-    // candidate pairs verify inline in the band join — no follow-up
-    // joins, and the dedup shuffle runs on the post-filter pair set
-    val withKeys = sigs.join(docMasks(s, d), "doc_id")
+      .agg(minhashAggs.head,
+        minhashAggs.tail ++ Seq(sum(maskBit).as("mask"),
+          count(lit(1)).as("n")): _*)
       .select(Seq(col("doc_id"), col("mask"), col("n")) ++
         (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
     val banded = withKeys.select(
