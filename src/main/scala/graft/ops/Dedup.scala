@@ -107,6 +107,81 @@ object Dedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Character-3-gram shingles of the normalized text, distinct per
+    * doc. Docs shorter than 3 chars produce no shingles (empty array →
+    * explode drops the row; the DuckDB twin's empty RANGE does the
+    * same). */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"),
+        explode(when(length(col("t")) >= 3,
+          expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("sh"))
+      .distinct()
+
+  /** Number of 64-bit words in the n-gram mask (512-shingle capacity;
+    * the synthetic corpus has 377 distinct 3-grams at every SF). */
+  private val NgramMaskWords = 8
+
+  /** n-gram Jaccard near-duplicate pairs: character-3-gram sets,
+    * Jaccard ≥ 0.8, exact. The shingle vocabulary (377 at every SF)
+    * dictionary-encodes into an 8×64-bit mask array, so pairwise
+    * verification is 8 AND+popcounts — same trick as [[near]]'s
+    * single-long mask, widened. Pairs are enumerated under the sound
+    * size-band prefilter (Jaccard ≥ t ⇒ set sizes within ratio t).
+    * At 100 TB: feed these masks through [[minhashLsh]]'s band join
+    * for candidate generation instead of the all-pairs join — the
+    * verification payload stays O(1) per pair either way; past a few
+    * thousand distinct shingles drop the masks and verify candidates
+    * with MinHash signatures alone. */
+  private val ngram: Q = (s, d) => {
+    val dw = docShingles(s, d)
+    val v = dw.select(col("sh")).distinct()
+      .withColumn("pos", row_number().over(Window.orderBy(col("sh").asc)) - 1)
+    val bitInWord = (w: Int) =>
+      coalesce(sum(when(col("pos").between(w * 64, w * 64 + 63),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))),
+        lit(0L)).as(s"m$w")
+    val guard = when(col("pos") < NgramMaskWords * 64, col("pos"))
+      .otherwise(raise_error(lit(
+        s"ngram masks: shingle vocabulary exceeds ${NgramMaskWords * 64}" +
+          " — widen NgramMaskWords or switch to MinHash-only verification")))
+    val m = dw.join(broadcast(v.withColumn("pos", guard)), "sh")
+      .groupBy(col("doc_id"))
+      .agg(bitInWord(0),
+        (1 until NgramMaskWords).map(bitInWord) :+ count(lit(1)).as("n"): _*)
+      // log₁.₂₅ size bucket: sizes within ratio 0.8 land in the same or
+      // an adjacent bucket, so probing {bk−1, bk, bk+1} is a SOUND block
+      // (no qualifying pair lost) that turns the all-pairs nested-loop
+      // join into a hash equi-join on the bucket — the blocking only
+      // changes candidate enumeration, never the result, so the DuckDB
+      // twin keeps its plain formulation.
+      .withColumn("bk", floor(log(col("n").cast("double")) / log(lit(1.25))))
+    val a = m.select(col("doc_id").as("a_id") +:
+      col("n").as("a_n") +:
+      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("jb") +:
+      (0 until NgramMaskWords).map(w => col(s"m$w").as(s"a_m$w")): _*)
+    val b = m.select(col("doc_id").as("b_id") +:
+      col("n").as("b_n") +:
+      col("bk").as("jb") +:
+      (0 until NgramMaskWords).map(w => col(s"m$w").as(s"b_m$w")): _*)
+    val inter = (0 until NgramMaskWords)
+      .map(w => expr(s"bit_count(a_m$w & b_m$w)").cast("long"))
+      .reduce(_ + _)
+    a.join(b, Seq("jb"))
+      .filter(
+        col("a_id") < col("b_id") &&
+        col("b_n") * lit(10) >= col("a_n") * lit(8) &&
+        col("a_n") * lit(10) >= col("b_n") * lit(8))
+      .withColumn("inter", inter)
+      .withColumn("jac",
+        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), Det.r4(col("jac")).as("jaccard"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   /** MinHash signature columns: h_i = min over tokens of
     * md5(i || '|' || token) — lexicographic string min. */
   private def minhashAggs: Seq[Column] =
@@ -212,6 +287,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> exact,
     "q_dedup_near"        -> near,
+    "q_dedup_ngram"       -> ngram,
     "q_dedup_minhash_lsh" -> minhashLsh,
     "q_dedup_simhash"     -> simhash,
   )
@@ -272,6 +348,45 @@ object Dedup {
          |FROM p
          |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_ngram" -> {
+      // DuckDB rejects 1::BIGINT << 63 (signed overflow); Spark's
+      // shiftleft wraps to Long.MinValue — spell the sign bit literally.
+      val masks = (0 until NgramMaskWords).map(w =>
+        s"CAST(COALESCE(SUM(CASE WHEN pos = ${w * 64 + 63} " +
+          s"THEN CAST(-9223372036854775808 AS BIGINT) " +
+          s"WHEN pos BETWEEN ${w * 64} AND ${w * 64 + 62} " +
+          s"THEN CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) " +
+          s"END), 0) AS BIGINT) AS m$w")
+        .mkString(",\n")
+      // bit_count returns a 1-byte int in DuckDB — widen before adding
+      val inter = (0 until NgramMaskWords)
+        .map(w => s"CAST(bit_count(a.m$w & b.m$w) AS BIGINT)").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents),
+         |dw AS (
+         |  SELECT DISTINCT doc_id, SUBSTRING(t, CAST(i AS INT), 3) AS sh
+         |  FROM base, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS g(i)),
+         |v AS (
+         |  SELECT sh, ROW_NUMBER() OVER (ORDER BY sh ASC) - 1 AS pos
+         |  FROM (SELECT DISTINCT sh FROM dw)),
+         |m AS (
+         |  SELECT doc_id,
+         |$masks,
+         |  COUNT(*) AS n
+         |  FROM dw JOIN v USING (sh) GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST($inter AS BIGINT) AS inter,
+         |         a.n + b.n AS sn
+         |  FROM m a JOIN m b
+         |    ON a.doc_id < b.doc_id
+         |   AND b.n * 10 >= a.n * 8 AND a.n * 10 >= b.n * 8)
+         |SELECT a_id, b_id,
+         |       ${Det.sqlR4("CAST(inter AS DOUBLE) / (sn - inter)")} AS jaccard
+         |FROM p
+         |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin
+    },
     "q_dedup_minhash_lsh" ->
       s"""WITH dw AS (
          |  SELECT DISTINCT doc_id, word

@@ -136,6 +136,53 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  /** IVF (inverted-file) ANN top-3 with nprobe=2. Coarse quantizer:
+    * the first 8 corpus vectors (vec_id < 8) are the cell centroids —
+    * deterministic, so the DuckDB twin builds the identical index (a
+    * trained k-means codebook slots into the same plan: centroids are
+    * whatever small DataFrame you broadcast). Index build = one
+    * broadcast join corpus × centroids + per-vector argmax (partitioned
+    * window; at 100 TB prefer groupBy + max_by to skip the sort).
+    * Search = probes pick their nprobe nearest cells, then candidates
+    * come from a cell equi-join — the corpus shuffles once, keyed by
+    * cell, and only the probed lists are scanned, IVF's whole point. */
+  private val annIvf: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cents = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    def centCos(emb: Column, nrm: Column): Column =
+      dot(emb, col("c_emb")) / nullif(nrm * col("c_nrm"), lit(0.0))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("ccos", centCos(col("emb"), col("nrm")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probeCells = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", centCos(col("p_emb"), col("p_nrm")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** Brute-force top-5 again, but through the native codegen'd
     * [[graft.functions.CosineSimilarity]] expression instead of the
     * higher-order zip_with/aggregate composition — one fused loop per
@@ -177,6 +224,7 @@ object Vectors {
     "q_sim_cosine_native" -> cosineNative,
     "q_sim_ann_lsh"       -> annLsh,
     "q_sim_ann_multiprobe"-> annMultiprobe,
+    "q_sim_ann_ivf"       -> annIvf,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -247,6 +295,43 @@ object Vectors {
          |u AS (SELECT DISTINCT probe_id, vec_id, cos FROM j),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                ORDER BY cos DESC, vec_id ASC) AS rn FROM u)
+         |SELECT probe_id, rn, vec_id AS neighbor_id,
+         |       ${Det.sqlR4("cos")} AS cosine
+         |FROM r WHERE rn <= 3
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_ivf" ->
+      s"""WITH c AS ($sqlCorpus),
+         |cents AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+         |          FROM c WHERE vec_id < 8),
+         |asg0 AS (
+         |  SELECT c.vec_id, c.emb, c.nrm, cents.cent_id,
+         |         list_dot_product(c.emb, cents.c_emb)
+         |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+         |  FROM c CROSS JOIN cents),
+         |asg AS (
+         |  SELECT vec_id, emb, nrm, cent_id AS cell
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM asg0)
+         |  WHERE crn = 1),
+         |pc0 AS (
+         |  SELECT p.vec_id AS probe_id, p.emb AS p_emb, p.nrm AS p_nrm,
+         |         cents.cent_id,
+         |         list_dot_product(p.emb, cents.c_emb)
+         |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
+         |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
+         |pc AS (
+         |  SELECT probe_id, p_emb, p_nrm, cent_id AS cell
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
+         |  WHERE crn <= 2),
+         |j AS (
+         |  SELECT pc.probe_id, asg.vec_id,
+         |         list_dot_product(asg.emb, pc.p_emb)
+         |           / NULLIF(asg.nrm * pc.p_nrm, 0.0) AS cos
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
          |SELECT probe_id, rn, vec_id AS neighbor_id,
          |       ${Det.sqlR4("cos")} AS cosine
          |FROM r WHERE rn <= 3

@@ -81,6 +81,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(multi >= single, s"multi=$multi single=$single")
   }
 
+  test("ngram pairs are symmetric-free and meet the threshold") {
+    val df = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+    assert(df.filter(col("a_id") >= col("b_id")).count() == 0)
+    assert(df.filter(col("jaccard") < 0.8).count() == 0)
+    // identical texts must pair with jaccard 1.0: cross-check against
+    // exact-dup groups of size > 1
+    val nExactGroups = SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .filter(col("n_docs") > 1)
+    val perfect = df.filter(col("jaccard") === 1.0).count()
+    val minPerfect = nExactGroups
+      .agg(coalesce(sum(expr("CAST(n_docs * (n_docs - 1) / 2 AS BIGINT)")),
+        lit(0L))).first().getLong(0)
+    assert(perfect >= minPerfect,
+      s"jaccard-1.0 pairs $perfect < exact-dup pairs $minPerfect")
+  }
+
+  test("ivf ANN candidates agree with brute-force cosines on shared pairs") {
+    val bf = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c1"))
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c2"))
+    val joined = bf.join(ivf, Seq("probe_id", "neighbor_id"))
+    assert(joined.filter(col("c1") =!= col("c2")).count() == 0)
+    // every probe produces ≤ 3 ranked neighbors with contiguous ranks
+    val byProbe = SparkEntry.queries("q_sim_ann_ivf")(spark, sf)
+      .groupBy("probe_id").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+    assert(byProbe.filter(col("n") > 3 || col("mx") =!= col("n")).count() == 0)
+  }
+
   test("topk per group never exceeds k and ranks are contiguous") {
     val df = SparkEntry.queries("q_topk_per_group")(spark, sf)
     val bad = df.groupBy("o_custkey")
