@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.install(spark)
     // Warm the session (JVM, codegen, parquet footers) so the first
     // timed query doesn't absorb several seconds of one-off init.
     spark.range(1000000L).selectExpr("sum(id)").collect()

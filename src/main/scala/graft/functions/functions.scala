@@ -12,4 +12,8 @@ package object functions {
   def cosineSim(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.CosineSimilarity.cosineSim(a, b)
+  val DotProduct = org.apache.spark.sql.graft.DotProduct
+  def dotProduct(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.DotProduct.dotProduct(a, b)
 }

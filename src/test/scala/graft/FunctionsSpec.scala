@@ -27,6 +27,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("FuseDotProduct rewrites the higher-order idiom, bit-exact") {
+    def dotted = {
+      val emb = graft.io.Tables.embeddings(spark, SparkTestSession.sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      emb.withColumn("d",
+        aggregate(zip_with(col("e"), col("e"), (x, y) => x * y), lit(0.0), _ + _))
+    }
+    val unfused = dotted.select(col("vec_id"), col("d")).collect().toSeq
+    GraftSession.install(spark)
+    try {
+      val q = dotted
+      assert(q.queryExecution.optimizedPlan.toString.contains("dot_product"),
+        "rule did not fire on the aggregate(zip_with(...)) idiom")
+      assert(q.select(col("vec_id"), col("d")).collect().toSeq == unfused)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == org.apache.spark.sql.graft.FuseDotProduct)
+    }
+  }
+
+  test("dot_product edge semantics match the fold: unequal=NULL, empty=0") {
+    graft.functions.DotProduct.register(spark)
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS v,
+        |       dot_product(array(1.0d), array(1.0d, 2.0d)) AS unequal,
+        |       dot_product(CAST(array() AS array<double>),
+        |                   CAST(array() AS array<double>)) AS empty,
+        |       dot_product(array(1.0d, CAST(NULL AS double)), array(1.0d, 2.0d)) AS nullel,
+        |       aggregate(zip_with(array(1.0d), array(1.0d, 2.0d),
+        |                          (x, y) -> x * y), 0.0d, (a, v) -> a + v) AS fold_unequal
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.isNullAt(1) && row.isNullAt(4), "unequal lengths must NULL in both forms")
+    assert(row.getDouble(2) == 0.0)
+    assert(row.isNullAt(3))
+  }
+
   test("native cosine registers for SQL text and handles zero vectors") {
     graft.functions.CosineSimilarity.register(spark)
     val row = spark.sql(
