@@ -35,12 +35,23 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
-  /** Distinct (doc_id, word) pairs — the shared input of every
-    * token-set operator below. */
+  /** Raw (doc_id, word) pairs, duplicates included — the shared input
+    * of every token-set operator below. No per-pair DISTINCT: the
+    * downstream aggregations are all duplicate-insensitive (`min` for
+    * minhash, `bit_or` for masks), so the extra full shuffle a distinct
+    * would cost is pure waste. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // the corpus parquet is one small file → one input partition; fan
+      // the 5000 pre-explode rows out across the cluster so the
+      // explode→join→aggregate chain parallelizes, and key the exchange
+      // by doc_id so the downstream groupBy(doc_id) reuses it (no second
+      // shuffle of the much larger exploded set). The partition count is
+      // pinned: the pre-explode bytes are tiny, so AQE would otherwise
+      // coalesce this exchange back to one partition — sized on input
+      // bytes it cannot see the 300× explode fan-out behind it.
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-      .distinct()
 
   /** `(word, pos)` dictionary, alphabetical positions. The position is
     * guarded lazily: any vocabulary past 64 tokens raises at execution
@@ -70,12 +81,18 @@ object Dedup {
           "use the MinHash signatures alone")))
 
   /** Per-doc token-set bitmask + set size: one broadcast join against
-    * the dictionary, one keyed aggregation. */
+    * the dictionary, one keyed aggregation. The mask bit is PRECOMPUTED
+    * on the dictionary side (≤ 64 rows), so the per-token work in the
+    * corpus-sized aggregation is a bare `bit_or` — duplicate tokens are
+    * a no-op and the set size falls out as bit_count(mask); no
+    * (doc, token) DISTINCT pass anywhere. */
   private def docMasks(s: SparkSession, d: String): DataFrame = {
     val dw = docTokens(s, d)
-    dw.join(broadcast(vocab(dw)), "word")
+    val v = vocab(dw).withColumn("bitval", maskBit)
+    dw.join(broadcast(v), "word")
       .groupBy(col("doc_id"))
-      .agg(sum(maskBit).as("mask"), count(lit(1)).as("n"))
+      .agg(bit_or(col("bitval")).as("mask"))
+      .withColumn("n", expr("bit_count(mask)").cast("long"))
   }
 
   /** Exact dedup by content hash: per-hash group size + keeper id. */
@@ -87,14 +104,20 @@ object Dedup {
       .orderBy(col("h").asc)
 
   /** Exact near-duplicate pairs: word-set Jaccard ≥ 0.8 with the
-    * size-band prefilter (sound: never drops a qualifying pair). */
+    * size-band prefilter (sound: never drops a qualifying pair),
+    * enumerated through the log₁.₂₅ size-bucket hash join (see [[ngram]]
+    * — same soundness argument, same oracle-invisibility: blocking only
+    * prunes candidates the size band rejects anyway). */
   private val near: Q = (s, d) => {
     val t = docMasks(s, d)
+      .withColumn("bk", floor(log(col("n").cast("double")) / log(lit(1.25))))
     val a = t.select(col("doc_id").as("a_id"), col("mask").as("a_mask"),
-      col("n").as("a_n"))
+      col("n").as("a_n"),
+      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("jb"))
     val b = t.select(col("doc_id").as("b_id"), col("mask").as("b_mask"),
-      col("n").as("b_n"))
-    a.join(b,
+      col("n").as("b_n"), col("bk").as("jb"))
+    a.join(b, Seq("jb"))
+      .filter(
         col("a_id") < col("b_id") &&
         col("b_n") * lit(10) >= col("a_n") * lit(8) &&
         col("a_n") * lit(10) >= col("b_n") * lit(8))
@@ -113,12 +136,18 @@ object Dedup {
     * same). */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      // shingle via a per-char array: element_at is O(1) where
+      // substring(t, i, 3) re-scans the UTF-8 string from the start —
+      // O(len) per shingle, O(len²) per document
+      .select(col("doc_id"), split(col("t"), "").as("cs"))
       .select(col("doc_id"),
-        explode(when(length(col("t")) >= 3,
-          expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+        explode(when(size(col("cs")) >= 3,
+          expr("transform(sequence(1, size(cs) - 2), i -> " +
+            "concat(element_at(cs, i), element_at(cs, i + 1), " +
+            "element_at(cs, i + 2)))"))
           .otherwise(expr("CAST(array() AS array<string>)"))).as("sh"))
-      .distinct()
 
   /** Number of 64-bit words in the n-gram mask (512-shingle capacity;
     * the synthetic corpus has 377 distinct 3-grams at every SF). */
@@ -137,20 +166,27 @@ object Dedup {
     * with MinHash signatures alone. */
   private val ngram: Q = (s, d) => {
     val dw = docShingles(s, d)
-    val v = dw.select(col("sh")).distinct()
-      .withColumn("pos", row_number().over(Window.orderBy(col("sh").asc)) - 1)
-    val bitInWord = (w: Int) =>
-      coalesce(sum(when(col("pos").between(w * 64, w * 64 + 63),
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))),
-        lit(0L)).as(s"m$w")
     val guard = when(col("pos") < NgramMaskWords * 64, col("pos"))
       .otherwise(raise_error(lit(
         s"ngram masks: shingle vocabulary exceeds ${NgramMaskWords * 64}" +
           " — widen NgramMaskWords or switch to MinHash-only verification")))
-    val m = dw.join(broadcast(v.withColumn("pos", guard)), "sh")
+    // word index + bit value precomputed on the 377-row dictionary so
+    // the corpus-sized aggregation below does only equality tests and
+    // bit_ors per shingle occurrence
+    val v = dw.select(col("sh")).distinct()
+      .withColumn("pos", row_number().over(Window.orderBy(col("sh").asc)) - 1)
+      .withColumn("pos", guard)
+      .withColumn("wk", (col("pos") / 64).cast("int"))
+      .withColumn("bitval",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+    val bitInWord = (w: Int) =>
+      coalesce(bit_or(when(col("wk") === w, col("bitval"))), lit(0L)).as(s"m$w")
+    val m = dw.join(broadcast(v), "sh")
       .groupBy(col("doc_id"))
-      .agg(bitInWord(0),
-        (1 until NgramMaskWords).map(bitInWord) :+ count(lit(1)).as("n"): _*)
+      .agg(bitInWord(0), (1 until NgramMaskWords).map(bitInWord): _*)
+      .withColumn("n",
+        (0 until NgramMaskWords)
+          .map(w => expr(s"bit_count(m$w)").cast("long")).reduce(_ + _))
       // log₁.₂₅ size bucket: sizes within ratio 0.8 land in the same or
       // an adjacent bucket, so probing {bk−1, bk, bk+1} is a SOUND block
       // (no qualifying pair lost) that turns the all-pairs nested-loop
@@ -182,12 +218,19 @@ object Dedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
-  /** MinHash signature columns: h_i = min over tokens of
-    * md5(i || '|' || token) — lexicographic string min. */
-  private def minhashAggs: Seq[Column] =
-    (0 until NumHashes).map { i =>
-      min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"h$i")
+  /** MinHash: h_i = min over tokens of md5(i || '|' || token) —
+    * lexicographic string min. The 16 salted hashes are precomputed on
+    * the dictionary (vocab-sized, broadcast), so the corpus-sized
+    * aggregation runs bare string `min`s — zero md5 calls per token
+    * occurrence. */
+  private def minhashDict(v: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(v) { (df, i) =>
+      df.withColumn(s"vh$i",
+        md5(concat(lit(s"$i|"), col("word")).cast("binary")))
     }
+
+  private def minhashAggs: Seq[Column] =
+    (0 until NumHashes).map(i => min(col(s"vh$i")).as(s"h$i"))
 
   private def bandKey(j: Int): Column =
     md5(concat_ws("|",
@@ -204,11 +247,12 @@ object Dedup {
     // aggregation produces all 16 minhashes, the token bitmask, and the
     // set size per doc — no second corpus scan, no sigs⋈masks shuffle.
     val dw = docTokens(s, d)
-    val withKeys = dw.join(broadcast(vocab(dw)), "word")
+    val v = minhashDict(vocab(dw).withColumn("bitval", maskBit))
+    val withKeys = dw.join(broadcast(v), "word")
       .groupBy(col("doc_id"))
       .agg(minhashAggs.head,
-        minhashAggs.tail ++ Seq(sum(maskBit).as("mask"),
-          count(lit(1)).as("n")): _*)
+        minhashAggs.tail :+ bit_or(col("bitval")).as("mask"): _*)
+      .withColumn("n", expr("bit_count(mask)").cast("long"))
       .select(Seq(col("doc_id"), col("mask"), col("n")) ++
         (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
     val banded = withKeys.select(
