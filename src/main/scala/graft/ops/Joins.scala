@@ -117,23 +117,25 @@ object Joins {
 
   /** As-of join: each event picks the user's latest order at-or-before
     * the event time. Spark-first shape: equi-join on the key with the
-    * temporal inequality, then `row_number() == 1` per event over
-    * (orderdate desc, orderkey desc). At scale the join shuffles both
-    * sides by the key once; the window runs within that same partition
-    * (no second shuffle). */
+    * temporal inequality, then pick the winner with
+    * `max(struct(o_orderdate, o_orderkey))` — lexicographic struct max
+    * ≡ ORDER BY date DESC, key DESC LIMIT 1. The aggregation beats a
+    * row_number window here twice over: partials fold map-side in the
+    * join's output stream, and grouping on (event_id, user_id) is
+    * already satisfied by the join's user_id hash partitioning (subset
+    * rule) — the whole operator runs on ONE shuffle of each side. */
   private val asofJoin: Q = (s, d) => {
     val e = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), Det.ets(col("ts")).as("ts"))
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     e.join(o, col("user_id") === col("o_custkey") &&
         col("o_orderdate") <= col("ts"), "inner")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"),
-        col("o_orderdate").cast("date").as("o_orderdate"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("user_id"),
+        col("best.o_orderkey").as("o_orderkey"),
+        col("best.o_orderdate").cast("date").as("o_orderdate"))
       .orderBy(col("event_id").asc)
   }
 

@@ -27,6 +27,12 @@ object Text {
 
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // one-file corpus → one input partition: fan out BEFORE the
+      // explode so tokenization parallelizes; pinned count because AQE
+      // would size the exchange on pre-explode bytes and coalesce it
+      // back to one partition. Keyed by doc_id so groupBy(doc_id, …)
+      // downstream is already clustered (subset rule) — no re-shuffle.
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
 
   /** Corpus-wide top-20 tokens. */
