@@ -12,9 +12,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.install(spark)
-    // Warm the session (JVM, codegen, parquet footers) so the first
-    // timed query doesn't absorb several seconds of one-off init.
+    // Warm-up: run the whole suite once at the smallest SF. Generated
+    // code and JIT state are scale-independent, so this pre-compiles
+    // every query's codegen stages and warms the JVM paths (window,
+    // sort-merge, hash-agg) — the timed loop then measures steady-state
+    // execution at the target SF instead of first-call compilation,
+    // which otherwise dominates (2-4x) the per-query wall time.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
+    }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
