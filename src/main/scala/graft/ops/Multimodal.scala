@@ -85,6 +85,32 @@ object Multimodal {
         col("meta.nBytes").as("n_bytes"))
   }
 
+  /** STUB resize — deterministic byte truncation in place of a real
+    * scaler: the "resized" payload is the first `targetW*targetH/8`
+    * bytes. A production build swaps in an image scaler; the
+    * binary-in/binary-out partition-local batch shape is the point. */
+  def resizeStub(payload: Array[Byte], targetW: Int = 160,
+      targetH: Int = 240): Array[Byte] = {
+    val cap = targetW * targetH / 8
+    // ??? <- real scaler call goes here
+    if (payload.length <= cap) payload else java.util.Arrays.copyOf(payload, cap)
+  }
+
+  /** Partition-local batched resize: binary → binary, payloads never
+    * shuffle; same batch shape as [[decodeBatched]]. */
+  def resizeBatched(df: DataFrame, keyCol: String, payloadCol: String,
+      batchSize: Int = 64,
+      resizer: Array[Byte] => Array[Byte] = resizeStub(_)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
+        case (k, bytes) => (k, resizer(bytes))
+      }))
+      .toDF(keyCol, "resized")
+  }
+
   /** Declared query: payload metadata via the pure-expression path (the
     * same arithmetic as the stub decoder, so it is oracle-expressible;
     * MultimodalSpec asserts the mapPartitions path agrees with it). */
@@ -102,8 +128,55 @@ object Multimodal {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Declared query: resize accounting via the expression twin of
+    * [[resizeStub]] (cap = 160·240/8 = 4800 bytes). */
+  private val resizeQ: Q = (s, d) =>
+    withBinaryPayload(Tables.documents(s, d))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .select(col("doc_id"), col("n_bytes"),
+        least(col("n_bytes"), lit(4800L)).as("resized_bytes"),
+        Det.r4(least(col("n_bytes"), lit(4800L)).cast("double") /
+          nullif(col("n_bytes"), lit(0L))).as("scale"))
+      .orderBy(col("doc_id").asc)
+
+  private val FrameChars = 64
+  private val SampleEvery = 4
+
+  /** Declared query: frame sampling over the payload treated as a
+    * fixed-frame "video" (64-char frames of the text stand-in; a real
+    * container parser replaces the framing, the sampling algebra stays).
+    * Every 4th frame is sampled; the checksum folds the first char code
+    * of each sampled frame — deterministic in both engines. */
+  private val framesQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_chars_t", length(col("text")).cast("long"))
+      .withColumn("n_frames",
+        ceil(col("n_chars_t").cast("double") / FrameChars).cast("long"))
+      .withColumn("sampled",
+        expr(s"filter(sequence(0, CAST(n_frames - 1 AS INT)), f -> f % $SampleEvery = 0)"))
+      .select(col("doc_id"), col("n_frames"),
+        size(col("sampled")).cast("long").as("n_sampled"),
+        expr(s"aggregate(transform(sampled, " +
+          s"f -> CAST(ascii(substring(text, f * $FrameChars + 1, 1)) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("checksum"))
+      .orderBy(col("doc_id").asc)
+
+  /** Declared query: feature extraction — meta → a small numeric
+    * feature vector (normalized dims + log-bytes), the shape a
+    * downstream model join consumes. Stub features, real algebra. */
+  private val featuresQ: Q = (s, d) =>
+    metaQ(s, d)
+      .select(col("doc_id"),
+        Det.r4(col("width").cast("double") / 640.0).as("f_width"),
+        Det.r4(col("height").cast("double") / 480.0).as("f_height"),
+        Det.r4(log(col("n_bytes").cast("double") + 1.0)).as("f_logbytes"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, Q] = Map(
-    "q_multimodal_meta" -> metaQ,
+    "q_multimodal_meta"     -> metaQ,
+    "q_multimodal_resize"   -> resizeQ,
+    "q_multimodal_frames"   -> framesQ,
+    "q_multimodal_features" -> featuresQ,
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,5 +193,46 @@ object Multimodal {
         |       n_bytes
         |FROM b
         |ORDER BY doc_id ASC""".stripMargin,
+    "q_multimodal_resize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+         |  FROM documents)
+         |SELECT doc_id, n_bytes,
+         |       LEAST(n_bytes, 4800) AS resized_bytes,
+         |       ${Det.sqlR4("CAST(LEAST(n_bytes, 4800) AS DOUBLE) / NULLIF(n_bytes, 0)")} AS scale
+         |FROM b
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_multimodal_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |         CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / $FrameChars) AS BIGINT)
+         |           AS n_frames
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, text, n_frames,
+         |         list_filter(range(0, CAST(n_frames AS INT)),
+         |                     f -> f % $SampleEvery = 0) AS sampled
+         |  FROM f)
+         |SELECT doc_id, n_frames,
+         |       CAST(LEN(sampled) AS BIGINT) AS n_sampled,
+         |       CAST(list_aggregate(list_transform(sampled,
+         |         f -> CAST(ORD(SUBSTRING(text, CAST(f * $FrameChars + 1 AS INT), 1))
+         |                   AS BIGINT)), 'sum') AS BIGINT) AS checksum
+         |FROM s
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_multimodal_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(n_bytes % 640 + 1 AS INT) AS width,
+         |         CAST(n_bytes % 480 + 1 AS INT) AS height, n_bytes
+         |  FROM b)
+         |SELECT doc_id,
+         |       ${Det.sqlR4("CAST(width AS DOUBLE) / 640.0")} AS f_width,
+         |       ${Det.sqlR4("CAST(height AS DOUBLE) / 480.0")} AS f_height,
+         |       ${Det.sqlR4("LN(CAST(n_bytes AS DOUBLE) + 1.0)")} AS f_logbytes
+         |FROM m
+         |ORDER BY doc_id ASC""".stripMargin,
   )
 }

@@ -21,6 +21,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExpr.collect().toSeq == viaBatch.collect().toSeq)
   }
 
+  test("resizeBatched byte counts equal the declared resize query") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val viaBatch = Multimodal.resizeBatched(
+        Multimodal.withBinaryPayload(docs).repartition(5),
+        "doc_id", "payload", batchSize = 17)
+      .select(col("doc_id"), length(col("resized")).cast("long").as("resized_bytes"))
+      .orderBy(col("doc_id"))
+    val viaExpr = Multimodal.queries("q_multimodal_resize")(spark, SparkTestSession.sf)
+      .select(col("doc_id"), col("resized_bytes"))
+    assert(viaExpr.collect().toSeq == viaBatch.collect().toSeq)
+    // the stub never grows a payload
+    val grow = Multimodal.queries("q_multimodal_resize")(spark, SparkTestSession.sf)
+      .filter(col("resized_bytes") > col("n_bytes"))
+    assert(grow.count() == 0)
+  }
+
+  test("frame sampling covers every doc and checksums are stable") {
+    val f = Multimodal.queries("q_multimodal_frames")(spark, SparkTestSession.sf)
+    val docs = Tables.documents(spark, SparkTestSession.sf).count()
+    assert(f.count() == docs)
+    // ceil(n/4) sampled frames out of n
+    assert(f.filter(col("n_sampled") =!=
+      ceil(col("n_frames").cast("double") / 4).cast("long")).count() == 0)
+    assert(f.filter(col("checksum") <= 0).count() == 0)
+  }
+
   test("batch size does not change results (1 vs 1000)") {
     val docs = Multimodal.withBinaryPayload(
       Tables.documents(spark, SparkTestSession.sf))
