@@ -141,7 +141,26 @@ object Cdc {
         max_by(col("event_type"), col("event_id")).as("last_type"))
       .orderBy(col("user_id").asc, col("hour").asc)
 
+  /** SCD type-2 history: every mutation becomes a validity interval
+    * [valid_from, valid_to), closed by the key's next mutation
+    * (`lead`); the open interval is the current state. This is the
+    * standard warehouse materialization of a CDC stream — one shuffle
+    * by key, one partition-local sort, same frame as compaction. */
+  private val scd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    stream(s, d)
+      .withColumn("vt", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"),
+        Det.outTs(col("ts")).as("valid_from"),
+        Det.outTs(col("vt")).as("valid_to"),
+        col("vt").isNull.as("is_current"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cdc_scd2"          -> scd2,
     "q_cdc_latest_state"  -> latestState,
     "q_cdc_dedup"         -> dedup,
     "q_cdc_sequence_gaps" -> sequenceGaps,
@@ -156,6 +175,18 @@ object Cdc {
       s"${Det.sqlEts("ts")} AS ts FROM events"
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_scd2" ->
+      s"""WITH s AS ($sqlStream),
+         |v AS (SELECT user_id, event_id, event_type, value, ts,
+         |             LEAD(ts, 1) OVER (PARTITION BY user_id
+         |                               ORDER BY ts ASC, event_id ASC) AS vt
+         |      FROM s)
+         |SELECT user_id, event_id, event_type, value,
+         |       ${Det.sqlOutTs("ts")} AS valid_from,
+         |       ${Det.sqlOutTs("vt")} AS valid_to,
+         |       vt IS NULL AS is_current
+         |FROM v
+         |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_cdc_latest_state" ->
       s"""WITH s AS ($sqlStream),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -108,7 +108,10 @@ object Dedup {
     * enumerated through the log₁.₂₅ size-bucket hash join (see [[ngram]]
     * — same soundness argument, same oracle-invisibility: blocking only
     * prunes candidates the size band rejects anyway). */
-  private val near: Q = (s, d) => {
+  /** Unsorted ≥0.8-Jaccard pair set — shared by the declared pair query
+    * and the clustering step (which needs neither the rounding nor the
+    * global sort). */
+  private def nearPairs(s: SparkSession, d: String): DataFrame = {
     val t = docMasks(s, d)
       .withColumn("bk", floor(log(col("n").cast("double")) / log(lit(1.25))))
     val a = t.select(col("doc_id").as("a_id"), col("mask").as("a_mask"),
@@ -126,9 +129,12 @@ object Dedup {
       .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))
       .filter(col("jac") >= 0.8)
+  }
+
+  private val near: Q = (s, d) =>
+    nearPairs(s, d)
       .select(col("a_id"), col("b_id"), Det.r4(col("jac")).as("jaccard"))
       .orderBy(col("a_id").asc, col("b_id").asc)
-  }
 
   /** Character-3-gram shingles of the normalized text, distinct per
     * doc. Docs shorter than 3 chars produce no shingles (empty array →
@@ -306,6 +312,50 @@ object Dedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Connected components over the near-duplicate pair graph —
+    * the decision step of a dedup pipeline: every document gets a
+    * cluster id (the minimum doc_id reachable through ≥0.8-Jaccard
+    * pairs) and exactly one doc per cluster is the keeper.
+    *
+    * Batch-iterative min-label propagation: label(v) ←
+    * min(label(v), min label of v's neighbors) to fixpoint, lineage
+    * truncated per round with localCheckpoint. Near-dup components are
+    * dense (dup clusters are near-cliques), so the loop converges in
+    * O(few) rounds; at 100 TB scale swap the propagation step for the
+    * large-star/small-star formulation (same join shape, provably
+    * O(log n) rounds) — the surrounding plumbing is unchanged. The
+    * fixpoint is unique, so the iterative path and the oracle's
+    * recursive CTE agree exactly. */
+  private val clusters: Q = (s, d) => {
+    val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
+    val fwd = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+    val rev = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
+    val e = fwd.unionAll(rev).localCheckpoint()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("l")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neigh = e.join(labels.select(col("doc_id").as("u"), col("l")), "u")
+        .groupBy(col("v")).agg(min(col("l")).as("nl"))
+      val next = labels.join(neigh, labels("doc_id") === neigh("v"), "left")
+        .select(col("doc_id"),
+          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("l", "old"), "doc_id")
+        .filter(col("l") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("l"))))
+      .select(col("doc_id"), col("l").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("l")).as("is_keeper"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** 16-bit SimHash from md5 nibble high-bits, weighted by token
     * frequency; identical fingerprints grouped (hamming-0 collisions).
     * At scale: one keyed aggregation, then a window by fingerprint. */
@@ -334,6 +384,7 @@ object Dedup {
     "q_dedup_ngram"       -> ngram,
     "q_dedup_minhash_lsh" -> minhashLsh,
     "q_dedup_simhash"     -> simhash,
+    "q_dedup_clusters"    -> clusters,
   )
 
   private def sqlToks = Text.sqlToks
@@ -392,6 +443,27 @@ object Dedup {
          |FROM p
          |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlMasks,
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b
+         |    ON a.doc_id < b.doc_id
+         |   AND b.n * 10 >= a.n * 8 AND a.n * 10 >= b.n * 8
+         |   AND CAST(bit_count(a.mask & b.mask) AS DOUBLE)
+         |       / (a.n + b.n - CAST(bit_count(a.mask & b.mask) AS BIGINT)) >= 0.8),
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |      UNION ALL SELECT b_id, a_id FROM p),
+         |cc(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, cc.l FROM cc JOIN e ON e.u = cc.v),
+         |lab AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM cc GROUP BY v)
+         |SELECT doc_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       doc_id = cluster_id AS is_keeper
+         |FROM lab
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_ngram" -> {
       // DuckDB rejects 1::BIGINT << 63 (signed overflow); Spark's
       // shiftleft wraps to Long.MinValue — spell the sign bit literally.

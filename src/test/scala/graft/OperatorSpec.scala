@@ -110,6 +110,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(byProbe.filter(col("n") > 3 || col("mx") =!= col("n")).count() == 0)
   }
 
+  test("dedup clusters: keepers biject clusters, pairs co-clustered") {
+    val c = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+    assert(c.filter(col("is_keeper")).count() ==
+      c.select("cluster_id").distinct().count())
+    assert(c.filter(col("cluster_id") > col("doc_id")).count() == 0,
+      "cluster id must be the component minimum")
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .select("a_id", "b_id")
+    val lab = c.select(col("doc_id"), col("cluster_id"))
+    val broken = pairs
+      .join(lab.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("cluster_id", "ca"), "a_id")
+      .join(lab.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("cluster_id", "cb"), "b_id")
+      .filter(col("ca") =!= col("cb"))
+    assert(broken.count() == 0, "near-dup pair split across clusters")
+  }
+
+  test("scd2: intervals chain per key with exactly one open row") {
+    val h = SparkEntry.queries("q_cdc_scd2")(spark, sf)
+    val users = h.select("user_id").distinct().count()
+    assert(h.filter(col("is_current")).count() == users)
+    assert(h.filter(col("valid_to").isNotNull &&
+      col("valid_to") < col("valid_from")).count() == 0)
+    // row count preserved: every mutation becomes exactly one interval
+    assert(h.count() == graft.io.Tables.events(spark, sf).count())
+  }
+
   test("topk per group never exceeds k and ranks are contiguous") {
     val df = SparkEntry.queries("q_topk_per_group")(spark, sf)
     val bad = df.groupBy("o_custkey")
