@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   val auditKeys: Seq[String] = Seq(
     "q_scan_filter_pushdown", "q_agg_hash", "q_join_broadcast",
-    "q_join_asof", "q_cdc_latest_state", "q_dedup_minhash_lsh",
-    "q_sim_cosine_topk", "q_stream_tumbling")
+    "q_join_asof", "q_cdc_latest_state", "q_cdc_scd2",
+    "q_dedup_minhash_lsh", "q_dedup_ngram", "q_sim_cosine_topk",
+    "q_sim_ann_ivf", "q_stream_tumbling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -22,6 +23,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.install(spark)
     keys.foreach { k =>
       println(s"\n===== $k =====")
       SparkEntry.queries(k)(spark, sfDir).explain("formatted")
