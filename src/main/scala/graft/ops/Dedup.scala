@@ -333,21 +333,29 @@ object Dedup {
     val e = fwd.unionAll(rev).localCheckpoint()
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("l")).localCheckpoint()
-    var changed = 1L
+    // Delta iteration: only nodes whose label changed last round (the
+    // frontier) can lower a neighbor this round — an unchanged label's
+    // contribution was already absorbed. Round 1 runs the full edge
+    // set; later rounds touch only the frontier's edges, so the loop
+    // costs ~one full propagation regardless of round count.
+    var frontier = labels
+    var active = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
-      val neigh = e.join(labels.select(col("doc_id").as("u"), col("l")), "u")
+    while (active > 0 && iter < 50) {
+      val neigh = e.join(frontier.select(col("doc_id").as("u"), col("l")), "u")
         .groupBy(col("v")).agg(min(col("l")).as("nl"))
       val next = labels.join(neigh, labels("doc_id") === neigh("v"), "left")
         .select(col("doc_id"),
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("l", "old"), "doc_id")
-        .filter(col("l") =!= col("old")).count()
+      frontier = next.join(labels.withColumnRenamed("l", "old"), "doc_id")
+        .filter(col("l") =!= col("old"))
+        .select(col("doc_id"), col("l")).localCheckpoint()
+      active = frontier.count()
       labels = next
       iter += 1
     }
-    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    require(active == 0, s"label propagation did not converge in $iter rounds")
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("l"))))
