@@ -35,23 +35,13 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
-  /** Raw (doc_id, word) pairs, duplicates included — the shared input
-    * of every token-set operator below. No per-pair DISTINCT: the
-    * downstream aggregations are all duplicate-insensitive (`min` for
-    * minhash, `bit_or` for masks), so the extra full shuffle a distinct
-    * would cost is pure waste. */
+  /** Raw (doc_id, word) pairs, duplicates included — [[Text.docTokens]]
+    * (shared repartition-then-explode pipeline; rationale there). No
+    * per-pair DISTINCT: the aggregations below are duplicate-insensitive
+    * (`min` for minhash, `bit_or` for masks), so the extra full shuffle
+    * a distinct would cost is pure waste. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      // the corpus parquet is one small file → one input partition; fan
-      // the 5000 pre-explode rows out across the cluster so the
-      // explode→join→aggregate chain parallelizes, and key the exchange
-      // by doc_id so the downstream groupBy(doc_id) reuses it (no second
-      // shuffle of the much larger exploded set). The partition count is
-      // pinned: the pre-explode bytes are tiny, so AQE would otherwise
-      // coalesce this exchange back to one partition — sized on input
-      // bytes it cannot see the 300× explode fan-out behind it.
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    Text.docTokens(s, d)
 
   /** `(word, pos)` dictionary, alphabetical positions. The position is
     * guarded lazily: any vocabulary past 64 tokens raises at execution
@@ -407,7 +397,11 @@ object Dedup {
        |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
        |t AS (
        |  SELECT doc_id,
-       |         SUM(CAST(1 AS BIGINT) << CAST(pos AS INT)) AS mask,
+       |         CAST(SUM(CASE WHEN pos = 63
+       |                       THEN CAST(-9223372036854775808 AS BIGINT)
+       |                       WHEN pos < 63
+       |                       THEN CAST(1 AS BIGINT) << CAST(pos AS INT)
+       |                  END) AS BIGINT) AS mask,
        |         COUNT(*) AS n
        |  FROM mdw JOIN mvocab USING (word)
        |  GROUP BY doc_id)""".stripMargin

@@ -89,8 +89,15 @@ object Multimodal {
     * scaler: the "resized" payload is the first `targetW*targetH/8`
     * bytes. A production build swaps in an image scaler; the
     * binary-in/binary-out partition-local batch shape is the point. */
-  def resizeStub(payload: Array[Byte], targetW: Int = 160,
-      targetH: Int = 240): Array[Byte] = {
+  /** Single source of truth for the stub's output cap — referenced by
+    * [[resizeStub]], the declared resize query, and its oracle SQL, so
+    * retargeting the stub cannot desynchronize them. */
+  private[ops] val ResizeTargetW = 160
+  private[ops] val ResizeTargetH = 240
+  private[ops] val ResizeCapBytes: Int = ResizeTargetW * ResizeTargetH / 8
+
+  def resizeStub(payload: Array[Byte], targetW: Int = ResizeTargetW,
+      targetH: Int = ResizeTargetH): Array[Byte] = {
     val cap = targetW * targetH / 8
     // ??? <- real scaler call goes here
     if (payload.length <= cap) payload else java.util.Arrays.copyOf(payload, cap)
@@ -129,13 +136,13 @@ object Multimodal {
   }
 
   /** Declared query: resize accounting via the expression twin of
-    * [[resizeStub]] (cap = 160·240/8 = 4800 bytes). */
+    * [[resizeStub]] (cap = [[ResizeCapBytes]]). */
   private val resizeQ: Q = (s, d) =>
     withBinaryPayload(Tables.documents(s, d))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
       .select(col("doc_id"), col("n_bytes"),
-        least(col("n_bytes"), lit(4800L)).as("resized_bytes"),
-        Det.r4(least(col("n_bytes"), lit(4800L)).cast("double") /
+        least(col("n_bytes"), lit(ResizeCapBytes.toLong)).as("resized_bytes"),
+        Det.r4(least(col("n_bytes"), lit(ResizeCapBytes.toLong)).cast("double") /
           nullif(col("n_bytes"), lit(0L))).as("scale"))
       .orderBy(col("doc_id").asc)
 
@@ -152,8 +159,12 @@ object Multimodal {
       .withColumn("n_chars_t", length(col("text")).cast("long"))
       .withColumn("n_frames",
         ceil(col("n_chars_t").cast("double") / FrameChars).cast("long"))
+      // guard: sequence(0, -1) generates DESCENDING [0,-1], not empty —
+      // an empty doc must sample zero frames, like the oracle's range(0,0)
       .withColumn("sampled",
-        expr(s"filter(sequence(0, CAST(n_frames - 1 AS INT)), f -> f % $SampleEvery = 0)"))
+        expr(s"CASE WHEN n_frames > 0 THEN " +
+          s"filter(sequence(0, CAST(n_frames - 1 AS INT)), f -> f % $SampleEvery = 0) " +
+          "ELSE CAST(array() AS array<int>) END"))
       .select(col("doc_id"), col("n_frames"),
         size(col("sampled")).cast("long").as("n_sampled"),
         expr(s"aggregate(transform(sampled, " +
@@ -198,8 +209,8 @@ object Multimodal {
          |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
          |  FROM documents)
          |SELECT doc_id, n_bytes,
-         |       LEAST(n_bytes, 4800) AS resized_bytes,
-         |       ${Det.sqlR4("CAST(LEAST(n_bytes, 4800) AS DOUBLE) / NULLIF(n_bytes, 0)")} AS scale
+         |       LEAST(n_bytes, $ResizeCapBytes) AS resized_bytes,
+         |       ${Det.sqlR4(s"CAST(LEAST(n_bytes, $ResizeCapBytes) AS DOUBLE) / NULLIF(n_bytes, 0)")} AS scale
          |FROM b
          |ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_frames" ->

@@ -25,13 +25,14 @@ object Text {
   /** Whitespace tokens, trailing-blank filtered (see FIXTURES.md). */
   def tokens(c: Column): Column = filter(split(c, " "), w => length(w) > 0)
 
-  private def docTokens(s: SparkSession, d: String): DataFrame =
+  /** Raw (doc_id, word) token stream, shared with [[Dedup]].
+    * One-file corpus → one input partition: fan out BEFORE the explode
+    * so tokenization parallelizes; pinned count because AQE would size
+    * the exchange on pre-explode bytes and coalesce it back to one
+    * partition. Keyed by doc_id so groupBy(doc_id, …) downstream is
+    * already clustered (subset rule) — no re-shuffle. */
+  private[ops] def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      // one-file corpus → one input partition: fan out BEFORE the
-      // explode so tokenization parallelizes; pinned count because AQE
-      // would size the exchange on pre-explode bytes and coalesce it
-      // back to one partition. Keyed by doc_id so groupBy(doc_id, …)
-      // downstream is already clustered (subset rule) — no re-shuffle.
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
 

@@ -54,7 +54,13 @@ object FuseDotProduct extends Rule[LogicalPlan] {
           LambdaFunction(Add(al, ar, _),
             Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-          if zero == 0.0 && isDoubleArray(l) && isDoubleArray(r) &&
+          // raw-bits check: `zero == 0.0` would also admit -0.0, but an
+          // empty-array fold seeded with -0.0 returns -0.0 while
+          // DotProduct's accumulator starts at +0.0 — not bit-exact
+          if zero.isInstanceOf[Double] &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.asInstanceOf[Double]) == 0L &&
+            isDoubleArray(l) && isDoubleArray(r) &&
             usesBoth(mx, my, zx, zy) && usesBoth(al, ar, acc, el) &&
             sameVar(fin, fv) =>
         DotProduct(l, r)
