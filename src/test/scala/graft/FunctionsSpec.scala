@@ -48,6 +48,52 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("DotProduct.eval equals the fold for adversarial inputs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graft.DotProduct
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // element pool includes nulls, signed zeros, NaN, infinities
+    val elem: Gen[Any] = Gen.frequency(
+      8 -> Gen.chooseNum(-1e9, 1e9).map(Double.box),
+      1 -> Gen.oneOf[Any](null, Double.box(0.0), Double.box(-0.0),
+        Double.box(Double.NaN), Double.box(Double.PositiveInfinity)))
+    val arr: Gen[Array[Any]] = Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.listOfN(n, elem)).map(_.toArray)
+    def fold(a: Array[Any], b: Array[Any]): Any = {
+      // reference: aggregate(zip_with(a,b,*),0.0,+) — zip pads with null,
+      // null poisons the fold
+      val n = math.max(a.length, b.length)
+      var acc: Any = 0.0
+      for (i <- 0 until n) {
+        val x = if (i < a.length) a(i) else null
+        val y = if (i < b.length) b(i) else null
+        val prod = if (x == null || y == null) null
+          else Double.box(x.asInstanceOf[Double] * y.asInstanceOf[Double])
+        acc = if (acc == null || prod == null) null
+          else Double.box(acc.asInstanceOf[Double] + prod.asInstanceOf[Double])
+      }
+      acc
+    }
+    val t = ArrayType(DoubleType)
+    val p = Prop.forAll(arr, arr) { (a, b) =>
+      val got = DotProduct(
+        Literal(new GenericArrayData(a), t),
+        Literal(new GenericArrayData(b), t)).eval(null)
+      val want = fold(a, b)
+      (got, want) match {
+        case (null, null) => true
+        case (g: java.lang.Double, w: java.lang.Double) =>
+          java.lang.Double.doubleToLongBits(g) ==
+            java.lang.Double.doubleToLongBits(w)
+        case _ => false
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("dot_product edge semantics match the fold: unequal=NULL, empty=0") {
     graft.functions.DotProduct.register(spark)
     val row = spark.sql(
