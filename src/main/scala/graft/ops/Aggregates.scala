@@ -36,6 +36,22 @@ object Aggregates {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Approximate percentiles (t-digest-style sketch): the streaming
+    * alternative to exact percentile_cont at 100 TB — mergeable partial
+    * sketches, one shuffle of sketch bytes instead of a per-group sort.
+    * Like the HLL query, no oracle: the sketch is engine-specific
+    * (driver records a rows-only check); the EXACT q_agg_percentile is
+    * the value-verified twin. */
+  private val aggApproxPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("p95"))
+      .orderBy(col("l_returnflag").asc)
+
   /** ROLLUP: hierarchical subtotals region → nation → grand total. */
   private val aggRollup: Q = (s, d) =>
     Tables.customer(s, d)
@@ -122,6 +138,7 @@ object Aggregates {
   val queries: Map[String, Q] = Map(
     "q_agg_distinct"        -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_agg_rollup"          -> aggRollup,
     "q_agg_cube"            -> aggCube,
     "q_agg_grouping_sets"   -> aggGroupingSets,

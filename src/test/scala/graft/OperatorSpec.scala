@@ -28,7 +28,9 @@ class OperatorSpec extends AnyFunSuite {
 
   test("every query key has oracle SQL or is a documented sketch") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct"), s"missing oracle: $noOracle")
+    assert(noOracle ==
+      Set("q_agg_approx_distinct", "q_agg_approx_percentile"),
+      s"missing oracle: $noOracle")
   }
 
   test("cdc latest_state: exactly one row per user") {
