@@ -354,6 +354,63 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * O(log n)-round formulation [[clusters]]' scaladoc cites as the
+    * 100 TB path. Each round rewires edges toward per-node minima:
+    * large-star points big neighbors at m(u) = min(Γ(u) ∪ u),
+    * small-star collapses small neighbors (and u itself) onto m(u);
+    * the fixpoint is a star per component centered at its minimum.
+    * Everything is keyed groupBy/join — no driver-side graph state.
+    *
+    * Returns (doc_id, cluster_id = component minimum) for every node in
+    * `nodes`; singletons label themselves. Verified two ways in
+    * OperatorSpec/FunctionsSpec: equality with the delta-iteration
+    * propagation on the real corpus, and a ScalaCheck property against
+    * a reference union-find on random graphs. */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    def bothDirs(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val joined = e.join(m, "u")
+      val emitted =
+        if (large)
+          joined.filter(col("v") > col("u"))
+            .select(col("v").as("x"), col("m"))
+        else
+          joined.filter(col("v") <= col("u"))
+            .select(col("v").as("x"), col("m"))
+            .unionAll(m.select(col("u").as("x"), col("m")))
+      emitted.filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("u"),
+          greatest(col("x"), col("m")).as("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var stable = false
+    var iter = 0
+    while (!stable && iter < 50) {
+      val next = star(bothDirs(star(bothDirs(edges), large = true)),
+        large = false).localCheckpoint()
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(stable, s"star iteration did not converge in $iter rounds")
+    // fixpoint is a star: every non-center node's single (canonical)
+    // edge points at the center; groupBy-min is belt and braces
+    val centers = edges.groupBy(col("v")).agg(min(col("u")).as("l"))
+    nodes.select(col("doc_id"))
+      .join(centers.select(col("v").as("doc_id"), col("l")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("cluster_id"))
+  }
+
   /** 16-bit SimHash from md5 nibble high-bits, weighted by token
     * frequency; identical fingerprints grouped (hamming-0 collisions).
     * At scale: one keyed aggregation, then a window by fingerprint. */

@@ -130,6 +130,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(broken.count() == 0, "near-dup pair split across clusters")
   }
 
+  test("large-star/small-star CC equals label-propagation clusters") {
+    val prop = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id")
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .select("a_id", "b_id")
+    val nodes = graft.io.Tables.documents(spark, sf).select("doc_id")
+    val star = graft.ops.Dedup.connectedComponentsStar(nodes, pairs)
+    assert(star.exceptAll(prop).count() == 0 &&
+      prop.exceptAll(star).count() == 0,
+      "star CC diverged from propagation CC")
+  }
+
+  test("star CC equals reference union-find on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    def unionFind(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to final minima
+      (0L until n.toLong).map { v =>
+        var r = v; while (parent(r) != r) r = parent(r); v -> r
+      }.toMap
+    }
+    val g = for {
+      n <- Gen.chooseNum(1, 25)
+      ne <- Gen.chooseNum(0, 40)
+      es <- Gen.listOfN(ne, for {
+        a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+      } yield (a, b))
+    } yield (n, es.filter(p => p._1 != p._2))
+    val p = Prop.forAll(g) { case (n, es) =>
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = if (es.isEmpty)
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+      else es.toDF("a_id", "b_id")
+      val got = graft.ops.Dedup.connectedComponentsStar(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(n, es)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("scd2: intervals chain per key with exactly one open row") {
     val h = SparkEntry.queries("q_cdc_scd2")(spark, sf)
     val users = h.select("user_id").distinct().count()
