@@ -12,6 +12,16 @@ class ScaleSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
+  test("token explode fans out across the configured partition count") {
+    // regression guard for the one-file-corpus fix: the tokenization
+    // pipeline must run on shuffle.partitions cores, and AQE must not
+    // coalesce the pinned exchange back to one partition
+    val dw = graft.ops.Text.docTokens(spark, sf)
+    val expected = spark.sessionState.conf.numShufflePartitions
+    assert(dw.rdd.getNumPartitions == expected,
+      s"explode runs on ${dw.rdd.getNumPartitions} partitions, want $expected")
+  }
+
   test("bucketed co-located join plans with no shuffle exchange") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
