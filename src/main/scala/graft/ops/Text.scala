@@ -31,7 +31,7 @@ object Text {
     * the exchange on pre-explode bytes and coalesce it back to one
     * partition. Keyed by doc_id so groupBy(doc_id, …) downstream is
     * already clustered (subset rule) — no re-shuffle. */
-  private[ops] def docTokens(s: SparkSession, d: String): DataFrame =
+  private[graft] def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
