@@ -26,19 +26,25 @@ object Bench {
       }
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Two timed passes, report the per-query minimum: host co-tenant
-    // load spikes (observed 5x inflation) would otherwise corrupt a
-    // single-shot measurement; min-of-2 approximates the steady-state
-    // cost the suite actually has.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
+    // Two timed passes, report the per-query minimum over SUCCESSFUL
+    // runs: host co-tenant load spikes (observed 5x inflation) would
+    // otherwise corrupt a single-shot measurement. A failed run must
+    // not win the min (a fast exception is not a fast query); a query
+    // that failed in both passes reports -1 so the failure is visible.
+    def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (((System.nanoTime() - t0) / 1e9, ok))
     }
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, (v1, ok1)) =>
+      val (v2, ok2) = p2(k)
+      val best = (if (ok1) Seq(v1) else Nil) ++ (if (ok2) Seq(v2) else Nil)
+      k -> (if (best.nonEmpty) best.min else -1.0)
+    }
     // Locale.ROOT: a comma-decimal default locale would emit "0,500"
     // and corrupt the contract JSON line
     def r3(v: Double): String =

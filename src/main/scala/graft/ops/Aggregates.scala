@@ -8,10 +8,13 @@ import graft.io.Tables
 /** Aggregation operators beyond the Q1-shape probe (SURVEY.md §2.D) and
   * sort/limit/set operations (§2.F).
   *
-  * All grouped aggregates compile to `HashAggregateExec` with map-side
+  * Grouped aggregates compile to `HashAggregateExec` with map-side
   * partial aggregation — at 100 TB only the per-group partials cross the
   * shuffle, never raw rows. `rollup`/`cube`/grouping-sets expand to
-  * grouping-id tagged partials in the same single shuffle.
+  * grouping-id tagged partials in the same single shuffle. The two
+  * sketch queries (HLL distinct, approx percentile) are the exception:
+  * their variable-length buffers plan as `ObjectHashAggregateExec` —
+  * still partial+final with only sketch bytes crossing the shuffle.
   */
 object Aggregates {
   type Q = (SparkSession, String) => DataFrame

@@ -365,9 +365,9 @@ object Dedup {
     *
     * Returns (doc_id, cluster_id = component minimum) for every node in
     * `nodes`; singletons label themselves. Verified two ways in
-    * OperatorSpec/FunctionsSpec: equality with the delta-iteration
-    * propagation on the real corpus, and a ScalaCheck property against
-    * a reference union-find on random graphs. */
+    * OperatorSpec: equality with the delta-iteration propagation on the
+    * real corpus, and a ScalaCheck property against a reference
+    * union-find on random graphs. */
   def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     def bothDirs(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -398,7 +398,8 @@ object Dedup {
     while (!stable && iter < 50) {
       val next = star(bothDirs(star(bothDirs(edges), large = true)),
         large = false).localCheckpoint()
-      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // one job for the symmetric difference, not two
+      stable = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
       edges = next
       iter += 1
     }
