@@ -27,6 +27,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracle),
     (Extras.queries, Extras.oracle),
     (Sampling.queries, Sampling.oracle),
+    (Pipeline.queries, Pipeline.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

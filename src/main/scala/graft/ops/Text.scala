@@ -181,12 +181,12 @@ object Text {
   val sqlToks: String =
     "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
 
-  private val sqlLangScores = langMarkers.map { case (l, ms) =>
+  private[graft] val sqlLangScores = langMarkers.map { case (l, ms) =>
     val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
     s"CAST(LEN(list_intersect(toks, $lst)) AS BIGINT) AS s_$l"
   }.mkString(",\n        |       ")
 
-  private val sqlPred = langMarkers.foldRight("'und'") { case ((l, _), acc) =>
+  private[graft] val sqlPred = langMarkers.foldRight("'und'") { case ((l, _), acc) =>
     s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
   }
 
