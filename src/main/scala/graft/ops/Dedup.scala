@@ -338,14 +338,22 @@ object Dedup {
         .select(col("doc_id"),
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .localCheckpoint()
-      frontier = next.join(labels.withColumnRenamed("l", "old"), "doc_id")
+      val newFrontier = next.join(labels.withColumnRenamed("l", "old"), "doc_id")
         .filter(col("l") =!= col("old"))
         .select(col("doc_id"), col("l")).localCheckpoint()
-      active = frontier.count()
+      active = newFrontier.count()
+      // superseded checkpoint blocks are never read again — release
+      // them, or a long-lived session leaks block-manager storage per
+      // round per invocation
+      if (!(frontier eq labels)) frontier.unpersist(false)
+      labels.unpersist(false)
+      frontier = newFrontier
       labels = next
       iter += 1
     }
     require(active == 0, s"label propagation did not converge in $iter rounds")
+    frontier.unpersist(false)
+    e.unpersist(false)
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("l"))))
@@ -400,6 +408,7 @@ object Dedup {
         large = false).localCheckpoint()
       // one job for the symmetric difference, not two
       stable = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
+      edges.unpersist(false)
       edges = next
       iter += 1
     }
