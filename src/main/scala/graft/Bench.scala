@@ -63,9 +63,11 @@ object Bench {
       "q_scan_parquet", "q_agg_hash", "q_agg_cube", "q_join_inner_hash",
       "q_join_broadcast", "q_join_asof", "q_join_interval", "q_window_rank",
       "q_topk_per_group", "q_sort_limit", "q_explode", "q_unpivot",
-      "q_cdc_merge_upsert", "q_stream_session", "q_dedup_exact",
-      "q_dedup_near", "q_dedup_minhash_lsh", "q_sim_cosine_topk",
-      "q_sim_ann_lsh", "q_text_tfidf")
+      "q_cdc_merge_upsert", "q_cdc_scd2", "q_stream_session",
+      "q_dedup_exact", "q_dedup_near", "q_dedup_ngram",
+      "q_dedup_minhash_lsh", "q_dedup_clusters", "q_sim_cosine_topk",
+      "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_tfidf",
+      "q_pipeline_curate")
     val head = headline.flatMap(k => results.get(k).map(k -> _))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
