@@ -159,8 +159,27 @@ object Cdc {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** Tombstone-aware compaction — the reference's DELETE path: a
+    * mutation stream's last operation decides whether the key still
+    * exists. Here `error` plays the tombstone operation (the fixture
+    * has no literal delete type): compact to latest state, keep only
+    * keys whose final event is not a tombstone, and report how many
+    * tombstones each surviving key absorbed along the way. Same
+    * one-shuffle window frame as [[latestState]]. */
+  private val tombstone: Q = (s, d) =>
+    stream(s, d)
+      .withColumn("rn", row_number().over(wLatest))
+      .withColumn("n_tombstones",
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), Det.outTs(col("ts")).as("ts"), col("n_tombstones"))
+      .orderBy(col("user_id").asc)
+
   val queries: Map[String, Q] = Map(
     "q_cdc_scd2"          -> scd2,
+    "q_cdc_tombstone"     -> tombstone,
     "q_cdc_latest_state"  -> latestState,
     "q_cdc_dedup"         -> dedup,
     "q_cdc_sequence_gaps" -> sequenceGaps,
@@ -175,6 +194,18 @@ object Cdc {
       s"${Det.sqlEts("ts")} AS ts FROM events"
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_tombstone" ->
+      s"""WITH s AS ($sqlStream),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |                           ORDER BY ts DESC, event_id DESC) AS rn,
+         |        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY user_id) AS BIGINT) AS n_tombstones
+         |      FROM s)
+         |SELECT user_id, event_id, event_type, value,
+         |       ${Det.sqlOutTs("ts")} AS ts, n_tombstones
+         |FROM r WHERE rn = 1 AND event_type <> 'error'
+         |ORDER BY user_id ASC""".stripMargin,
     "q_cdc_scd2" ->
       s"""WITH s AS ($sqlStream),
          |v AS (SELECT user_id, event_id, event_type, value, ts,
