@@ -44,6 +44,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(n == raw)
   }
 
+  test("tombstone compaction is latest_state minus tombstoned keys") {
+    val latest = SparkEntry.queries("q_cdc_latest_state")(spark, sf)
+    val tomb = SparkEntry.queries("q_cdc_tombstone")(spark, sf)
+    assert(tomb.filter(col("event_type") === "error").count() == 0)
+    // survivors carry identical compacted rows
+    val joined = tomb.select("user_id", "event_id")
+      .except(latest.select("user_id", "event_id"))
+    assert(joined.count() == 0, "tombstone survivor disagrees with latest_state")
+    // dropped keys are exactly those whose last event is the tombstone
+    val dropped = latest.filter(col("event_type") === "error").count()
+    assert(latest.count() - tomb.count() == dropped)
+  }
+
   test("snapshot_at is a subset of latest_state keys and monotone") {
     val snap = SparkEntry.queries("q_cdc_snapshot_at")(spark, sf)
     val full = SparkEntry.queries("q_cdc_latest_state")(spark, sf)
