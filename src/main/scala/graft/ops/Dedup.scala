@@ -331,29 +331,36 @@ object Dedup {
     var frontier = labels
     var active = 1L
     var iter = 0
-    while (active > 0 && iter < 50) {
-      val neigh = e.join(frontier.select(col("doc_id").as("u"), col("l")), "u")
-        .groupBy(col("v")).agg(min(col("l")).as("nl"))
-      val next = labels.join(neigh, labels("doc_id") === neigh("v"), "left")
-        .select(col("doc_id"),
-          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .localCheckpoint()
-      val newFrontier = next.join(labels.withColumnRenamed("l", "old"), "doc_id")
-        .filter(col("l") =!= col("old"))
-        .select(col("doc_id"), col("l")).localCheckpoint()
-      active = newFrontier.count()
-      // superseded checkpoint blocks are never read again — release
-      // them, or a long-lived session leaks block-manager storage per
-      // round per invocation
+    try {
+      while (active > 0 && iter < 50) {
+        val neigh = e.join(frontier.select(col("doc_id").as("u"), col("l")), "u")
+          .groupBy(col("v")).agg(min(col("l")).as("nl"))
+        val next = labels.join(neigh, labels("doc_id") === neigh("v"), "left")
+          .select(col("doc_id"),
+            least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+          .localCheckpoint()
+        val newFrontier = next.join(labels.withColumnRenamed("l", "old"), "doc_id")
+          .filter(col("l") =!= col("old"))
+          .select(col("doc_id"), col("l")).localCheckpoint()
+        active = newFrontier.count()
+        // superseded checkpoint blocks are never read again — release
+        // them, or a long-lived session leaks block-manager storage per
+        // round per invocation
+        if (!(frontier eq labels)) frontier.unpersist(false)
+        labels.unpersist(false)
+        frontier = newFrontier
+        labels = next
+        iter += 1
+      }
+      require(active == 0, s"label propagation did not converge in $iter rounds")
+    } catch {
+      // the returned plan reads `labels`, so it stays cached on success;
+      // on failure nothing will read it — release it too
+      case t: Throwable => labels.unpersist(false); throw t
+    } finally {
       if (!(frontier eq labels)) frontier.unpersist(false)
-      labels.unpersist(false)
-      frontier = newFrontier
-      labels = next
-      iter += 1
+      e.unpersist(false)
     }
-    require(active == 0, s"label propagation did not converge in $iter rounds")
-    frontier.unpersist(false)
-    e.unpersist(false)
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("l"))))
@@ -403,16 +410,22 @@ object Dedup {
       .distinct().localCheckpoint()
     var stable = false
     var iter = 0
-    while (!stable && iter < 50) {
-      val next = star(bothDirs(star(bothDirs(edges), large = true)),
-        large = false).localCheckpoint()
-      // one job for the symmetric difference, not two
-      stable = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
-      edges.unpersist(false)
-      edges = next
-      iter += 1
+    try {
+      while (!stable && iter < 50) {
+        val next = star(bothDirs(star(bothDirs(edges), large = true)),
+          large = false).localCheckpoint()
+        // one job for the symmetric difference, not two
+        stable = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
+        edges.unpersist(false)
+        edges = next
+        iter += 1
+      }
+      require(stable, s"star iteration did not converge in $iter rounds")
+    } catch {
+      // the returned plan reads the final `edges` on success; on
+      // failure nothing will — release the current checkpoint too
+      case t: Throwable => edges.unpersist(false); throw t
     }
-    require(stable, s"star iteration did not converge in $iter rounds")
     // fixpoint is a star: every non-center node's single (canonical)
     // edge points at the center; groupBy-min is belt and braces
     val centers = edges.groupBy(col("v")).agg(min(col("u")).as("l"))

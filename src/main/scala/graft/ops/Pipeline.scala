@@ -34,9 +34,7 @@ object Pipeline {
       .select(col("doc_id"), col("predicted"))
     keepers.join(quality, "doc_id").join(lang, "doc_id")
       .filter(col("quality") >= MinQuality && col("n_tokens") >= MinTokens)
-      .withColumn("split",
-        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-          < "cc", "train").otherwise("test"))
+      .withColumn("split", Sampling.splitCol(col("doc_id")))
       .groupBy(col("split"), col("predicted").as("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
@@ -48,40 +46,16 @@ object Pipeline {
     "q_pipeline_curate" -> curate,
   )
 
-  private def sqlToks = Text.sqlToks
-
   val oracle: Map[String, String] = Map(
     "q_pipeline_curate" ->
       s"""WITH k AS (
          |  SELECT MIN(doc_id) AS doc_id
          |  FROM documents GROUP BY md5(LOWER(TRIM(text)))),
-         |qt AS (
-         |  SELECT doc_id, $sqlToks AS toks, n_chars FROM documents),
-         |qc AS (
-         |  SELECT doc_id,
-         |         CAST(LEN(toks) AS BIGINT) AS n_tokens,
-         |         CAST(LEN(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |         CAST(LEN(list_filter(toks,
-         |           w -> list_contains(['the','a','of','to','and'], w))) AS BIGINT)
-         |           AS n_stop
-         |  FROM qt),
-         |q AS (
-         |  SELECT doc_id, n_tokens,
-         |         ${Det.sqlR4(
-               "CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0) * 0.5 + " +
-               "(1.0 - CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)) * 0.3 + " +
-               "LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2")} AS quality
-         |  FROM qc),
-         |lt AS (SELECT doc_id, list_distinct($sqlToks) AS toks FROM documents),
-         |ls AS (SELECT doc_id,
-         |       ${Text.sqlLangScores}
-         |       FROM lt),
-         |lb AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best FROM ls),
-         |l AS (SELECT doc_id, ${Text.sqlPred} AS predicted FROM lb),
+         |${Text.sqlQualityCtes},
+         |${Text.sqlLangIdCtes},
          |j AS (
          |  SELECT k.doc_id, q.n_tokens, q.quality, l.predicted,
-         |         CASE WHEN SUBSTRING(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cc'
-         |              THEN 'train' ELSE 'test' END AS split
+         |         ${Sampling.sqlSplit("k.doc_id")} AS split
          |  FROM k JOIN q USING (doc_id) JOIN l USING (doc_id)
          |  WHERE q.quality >= $MinQuality AND q.n_tokens >= $MinTokens)
          |SELECT split, predicted AS lang_pred, COUNT(*) AS n_docs,

@@ -52,11 +52,18 @@ object Sampling {
   /** Stable ~80/20 train/test assignment (0xcc/0x100 ≈ 0.797), with
     * per-(lang, split) accounting. A row's split never changes as the
     * corpus grows — hash membership, not position. */
+  /** The stable train/test assignment rule — single source of truth,
+    * shared with [[Pipeline]] (Spark and oracle forms). */
+  private[graft] def splitCol(key: Column): Column =
+    when(substring(h(key), 1, 2) < "cc", "train").otherwise("test")
+
+  private[graft] def sqlSplit(key: String): String =
+    s"CASE WHEN SUBSTRING(md5(CAST($key AS VARCHAR)), 1, 2) < 'cc' " +
+      "THEN 'train' ELSE 'test' END"
+
   private val splitTrainTest: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("split",
-        when(substring(h(col("doc_id")), 1, 2) < "cc", "train")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         Det.davg(col("n_chars")).as("avg_chars"))
@@ -84,8 +91,7 @@ object Sampling {
         |ORDER BY lang ASC, rn ASC""".stripMargin,
     "q_split_train_test" ->
       s"""SELECT lang,
-         |       CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
-         |            THEN 'train' ELSE 'test' END AS split,
+         |       ${sqlSplit("doc_id")} AS split,
          |       COUNT(*) AS n_docs,
          |       ${Det.sqlDavg("n_chars")} AS avg_chars
          |FROM documents

@@ -190,6 +190,38 @@ object Text {
     s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
   }
 
+  /** DuckDB CTE chain `q(doc_id, n_tokens, quality)` — the quality
+    * score, factored so [[Pipeline]]'s composed oracle cannot drift from
+    * q_text_quality's. */
+  private[graft] val sqlQualityCtes: String =
+    s"""qt AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents),
+       |qc AS (
+       |  SELECT doc_id,
+       |         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+       |         CAST(LEN(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |         CAST(LEN(list_filter(toks,
+       |           w -> list_contains(['the','a','of','to','and'], w))) AS BIGINT)
+       |           AS n_stop
+       |  FROM qt),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |         ${Det.sqlR4(
+             "CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0) * 0.5 + " +
+             "(1.0 - CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)) * 0.3 + " +
+             "LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2")} AS quality
+       |  FROM qc)""".stripMargin
+
+  /** DuckDB CTE chain `l(doc_id, predicted)` — the language-ID argmax,
+    * factored for the same reason. */
+  private[graft] val sqlLangIdCtes: String =
+    s"""lt AS (SELECT doc_id, list_distinct($sqlToks) AS toks FROM documents),
+       |ls AS (SELECT doc_id,
+       |       $sqlLangScores
+       |       FROM lt),
+       |lb AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best FROM ls),
+       |l AS (SELECT doc_id, $sqlPred AS predicted FROM lb)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_wordcount" ->
       s"""SELECT word, COUNT(*) AS n
