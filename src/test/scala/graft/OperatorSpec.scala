@@ -208,6 +208,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("curation pipeline: split totals reconcile with its stages") {
+    val p = SparkEntry.queries("q_pipeline_curate")(spark, sf)
+    assert(p.filter(!col("split").isin("train", "test")).count() == 0)
+    assert(p.filter(col("avg_quality") < 0.5).count() == 0,
+      "aggregated quality below the stage filter threshold")
+    // total curated docs ≤ dedup keepers
+    val curated = p.agg(sum("n_docs")).first().getLong(0)
+    val keepers = SparkEntry.queries("q_dedup_exact")(spark, sf).count()
+    assert(curated <= keepers, s"curated $curated > keepers $keepers")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
