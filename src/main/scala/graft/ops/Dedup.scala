@@ -307,16 +307,34 @@ object Dedup {
     * cluster id (the minimum doc_id reachable through ≥0.8-Jaccard
     * pairs) and exactly one doc per cluster is the keeper.
     *
-    * Batch-iterative min-label propagation: label(v) ←
-    * min(label(v), min label of v's neighbors) to fixpoint, lineage
-    * truncated per round with localCheckpoint. Near-dup components are
-    * dense (dup clusters are near-cliques), so the loop converges in
-    * O(few) rounds; at 100 TB scale swap the propagation step for the
-    * large-star/small-star formulation (same join shape, provably
-    * O(log n) rounds) — the surrounding plumbing is unchanged. The
-    * fixpoint is unique, so the iterative path and the oracle's
-    * recursive CTE agree exactly. */
+    * The declared path is [[connectedComponentsStar]] — alternating
+    * large-star/small-star (O(log n) rounds regardless of component
+    * diameter), the formulation a 100 TB graph needs: a path-shaped dup
+    * chain costs the delta-iteration alternative O(diameter) driver
+    * rounds, which is the scale-killer, not any single stage. The
+    * fixpoint (minimum reachable doc_id per node) is unique, so the
+    * oracle's recursive CTE agrees exactly. */
   private val clusters: Q = (s, d) => {
+    val labels = connectedComponentsStar(
+      Tables.documents(s, d).select(col("doc_id")),
+      nearPairs(s, d).select(col("a_id"), col("b_id")))
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Delta-iteration min-label propagation — the O(diameter)-round
+    * alternative kept as a differential twin for the spec (near-dup
+    * components are dense, so on THIS corpus it converges in O(few)
+    * rounds; the declared query uses the star path above because a
+    * 100 TB graph offers no such diameter guarantee). label(v) ←
+    * min(label(v), min label of v's neighbors) to fixpoint, lineage
+    * truncated per round with localCheckpoint; only the frontier
+    * (labels that changed last round) propagates each round. */
+  def clustersDelta(s: SparkSession, d: String): DataFrame = {
     val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
     val fwd = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
     val rev = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
@@ -410,14 +428,19 @@ object Dedup {
       .distinct().localCheckpoint()
     var stable = false
     var iter = 0
+    var edgeCount = edges.count()
     try {
       while (!stable && iter < 50) {
         val next = star(bothDirs(star(bothDirs(edges), large = true)),
           large = false).localCheckpoint()
-        // one job for the symmetric difference, not two
-        stable = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
+        // both sets are distinct canonical (u < v) pairs, so equality ⟺
+        // equal counts + one-sided containment — one except job, not a
+        // two-sided symmetric difference
+        val nextCount = next.count()
+        stable = nextCount == edgeCount && next.except(edges).isEmpty
         edges.unpersist(false)
         edges = next
+        edgeCount = nextCount
         iter += 1
       }
       require(stable, s"star iteration did not converge in $iter rounds")

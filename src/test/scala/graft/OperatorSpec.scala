@@ -143,13 +143,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(broken.count() == 0, "near-dup pair split across clusters")
   }
 
-  test("large-star/small-star CC equals label-propagation clusters") {
-    val prop = SparkEntry.queries("q_dedup_clusters")(spark, sf)
-      .select("doc_id", "cluster_id")
-    val pairs = SparkEntry.queries("q_dedup_near")(spark, sf)
-      .select("a_id", "b_id")
-    val nodes = graft.io.Tables.documents(spark, sf).select("doc_id")
-    val star = graft.ops.Dedup.connectedComponentsStar(nodes, pairs)
+  test("declared star CC equals delta-iteration label propagation") {
+    val star = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+    val prop = graft.ops.Dedup.clustersDelta(spark, sf)
     assert(star.exceptAll(prop).count() == 0 &&
       prop.exceptAll(star).count() == 0,
       "star CC diverged from propagation CC")
