@@ -233,6 +233,56 @@ object Dedup {
       (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*)
       .cast("binary"))
 
+  /** Exactly-once LSH candidate pairs from a keyed-signature frame.
+    * `withKeys` must carry `doc_id`, band keys `bk0..bk{Bands-1}`, and
+    * the `payload` columns; the result carries each payload column
+    * twice, prefixed `a_`/`b_`, one row per unordered candidate pair.
+    *
+    * Skew split: dup-heavy corpora produce a mega-bucket (~2300 docs
+    * share one band key at sf0.1 ⇒ ~2.7M pairs on a single join
+    * key/task). Chunk each bucket into G slices and join on
+    * (band, target-chunk): the hot bucket fans out across G keys. Pair
+    * set is unchanged — cross-chunk pairs enumerate once, same-chunk
+    * pairs dedup via a_id < b_id — so the oracle keeps its plain
+    * DISTINCT-candidates formulation. This is the explicit version of
+    * what AQE's skew-join split does for sort-merge joins.
+    *
+    * First-band ownership: a pair is emitted only by the lowest band
+    * where its keys collide — exactly-once enumeration across bands,
+    * so no distinct shuffle over the (large) result set is needed. */
+  private def lshCandidatePairs(withKeys: DataFrame,
+                                payload: Seq[String]): DataFrame = {
+    val banded = withKeys.select(
+      (Seq(col("doc_id")) ++ payload.map(col) ++
+        (0 until Bands).map(j => col(s"bk$j"))) :+
+        posexplode(array((0 until Bands).map(j => col(s"bk$j")): _*))
+          .as(Seq("band_idx", "band_key")): _*)
+    val G = 16
+    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
+      .orderBy(col("doc_id").asc)
+    val chunked = banded
+      .withColumn("ck", pmod(row_number().over(wB) - 1, lit(G)))
+    val x = chunked.select(Seq(col("band_idx"), col("band_key"),
+      col("ck").as("a_ck"), col("doc_id").as("a_id")) ++
+      payload.map(c => col(c).as(s"a_$c")) ++
+      (0 until Bands).map(j => col(s"bk$j").as(s"a_bk$j")): _*)
+      .withColumn("b_ck", explode(array((0 until G).map(lit): _*)))
+      .filter(col("b_ck") >= col("a_ck"))
+    val y = chunked.select(Seq(col("band_idx"), col("band_key"),
+      col("ck").as("b_ck"), col("doc_id").as("b_id")) ++
+      payload.map(c => col(c).as(s"b_$c")) ++
+      (0 until Bands).map(j => col(s"bk$j").as(s"b_bk$j")): _*)
+    val firstBand = (0 until Bands).map { j =>
+        val earlierDiffer = (0 until j)
+          .map(k => col(s"a_bk$k") =!= col(s"b_bk$k"))
+          .foldLeft(lit(true))(_ && _)
+        when(col("band_idx") === j, earlierDiffer)
+      }.reduce((a, b) => coalesce(a, b))
+    x.join(y, Seq("band_idx", "band_key", "b_ck"))
+      .filter(col("a_ck") < col("b_ck") || col("a_id") < col("b_id"))
+      .filter(firstBand)
+  }
+
   /** MinHash + LSH banding near-dedup (the scale path), verified with
     * exact Jaccard on the candidate pairs only. Deterministic despite
     * being approximate: both engines compute identical md5 signatures,
@@ -251,46 +301,7 @@ object Dedup {
       .withColumn("n", expr("bit_count(mask)").cast("long"))
       .select(Seq(col("doc_id"), col("mask"), col("n")) ++
         (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
-    val banded = withKeys.select(
-      (Seq(col("doc_id"), col("mask"), col("n")) ++
-        (0 until Bands).map(j => col(s"bk$j"))) :+
-        posexplode(array((0 until Bands).map(j => col(s"bk$j")): _*))
-          .as(Seq("band_idx", "band_key")): _*)
-    // Skew split: this corpus produces a mega-bucket (~2300 docs share
-    // one band key at sf0.1 ⇒ ~2.7M pairs on a single join key/task).
-    // Chunk each bucket into G slices and join on (band, target-chunk):
-    // the hot bucket fans out across G keys. Pair set is unchanged —
-    // cross-chunk pairs enumerate once (normalized with least/greatest),
-    // same-chunk pairs dedup via a_id < b_id — so the oracle is
-    // untouched. This is the explicit version of what AQE's skew-join
-    // split does for sort-merge joins.
-    val G = 16
-    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
-      .orderBy(col("doc_id").asc)
-    val chunked = banded
-      .withColumn("ck", pmod(row_number().over(wB) - 1, lit(G)))
-    val x = chunked.select(Seq(col("band_idx"), col("band_key"),
-      col("ck").as("a_ck"), col("doc_id").as("a_id"),
-      col("mask").as("a_mask"), col("n").as("a_n")) ++
-      (0 until Bands).map(j => col(s"bk$j").as(s"a_bk$j")): _*)
-      .withColumn("b_ck", explode(array((0 until G).map(lit): _*)))
-      .filter(col("b_ck") >= col("a_ck"))
-    val y = chunked.select(Seq(col("band_idx"), col("band_key"),
-      col("ck").as("b_ck"), col("doc_id").as("b_id"),
-      col("mask").as("b_mask"), col("n").as("b_n")) ++
-      (0 until Bands).map(j => col(s"bk$j").as(s"b_bk$j")): _*)
-    // first-band ownership: a pair is emitted only by the lowest band
-    // where its keys collide — exactly-once enumeration across bands,
-    // so no distinct shuffle over the (large) result set is needed
-    val firstBand = (0 until Bands).map { j =>
-        val earlierDiffer = (0 until j)
-          .map(k => col(s"a_bk$k") =!= col(s"b_bk$k"))
-          .foldLeft(lit(true))(_ && _)
-        when(col("band_idx") === j, earlierDiffer)
-      }.reduce((a, b) => coalesce(a, b))
-    x.join(y, Seq("band_idx", "band_key", "b_ck"))
-      .filter(col("a_ck") < col("b_ck") || col("a_id") < col("b_id"))
-      .filter(firstBand)
+    lshCandidatePairs(withKeys, Seq("mask", "n"))
       .withColumn("inter",
         expr("bit_count(a_mask & b_mask)").cast("long"))
       .withColumn("jac",
@@ -300,6 +311,58 @@ object Dedup {
         greatest(col("a_id"), col("b_id")).as("b_id"),
         Det.r4(col("jac")).as("jaccard"))
       .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** Signature-only near-dedup: candidates from the same LSH band join,
+    * Jaccard ESTIMATED as the matching-minhash fraction — no dictionary
+    * bitmask anywhere, so unlike [[near]]/[[ngram]] there is no
+    * vocabulary-capacity cap (the ≤64-token / ≤512-shingle masks those
+    * paths verify with). This is the verification half of the 100 TB
+    * dedup story: per-doc state is NumHashes md5 strings regardless of
+    * document or vocabulary size, and the broadcast dictionary is a
+    * pure precompute optimization — with an unbounded vocabulary the
+    * same signatures come from salting each token occurrence directly
+    * (min is duplicate-insensitive), no broadcast needed.
+    *
+    * Estimator: E[matches/NumHashes] = J (each independent min-hash
+    * collides with probability exactly J). matches ≥ 13 of 16 ⟺
+    * estimate ≥ 0.8 — integer threshold, no float comparison, identical
+    * in both engines because the signatures are identical md5 strings.
+    * OperatorSpec quantifies agreement with the mask-exact Jaccard on
+    * the toy vocab (where the exact value is still computable). */
+  private val minhashVerify: Q = (s, d) =>
+    minhashEstimates(s, d)
+      .filter(col("n_match") >= lit(VerifyMatchMin))
+      .select(col("a_id"), col("b_id"), col("n_match"),
+        Det.r4(col("jaccard_est")).as("jaccard_est"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+
+  /** 13/16 matching hashes ⟺ estimated Jaccard ≥ 0.8 (⌈0.8·16⌉). */
+  private val VerifyMatchMin = math.ceil(0.8 * NumHashes).toInt
+
+  /** All LSH candidate pairs with the signature-match count and the
+    * Jaccard estimate, UNTHRESHOLDED — the declared [[minhashVerify]]
+    * filters this; OperatorSpec joins it against the mask-exact values
+    * to bound the estimation error. */
+  def minhashEstimates(s: SparkSession, d: String): DataFrame = {
+    val dw = docTokens(s, d)
+    val v = minhashDict(vocab(dw))
+    val sigs = dw.join(broadcast(v), "word")
+      .groupBy(col("doc_id"))
+      .agg(minhashAggs.head, minhashAggs.tail: _*)
+    val withKeys = sigs.select(
+      (col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i"))) ++
+        (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    lshCandidatePairs(withKeys, (0 until NumHashes).map(i => s"h$i"))
+      .withColumn("n_match", matches.cast("long"))
+      .withColumn("jaccard_est",
+        col("n_match").cast("double") / lit(NumHashes))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("n_match"), col("jaccard_est"))
   }
 
   /** Connected components over the near-duplicate pair graph —
@@ -484,6 +547,7 @@ object Dedup {
     "q_dedup_near"        -> near,
     "q_dedup_ngram"       -> ngram,
     "q_dedup_minhash_lsh" -> minhashLsh,
+    "q_dedup_minhash_verify" -> minhashVerify,
     "q_dedup_simhash"     -> simhash,
     "q_dedup_clusters"    -> clusters,
   )
@@ -638,6 +702,38 @@ object Dedup {
          |FROM v
          |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_minhash_verify" -> {
+      val matchSum = (0 until NumHashes)
+        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH dw AS (
+         |  SELECT DISTINCT doc_id, word
+         |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $sqlMinhash
+         |  FROM dw GROUP BY doc_id),
+         |bands AS (
+         |${sqlBandKeys.zipWithIndex.map { case (k, j) =>
+             s"  SELECT doc_id, $j AS band_idx, $k AS band_key FROM sig"
+           }.mkString("", "\n  UNION ALL\n", "")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id),
+         |v AS (
+         |  SELECT c.a_id, c.b_id,
+         |         CAST($matchSum AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN sig a ON a.doc_id = c.a_id
+         |  JOIN sig b ON b.doc_id = c.b_id)
+         |SELECT a_id, b_id, n_match,
+         |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $NumHashes")} AS jaccard_est
+         |FROM v
+         |WHERE n_match >= $VerifyMatchMin
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin
+    },
     "q_dedup_simhash" ->
       s"""WITH w AS (
          |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),

@@ -143,6 +143,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(broken.count() == 0, "near-dup pair split across clusters")
   }
 
+  test("minhash signature estimate tracks mask-exact jaccard") {
+    // the dictionary-free verification path: bound its estimation error
+    // against the exact word-set Jaccard (computable on the toy vocab)
+    // over the full unthresholded LSH candidate set
+    val est = graft.ops.Dedup.minhashEstimates(spark, sf)
+    val ws = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(graft.ops.Text.tokens(col("text"))).as("ws"))
+    val j = est
+      .join(ws.select(col("doc_id").as("a_id"), col("ws").as("aw")), "a_id")
+      .join(ws.select(col("doc_id").as("b_id"), col("ws").as("bw")), "b_id")
+      .withColumn("jx",
+        size(array_intersect(col("aw"), col("bw"))).cast("double") /
+          size(array_union(col("aw"), col("bw"))))
+    val m = j.agg(
+      avg(abs(col("jaccard_est") - col("jx"))).as("mae"),
+      sum(when(col("jx") >= 0.95 && col("n_match") < 13, 1).otherwise(0)).as("miss"),
+      sum(when(col("jx") <= 0.5 && col("n_match") >= 13, 1).otherwise(0)).as("false_hi"),
+      sum(when(col("jx") <= 0.5, 1).otherwise(0)).as("lo"),
+      count(lit(1)).as("n")).collect()(0)
+    assert(m.getAs[Long]("n") > 10000, "candidate set unexpectedly small")
+    assert(m.getAs[Double]("mae") < 0.1,
+      s"estimate MAE ${m.getAs[Double]("mae")} vs exact jaccard")
+    assert(m.getAs[Long]("miss") == 0,
+      "an exact >=0.95 pair fell below the 13/16 signature threshold")
+    assert(m.getAs[Long]("false_hi").toDouble < 0.1 * m.getAs[Long]("lo"),
+      "too many <=0.5-exact pairs cleared the signature threshold")
+  }
+
   test("declared star CC equals delta-iteration label propagation") {
     val star = SparkEntry.queries("q_dedup_clusters")(spark, sf)
     val prop = graft.ops.Dedup.clustersDelta(spark, sf)
