@@ -177,7 +177,72 @@ object Cdc {
         col("value"), Det.outTs(col("ts")).as("ts"), col("n_tombstones"))
       .orderBy(col("user_id").asc)
 
+  /** Op-typed mutation stream — the reference's actual message shape:
+    * op ∈ {insert, update, delete} with old/new payload (type, value),
+    * keyed by PK. Derived from the ordered event feed per key: the
+    * first sighting (or the first after a delete) is an INSERT, a
+    * later non-tombstone event is an UPDATE carrying the prior payload
+    * as `old_*`, and a tombstone on a live key is a DELETE carrying
+    * only `old_*`. Tombstones on keys that don't exist are no-ops and
+    * are dropped (a delete can't reference a row that was never
+    * inserted). One `lag` window — one shuffle by key, partition-local
+    * sort, the same frame every compaction here rides. */
+  private def opsStream(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    stream(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("existed",
+        col("prev_type").isNotNull && col("prev_type") =!= "error")
+      .withColumn("op",
+        when(col("event_type") === "error",
+          when(col("existed"), lit("delete")))
+          .otherwise(when(col("existed"), lit("update"))
+            .otherwise(lit("insert"))))
+      .filter(col("op").isNotNull)
+      .withColumn("old_type", when(col("op") =!= "insert", col("prev_type")))
+      .withColumn("old_value", when(col("op") =!= "insert", col("prev_value")))
+      .withColumn("new_type", when(col("op") =!= "delete", col("event_type")))
+      .withColumn("new_value", when(col("op") =!= "delete", col("value")))
+  }
+
+  private val opsStreamQ: Q = (s, d) =>
+    opsStream(s, d)
+      .select(col("user_id"), col("event_id"), Det.outTs(col("ts")).as("ts"),
+        col("op"), col("old_type"), col("old_value"),
+        col("new_type"), col("new_value"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+
+  /** Snapshot fold over [[opsStream]] — pgshovel's consumer-side state
+    * reconstruction: apply the op stream in order; a key exists iff its
+    * last op is not a delete, and its state is that op's new payload.
+    * Per-key op counts ride the same single shuffle as the fold (window
+    * aggregates over the key partition, tombstone-query pattern).
+    * OperatorSpec reconciles this against the independent
+    * [[tombstone]] compaction — two formulations, same survivors. */
+  private val applyOps: Q = (s, d) =>
+    opsStream(s, d)
+      .withColumn("rn", row_number().over(wLatest))
+      .withColumn("n_inserts",
+        sum(when(col("op") === "insert", 1L).otherwise(0L))
+          .over(Window.partitionBy(col("user_id"))))
+      .withColumn("n_updates",
+        sum(when(col("op") === "update", 1L).otherwise(0L))
+          .over(Window.partitionBy(col("user_id"))))
+      .withColumn("n_deletes",
+        sum(when(col("op") === "delete", 1L).otherwise(0L))
+          .over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("new_type").as("event_type"), col("new_value").as("value"),
+        Det.outTs(col("ts")).as("ts"),
+        col("n_inserts"), col("n_updates"), col("n_deletes"))
+      .orderBy(col("user_id").asc)
+
   val queries: Map[String, Q] = Map(
+    "q_cdc_ops_stream"    -> opsStreamQ,
+    "q_cdc_apply_ops"     -> applyOps,
     "q_cdc_scd2"          -> scd2,
     "q_cdc_tombstone"     -> tombstone,
     "q_cdc_latest_state"  -> latestState,
@@ -193,7 +258,55 @@ object Cdc {
     "SELECT event_id, user_id, event_type, value, props, " +
       s"${Det.sqlEts("ts")} AS ts FROM events"
 
+  /** Shared CTE chain deriving the op-typed stream (DuckDB twin of
+    * [[opsStream]]); ends in `f(user_id, event_id, ts, op, old_*, new_*)`. */
+  private val sqlOps =
+    s"""s AS ($sqlStream),
+       |lg AS (SELECT user_id, event_id, ts, event_type, value,
+       |         LAG(event_type, 1) OVER (PARTITION BY user_id
+       |                ORDER BY ts ASC, event_id ASC) AS prev_type,
+       |         LAG(value, 1) OVER (PARTITION BY user_id
+       |                ORDER BY ts ASC, event_id ASC) AS prev_value
+       |       FROM s),
+       |ex AS (SELECT *,
+       |         (prev_type IS NOT NULL AND prev_type <> 'error') AS existed
+       |       FROM lg),
+       |o AS (SELECT *,
+       |        CASE WHEN event_type = 'error'
+       |             THEN CASE WHEN existed THEN 'delete' END
+       |             WHEN existed THEN 'update' ELSE 'insert' END AS op
+       |      FROM ex),
+       |f AS (SELECT user_id, event_id, ts, op,
+       |        CASE WHEN op <> 'insert' THEN prev_type END AS old_type,
+       |        CASE WHEN op <> 'insert' THEN prev_value END AS old_value,
+       |        CASE WHEN op <> 'delete' THEN event_type END AS new_type,
+       |        CASE WHEN op <> 'delete' THEN value END AS new_value
+       |      FROM o WHERE op IS NOT NULL)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_cdc_ops_stream" ->
+      s"""WITH $sqlOps
+         |SELECT user_id, event_id, ${Det.sqlOutTs("ts")} AS ts, op,
+         |       old_type, old_value, new_type, new_value
+         |FROM f
+         |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "q_cdc_apply_ops" ->
+      s"""WITH $sqlOps,
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |               ORDER BY ts DESC, event_id DESC) AS rn,
+         |        CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY user_id) AS BIGINT) AS n_inserts,
+         |        CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY user_id) AS BIGINT) AS n_updates,
+         |        CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+         |      FROM f)
+         |SELECT user_id, event_id AS last_event_id, new_type AS event_type,
+         |       new_value AS value, ${Det.sqlOutTs("ts")} AS ts,
+         |       n_inserts, n_updates, n_deletes
+         |FROM r WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id ASC""".stripMargin,
     "q_cdc_tombstone" ->
       s"""WITH s AS ($sqlStream),
          |r AS (SELECT *,

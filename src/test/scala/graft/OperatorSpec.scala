@@ -143,6 +143,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(broken.count() == 0, "near-dup pair split across clusters")
   }
 
+  test("op-typed apply fold reconciles with tombstone compaction") {
+    // two independent formulations of "does the key survive, and with
+    // what state": the op-typed insert/update/delete fold vs the
+    // last-event tombstone compaction — survivors and payloads must match
+    val a = SparkEntry.queries("q_cdc_apply_ops")(spark, sf)
+      .select(col("user_id"), col("last_event_id").as("event_id"),
+        col("event_type"), col("value"))
+    val t = SparkEntry.queries("q_cdc_tombstone")(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    assert(a.exceptAll(t).count() == 0 && t.exceptAll(a).count() == 0,
+      "op-fold snapshot diverged from tombstone compaction")
+  }
+
+  test("ops stream: old payload chains to the prior op's new payload") {
+    val ops = SparkEntry.queries("q_cdc_ops_stream")(spark, sf)
+    // inserts carry no old payload, deletes no new payload
+    assert(ops.filter(col("op") === "insert" && col("old_value").isNotNull)
+      .count() == 0)
+    assert(ops.filter(col("op") === "delete" && col("new_value").isNotNull)
+      .count() == 0)
+    // every update/delete's old payload equals the key's previous new payload
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    val broken = ops
+      .withColumn("prev_new", lag(col("new_value"), 1).over(w))
+      .filter(col("op") =!= "insert")
+      .filter(!(col("old_value") <=> col("prev_new")))
+    assert(broken.count() == 0, "old/new payload chain broken")
+  }
+
   test("minhash signature estimate tracks mask-exact jaccard") {
     // the dictionary-free verification path: bound its estimation error
     // against the exact word-set Jaccard (computable on the toy vocab)
