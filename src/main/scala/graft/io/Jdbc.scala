@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same read with a lower bound on the cursor column, feeding the
   * CDC compaction operators (graft.ops.Cdc).
   *
-  * The harness has no database to connect to, so these builders are
-  * exercised for plan construction only (JdbcSpec checks option
-  * wiring); the options are the public Spark JDBC contract.
+  * The harness has no network database, so JdbcSpec executes both
+  * readers against an embedded Derby (on the Spark classpath): write a
+  * table over JDBC, read it back range-partitioned, diff against the
+  * parquet twin.
   */
 object Jdbc {
 
