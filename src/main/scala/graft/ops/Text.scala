@@ -74,35 +74,83 @@ object Text {
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang").asc)
 
-  /** Language-ID heuristic: marker-token overlap per candidate
-    * language, argmax with deterministic tie order. The corpus is
-    * synthetic (same vocabulary for every lang label), so this
-    * demonstrates the operator shape — scores and the argmax are pure
-    * integer arithmetic, identical in both engines. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "fast", "query"),
-    "de" -> Seq("der", "die", "und", "schnell"),
-    "es" -> Seq("el", "la", "rapido", "consulta"),
-    "fr" -> Seq("le", "la", "vite", "requete"),
-    "zh" -> Seq("kuai", "biao", "lie", "hang"))
+  /** Candidate languages, ascending — the deterministic tie order. */
+  private[graft] val langNames = Seq("de", "en", "es", "fr", "zh")
 
+  /** Language-ID: multinomial naive Bayes over token-unigram profiles
+    * TRAINED FROM THE CORPUS ITSELF — the fixture's stable hash
+    * train-split ([[Sampling.splitCol]]) supplies labeled profiles,
+    * every doc gets scored, and the held-out test split measures real
+    * generalization (OperatorSpec asserts ≥1.5× chance; measured ~37%
+    * at sf0.001 / ~42% at sf0.1 vs 20% chance). Token unigrams, not
+    * char-n-grams: the synthetic langs share one orthography, so
+    * char-3-gram profiles measure at exactly chance — the generator's
+    * label signal lives in token choice. For real corpora the gram
+    * extractor is the only thing to swap.
+    *
+    * Determinism: per-gram log-weights (add-one smoothing) and priors
+    * are r4-rounded ON THE DICTIONARY, then per-doc scores are exact
+    * decimal sums of those rounded weights (order-free) — both engines
+    * produce bit-identical scores, so even argmax ties agree.
+    *
+    * Scale (100 TB): one token-stream aggregation builds the (lang,
+    * gram) profile; totals/vocab/priors derive from that
+    * dictionary-sized table (no second corpus pass, no corpus-wide
+    * distinct); scoring is one broadcast join + one keyed decimal-sum
+    * aggregation per doc. */
   private val langId: Q = (s, d) => {
     val base = Tables.documents(s, d)
-      .withColumn("toks", array_distinct(tokens(col("text"))))
-    val scored = langMarkers.foldLeft(base) { case (df, (l, ms)) =>
-      df.withColumn(s"s_$l",
-        size(array_intersect(col("toks"), array(ms.map(lit): _*))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("split", Sampling.splitCol(col("doc_id")))
+    val g = base
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        explode(tokens(col("text"))).as("gram"))
+    val cnt = g.filter(col("split") === "train")
+      .groupBy(col("lang").as("plang"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    // per-gram profile row: c_<lang> columns (pivot via conditional sums)
+    val wtab = cnt.groupBy(col("gram"))
+      .agg(sum(when(col("plang") === langNames.head, col("c"))).as(s"c_${langNames.head}"),
+        langNames.tail.map(l =>
+          sum(when(col("plang") === l, col("c"))).as(s"c_$l")): _*)
+    // totals + vocab size from the dictionary-sized count table; train
+    // doc counts from the row-level base (no token fan-out)
+    val totRow = cnt.agg(
+      sum(when(col("plang") === langNames.head, col("c"))).as(s"tot_${langNames.head}"),
+      langNames.tail.map(l =>
+        sum(when(col("plang") === l, col("c"))).as(s"tot_$l")) :+
+        countDistinct(col("gram")).as("nv"): _*)
+    val ndRow = base.filter(col("split") === "train").agg(
+      sum(when(col("lang") === langNames.head, 1L).otherwise(0L)).as(s"nd_${langNames.head}"),
+      langNames.tail.map(l =>
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"nd_$l")): _*)
+    val weighted = langNames.foldLeft(wtab.crossJoin(broadcast(totRow))) {
+      (df, l) => df.withColumn(s"w_$l",
+        Det.r4(log((coalesce(col(s"c_$l"), lit(0L)) + lit(1.0)) /
+          (col(s"tot_$l") + col("nv")))))
+    }.select(col("gram") +: langNames.map(l => col(s"w_$l")): _*)
+    val nTrain = langNames.map(l => col(s"nd_$l")).reduce(_ + _)
+    val priRow = langNames.foldLeft(ndRow) { (df, l) =>
+      df.withColumn(s"p_$l",
+        Det.r4(log(col(s"nd_$l").cast("double") / nTrain)))
+    }.select(langNames.map(l => col(s"p_$l")): _*)
+    val scored = g.join(broadcast(weighted), "gram")
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"),
+        max(col("split")).as("split") +:
+          langNames.map(l => Det.dsum(col(s"w_$l")).as(s"s_$l")): _*)
+      .crossJoin(broadcast(priRow))
+    val withScores = langNames.foldLeft(scored) { (df, l) =>
+      df.withColumn(s"score_$l", col(s"p_$l") + col(s"s_$l"))
     }
-    val best = langMarkers.map(_._1).map(l => col(s"s_$l"))
-      .reduce((a, b) => greatest(a, b))
-    val pred = langMarkers.foldRight(lit("und"): Column) {
-      case ((l, _), acc) =>
-        when(col(s"s_$l") === col("best") && col("best") > 0, lit(l))
-          .otherwise(acc)
+    val best = langNames.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    val pred = langNames.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"score_$l") === col("best"), lit(l)).otherwise(acc)
     }
-    scored.withColumn("best", best)
+    withScores.withColumn("best", best)
       .withColumn("predicted", pred)
-      .select(col("doc_id"), col("lang"), col("predicted"),
+      .select(col("doc_id"), col("lang"), col("split"), col("predicted"),
         (col("predicted") === col("lang")).as("is_match"))
       .orderBy(col("doc_id").asc)
   }
@@ -181,13 +229,8 @@ object Text {
   val sqlToks: String =
     "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
 
-  private[graft] val sqlLangScores = langMarkers.map { case (l, ms) =>
-    val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
-    s"CAST(LEN(list_intersect(toks, $lst)) AS BIGINT) AS s_$l"
-  }.mkString(",\n        |       ")
-
-  private[graft] val sqlPred = langMarkers.foldRight("'und'") { case ((l, _), acc) =>
-    s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+  private[graft] val sqlPred = langNames.foldRight("'und'") { (l, acc) =>
+    s"CASE WHEN score_$l = best THEN '$l' ELSE $acc END"
   }
 
   /** DuckDB CTE chain `q(doc_id, n_tokens, quality)` — the quality
@@ -212,15 +255,74 @@ object Text {
              "LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2")} AS quality
        |  FROM qc)""".stripMargin
 
-  /** DuckDB CTE chain `l(doc_id, predicted)` — the language-ID argmax,
-    * factored for the same reason. */
-  private[graft] val sqlLangIdCtes: String =
-    s"""lt AS (SELECT doc_id, list_distinct($sqlToks) AS toks FROM documents),
-       |ls AS (SELECT doc_id,
-       |       $sqlLangScores
-       |       FROM lt),
-       |lb AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best FROM ls),
-       |l AS (SELECT doc_id, $sqlPred AS predicted FROM lb)""".stripMargin
+  /** DuckDB CTE chain ending in `l(doc_id, lang, split, predicted)` —
+    * the naive-Bayes language-ID, factored for the same reason (the
+    * pipeline capstone composes it). Mirrors [[langId]] stage for
+    * stage: train-split profile counts → dictionary-side r4'd
+    * log-weights/priors → exact decimal score sums → argmax with
+    * lang-ascending tie order. */
+  private[graft] val sqlLangIdCtes: String = {
+    val cCols = langNames.map(l =>
+      s"CAST(SUM(CASE WHEN plang = '$l' THEN c END) AS BIGINT) AS c_$l")
+      .mkString(",\n       |         ")
+    val totCols = langNames.map(l =>
+      s"CAST(SUM(CASE WHEN plang = '$l' THEN c END) AS BIGINT) AS tot_$l")
+      .mkString(",\n       |         ")
+    val ndCols = langNames.map(l =>
+      s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS nd_$l")
+      .mkString(",\n       |         ")
+    val wCols = langNames.map(l =>
+      s"${Det.sqlR4(s"LN((COALESCE(c_$l, 0) + 1.0) / (tot_$l + nv))")} AS w_$l")
+      .mkString(",\n       |         ")
+    val nSum = langNames.map(l => s"nd_$l").mkString(" + ")
+    val pCols = langNames.map(l =>
+      s"${Det.sqlR4(s"LN(CAST(nd_$l AS DOUBLE) / ($nSum))")} AS p_$l")
+      .mkString(",\n       |         ")
+    val sCols = langNames.map(l => s"${Det.sqlDsum(s"w_$l")} AS s_$l")
+      .mkString(",\n       |         ")
+    val scoreCols = langNames.map(l => s"p_$l + s_$l AS score_$l")
+      .mkString(",\n       |         ")
+    val bestArgs = langNames.map(l => s"score_$l").mkString(", ")
+    s"""li_base AS (
+       |  SELECT doc_id, lang, ${Sampling.sqlSplit("doc_id")} AS split, text
+       |  FROM documents),
+       |li_g AS (
+       |  SELECT doc_id, lang, split, UNNEST($sqlToks) AS gram FROM li_base),
+       |li_cnt AS (
+       |  SELECT lang AS plang, gram, COUNT(*) AS c
+       |  FROM li_g WHERE split = 'train' GROUP BY 1, 2),
+       |li_wtab AS (
+       |  SELECT gram,
+       |         $cCols
+       |  FROM li_cnt GROUP BY gram),
+       |li_tot AS (
+       |  SELECT $totCols,
+       |         COUNT(DISTINCT gram) AS nv
+       |  FROM li_cnt),
+       |li_nd AS (
+       |  SELECT $ndCols
+       |  FROM li_base WHERE split = 'train'),
+       |li_w AS (
+       |  SELECT gram,
+       |         $wCols
+       |  FROM li_wtab CROSS JOIN li_tot),
+       |li_pri AS (
+       |  SELECT $pCols
+       |  FROM li_nd),
+       |li_sc AS (
+       |  SELECT li_g.doc_id, MAX(li_g.lang) AS lang, MAX(li_g.split) AS split,
+       |         $sCols
+       |  FROM li_g JOIN li_w USING (gram)
+       |  GROUP BY li_g.doc_id),
+       |li_score AS (
+       |  SELECT doc_id, lang, split,
+       |         $scoreCols
+       |  FROM li_sc CROSS JOIN li_pri),
+       |li_best AS (
+       |  SELECT *, GREATEST($bestArgs) AS best FROM li_score),
+       |l AS (
+       |  SELECT doc_id, lang, split, $sqlPred AS predicted FROM li_best)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_text_wordcount" ->
@@ -253,16 +355,10 @@ object Text {
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
     "q_text_langid" ->
-      s"""WITH t AS (SELECT doc_id, lang,
-         |       list_distinct($sqlToks) AS toks FROM documents),
-         |s AS (SELECT doc_id, lang,
-         |       $sqlLangScores
-         |       FROM t),
-         |b AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
-         |SELECT doc_id, lang,
-         |       $sqlPred AS predicted,
-         |       ($sqlPred) = lang AS is_match
-         |FROM b
+      s"""WITH $sqlLangIdCtes
+         |SELECT doc_id, lang, split, predicted,
+         |       predicted = lang AS is_match
+         |FROM l
          |ORDER BY doc_id ASC""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (

@@ -143,6 +143,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(broken.count() == 0, "near-dup pair split across clusters")
   }
 
+  test("langid: held-out accuracy is measurably above chance") {
+    // trained on the hash train-split only; the test split is unseen.
+    // 5 balanced classes → chance = 0.2; the profile classifier must
+    // clear 1.5x chance on docs it never trained on (measured ~0.37)
+    val out = SparkEntry.queries("q_text_langid")(spark, sf)
+      .filter(col("split") === "test")
+    val n = out.count()
+    val hits = out.filter(col("is_match")).count()
+    assert(n > 50, s"held-out split unexpectedly small: $n")
+    assert(hits.toDouble / n > 0.3,
+      s"held-out accuracy ${hits.toDouble / n} not above 1.5x chance")
+  }
+
   test("op-typed apply fold reconciles with tombstone compaction") {
     // two independent formulations of "does the key survive, and with
     // what state": the op-typed insert/update/delete fold vs the
