@@ -54,7 +54,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query map for humans / logs (NOT the contract line — with 85
     // queries it exceeds the driver's captured-output tail and fails to parse).
-    println(s"""BENCH_FULL {"n":${results.size},"total_sec":${r3(total)},"queries":${jsonMap(results)}}""")
+    val full = s"""{"n":${results.size},"total_sec":${r3(total)},"sf":"$sfDir","queries":${jsonMap(results)}}"""
+    println(s"BENCH_FULL $full")
+    // ... and persisted to a file so no round's per-query history can be
+    // lost to stdout-tail truncation again (BENCH_r01's total was)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // read-only fs must not kill the bench
     // Contract line: keep it short (< ~1.2 KB) so it fits entirely inside the
     // driver's tail window even with sbt's trailing "[success]" line after it.
     // `value` is the TOTAL across ALL queries; `queries` is a representative
@@ -65,9 +74,9 @@ object Bench {
       "q_topk_per_group", "q_sort_limit", "q_explode", "q_unpivot",
       "q_cdc_merge_upsert", "q_cdc_scd2", "q_stream_session",
       "q_dedup_exact", "q_dedup_near", "q_dedup_ngram",
-      "q_dedup_minhash_lsh", "q_dedup_clusters", "q_sim_cosine_topk",
-      "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_tfidf",
-      "q_pipeline_curate")
+      "q_dedup_minhash_lsh", "q_dedup_minhash_verify", "q_dedup_clusters",
+      "q_sim_cosine_topk", "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_tfidf",
+      "q_text_langid", "q_pipeline_curate")
     val head = headline.flatMap(k => results.get(k).map(k -> _))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, FuseDotProduct}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, FuseDotProduct, SigMatchCount}
 
 /** One-call engine installation onto an existing SparkSession:
   * registers the native SQL functions (`cosine_sim`, `dot_product`) and
@@ -18,6 +18,7 @@ object GraftSession {
   def install(spark: SparkSession): SparkSession = {
     CosineSimilarity.register(spark)
     DotProduct.register(spark)
+    SigMatchCount.register(spark)
     if (!spark.experimental.extraOptimizations.contains(FuseDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseDotProduct

@@ -215,18 +215,18 @@ object Dedup {
   }
 
   /** MinHash: h_i = min over tokens of md5(i || '|' || token) —
-    * lexicographic string min. The 16 salted hashes are precomputed on
+    * lexicographic string min. The salted hashes are precomputed on
     * the dictionary (vocab-sized, broadcast), so the corpus-sized
     * aggregation runs bare string `min`s — zero md5 calls per token
     * occurrence. */
-  private def minhashDict(v: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(v) { (df, i) =>
+  private def minhashDict(v: DataFrame, n: Int = NumHashes): DataFrame =
+    (0 until n).foldLeft(v) { (df, i) =>
       df.withColumn(s"vh$i",
         md5(concat(lit(s"$i|"), col("word")).cast("binary")))
     }
 
-  private def minhashAggs: Seq[Column] =
-    (0 until NumHashes).map(i => min(col(s"vh$i")).as(s"h$i"))
+  private def minhashAggs(n: Int = NumHashes): Seq[Column] =
+    (0 until n).map(i => min(col(s"vh$i")).as(s"h$i"))
 
   private def bandKey(j: Int): Column =
     md5(concat_ws("|",
@@ -296,8 +296,8 @@ object Dedup {
     val v = minhashDict(vocab(dw).withColumn("bitval", maskBit))
     val withKeys = dw.join(broadcast(v), "word")
       .groupBy(col("doc_id"))
-      .agg(minhashAggs.head,
-        minhashAggs.tail :+ bit_or(col("bitval")).as("mask"): _*)
+      .agg(minhashAggs().head,
+        minhashAggs().tail :+ bit_or(col("bitval")).as("mask"): _*)
       .withColumn("n", expr("bit_count(mask)").cast("long"))
       .select(Seq(col("doc_id"), col("mask"), col("n")) ++
         (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
@@ -324,12 +324,20 @@ object Dedup {
     * same signatures come from salting each token occurrence directly
     * (min is duplicate-insensitive), no broadcast needed.
     *
-    * Estimator: E[matches/NumHashes] = J (each independent min-hash
-    * collides with probability exactly J). matches ≥ 13 of 16 ⟺
-    * estimate ≥ 0.8 — integer threshold, no float comparison, identical
-    * in both engines because the signatures are identical md5 strings.
-    * OperatorSpec quantifies agreement with the mask-exact Jaccard on
-    * the toy vocab (where the exact value is still computable). */
+    * Estimator: E[matches/VerifyHashes] = J (each independent min-hash
+    * collides with probability exactly J). The verification signature
+    * is WIDER than the banding one (64 vs 16): at 16 hashes the
+    * estimator's tail is fat enough that this dup-heavy corpus's mass
+    * of mid-similarity pairs floods the threshold (measured 3.5M
+    * output rows at sf0.1); at 64, P(est ≥ 0.8125 | J = 0.6) drops
+    * ~46x (Chernoff), so the output is the true near-dup set plus a
+    * thin noise floor. Band keys still come from the first 16 hashes —
+    * the candidate set is identical to [[minhashLsh]]'s. matches ≥ 52
+    * of 64 ⟺ estimate ≥ 0.8 — integer threshold, no float comparison,
+    * identical in both engines because the signatures are identical
+    * md5 strings. OperatorSpec quantifies agreement with the
+    * mask-exact Jaccard on the toy vocab (where the exact value is
+    * still computable). */
   private val minhashVerify: Q = (s, d) =>
     minhashEstimates(s, d)
       .filter(col("n_match") >= lit(VerifyMatchMin))
@@ -337,32 +345,70 @@ object Dedup {
         Det.r4(col("jaccard_est")).as("jaccard_est"))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
-  /** 13/16 matching hashes ⟺ estimated Jaccard ≥ 0.8 (⌈0.8·16⌉). */
-  private val VerifyMatchMin = math.ceil(0.8 * NumHashes).toInt
+  /** Verification signature width (the banding signature stays 16). */
+  private val VerifyHashes = 64
+
+  /** 52/64 matching hashes ⟺ estimated Jaccard ≥ 0.8 (⌈0.8·64⌉). */
+  private val VerifyMatchMin = math.ceil(0.8 * VerifyHashes).toInt
 
   /** All LSH candidate pairs with the signature-match count and the
     * Jaccard estimate, UNTHRESHOLDED — the declared [[minhashVerify]]
     * filters this; OperatorSpec joins it against the mask-exact values
-    * to bound the estimation error. */
+    * to bound the estimation error.
+    *
+    * Shape: the band join carries NO payload — dragging 16 md5 strings
+    * per side through the skew-split pair enumeration shuffles ~1 KB
+    * per candidate (measured 5x the whole suite's median query);
+    * instead the compact signature table joins onto the (a_id, b_id)
+    * stream afterwards, broadcast here (doc-count-sized), a keyed
+    * equi-join at corpus scale — the same two-sided sig join the
+    * oracle states. localCheckpoint materializes the signature agg
+    * once for its three consumers (band keys + both join sides). */
   def minhashEstimates(s: SparkSession, d: String): DataFrame = {
     val dw = docTokens(s, d)
-    val v = minhashDict(vocab(dw))
+    // Integer min-hashes: the 60-bit prefix of each salted md5, parsed
+    // ON THE DICTIONARY (vocab x 64 rows) — fixed-width lowercase hex
+    // orders identically to its numeric value, so min-of-int equals
+    // min-of-string up to 15-hex-digit prefix ties, and DuckDB's
+    // CAST('0x'||prefix AS BIGINT) computes the identical integer.
+    // Why integers: the pair loop below compares 6M+ pairs x 64
+    // elements; over array<string> that's ~2 KB of UTF8 copying per
+    // pair (measured 77s at sf0.1), over primitive array<bigint> it is
+    // a bare long-compare loop. One array column, not 64 scalars: a
+    // 64-wide when-tree breaks whole-stage codegen (measured 100s).
+    val v = (0 until VerifyHashes).foldLeft(vocab(dw)) { (df, i) =>
+      df.withColumn(s"vh$i",
+        conv(substring(md5(concat(lit(s"$i|"), col("word")).cast("binary")),
+          1, 15), 16, 10).cast("long"))
+    }
+    val intBandKey = (j: Int) => md5(concat_ws("|",
+      (0 until RowsPerBand).map(r =>
+        col(s"h${j * RowsPerBand + r}").cast("string")): _*).cast("binary"))
     val sigs = dw.join(broadcast(v), "word")
       .groupBy(col("doc_id"))
-      .agg(minhashAggs.head, minhashAggs.tail: _*)
+      .agg(min(col("vh0")).as("h0"),
+        (1 until VerifyHashes).map(i => min(col(s"vh$i")).as(s"h$i")): _*)
+      .select(col("doc_id") +:
+        array((0 until VerifyHashes).map(i => col(s"h$i")): _*).as("sig") +:
+        (0 until Bands).map(j => intBandKey(j).as(s"bk$j")): _*)
+      .localCheckpoint()
     val withKeys = sigs.select(
-      (col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i"))) ++
-        (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
-    val matches = (0 until NumHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    lshCandidatePairs(withKeys, (0 until NumHashes).map(i => s"h$i"))
-      .withColumn("n_match", matches.cast("long"))
-      .withColumn("jaccard_est",
-        col("n_match").cast("double") / lit(NumHashes))
+      col("doc_id") +: (0 until Bands).map(j => col(s"bk$j")): _*)
+    val cand = lshCandidatePairs(withKeys, Seq.empty)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        col("n_match"), col("jaccard_est"))
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    // native codegen'd match count — the HOF zip_with/aggregate twin
+    // pays per-element lambda dispatch on every candidate pair
+    // (measured 37s vs ~3s at sf0.1); see SigMatchCount's scaladoc
+    val matches = org.apache.spark.sql.graft.SigMatchCount
+      .sigMatchCount(col("a_sig"), col("b_sig"))
+    cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+      .withColumn("n_match", matches)
+      .withColumn("jaccard_est",
+        col("n_match").cast("double") / lit(VerifyHashes))
+      .select(col("a_id"), col("b_id"), col("n_match"), col("jaccard_est"))
   }
 
   /** Connected components over the near-duplicate pair graph —
@@ -573,9 +619,11 @@ object Dedup {
        |  FROM mdw JOIN mvocab USING (word)
        |  GROUP BY doc_id)""".stripMargin
 
-  private val sqlMinhash = (0 until NumHashes)
+  private def sqlMinhashN(n: Int) = (0 until n)
     .map(i => s"MIN(md5('$i|' || word)) AS h$i")
     .mkString(",\n        |         ")
+
+  private val sqlMinhash = sqlMinhashN(NumHashes)
 
   private val sqlBandKeys = (0 until Bands).map { j =>
     val cols = (0 until RowsPerBand).map(r => s"h${j * RowsPerBand + r}")
@@ -703,18 +751,28 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_dedup_minhash_verify" -> {
-      val matchSum = (0 until NumHashes)
+      val matchSum = (0 until VerifyHashes)
         .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
+      // integer min-hashes: 60-bit md5 prefixes (see minhashEstimates)
+      val intMins = (0 until VerifyHashes)
+        .map(i => s"MIN(CAST('0x' || SUBSTRING(md5('$i|' || word), 1, 15) " +
+          s"AS BIGINT)) AS h$i")
+        .mkString(",\n        |         ")
+      val intBandKeys = (0 until Bands).map { j =>
+        val cols = (0 until RowsPerBand)
+          .map(r => s"CAST(h${j * RowsPerBand + r} AS VARCHAR)")
+        s"md5(${cols.mkString(" || '|' || ")})"
+      }
       s"""WITH dw AS (
          |  SELECT DISTINCT doc_id, word
          |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
          |sig AS (
          |  SELECT doc_id,
-         |         $sqlMinhash
+         |         $intMins
          |  FROM dw GROUP BY doc_id),
          |bands AS (
-         |${sqlBandKeys.zipWithIndex.map { case (k, j) =>
+         |${intBandKeys.zipWithIndex.map { case (k, j) =>
              s"  SELECT doc_id, $j AS band_idx, $k AS band_key FROM sig"
            }.mkString("", "\n  UNION ALL\n", "")}),
          |cand AS (
@@ -729,7 +787,7 @@ object Dedup {
          |  JOIN sig a ON a.doc_id = c.a_id
          |  JOIN sig b ON b.doc_id = c.b_id)
          |SELECT a_id, b_id, n_match,
-         |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $NumHashes")} AS jaccard_est
+         |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
          |FROM v
          |WHERE n_match >= $VerifyMatchMin
          |ORDER BY a_id ASC, b_id ASC""".stripMargin

@@ -202,8 +202,8 @@ class OperatorSpec extends AnyFunSuite {
           size(array_union(col("aw"), col("bw"))))
     val m = j.agg(
       avg(abs(col("jaccard_est") - col("jx"))).as("mae"),
-      sum(when(col("jx") >= 0.95 && col("n_match") < 13, 1).otherwise(0)).as("miss"),
-      sum(when(col("jx") <= 0.5 && col("n_match") >= 13, 1).otherwise(0)).as("false_hi"),
+      sum(when(col("jx") >= 0.95 && col("n_match") < 52, 1).otherwise(0)).as("miss"),
+      sum(when(col("jx") <= 0.5 && col("n_match") >= 52, 1).otherwise(0)).as("false_hi"),
       sum(when(col("jx") <= 0.5, 1).otherwise(0)).as("lo"),
       count(lit(1)).as("n")).collect()(0)
     assert(m.getAs[Long]("n") > 10000, "candidate set unexpectedly small")
