@@ -47,6 +47,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.filter(col("checksum") <= 0).count() == 0)
   }
 
+  test("binary parquet round-trip drives the mapPartitions paths") {
+    // the deployment shape: payloads persisted as a real parquet binary
+    // column, re-read, and decoded/resized via the batched mapPartitions
+    // plumbing — not the in-memory expression twins
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-multimodal").toString + "/payloads"
+    Multimodal.withBinaryPayload(Tables.documents(spark, SparkTestSession.sf))
+      .select(col("doc_id"), col("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      "payload column must round-trip as a parquet binary column")
+    val viaBatch = Multimodal.decodeBatched(back.repartition(3),
+        "doc_id", "payload", batchSize = 11)
+      .orderBy(col("doc_id"))
+    val viaExpr = Multimodal.queries("q_multimodal_meta")(
+      spark, SparkTestSession.sf)
+    assert(viaExpr.collect().toSeq == viaBatch.collect().toSeq,
+      "decodeBatched over re-read parquet diverged from expression path")
+    val resizedBack = Multimodal.resizeBatched(back.repartition(3),
+        "doc_id", "payload", batchSize = 11)
+      .select(col("doc_id"), length(col("resized")).cast("long").as("resized_bytes"))
+      .orderBy(col("doc_id"))
+    val resizedExpr = Multimodal.queries("q_multimodal_resize")(
+      spark, SparkTestSession.sf)
+      .select(col("doc_id"), col("resized_bytes"))
+    assert(resizedExpr.collect().toSeq == resizedBack.collect().toSeq,
+      "resizeBatched over re-read parquet diverged from expression path")
+  }
+
   test("batch size does not change results (1 vs 1000)") {
     val docs = Multimodal.withBinaryPayload(
       Tables.documents(spark, SparkTestSession.sf))

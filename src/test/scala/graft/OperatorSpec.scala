@@ -143,6 +143,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(broken.count() == 0, "near-dup pair split across clusters")
   }
 
+  test("sketch queries stay within error bounds of their exact twins") {
+    // the two rows-only queries (no DuckDB oracle: sketch values are
+    // engine-specific) still get a value check — against Spark's own
+    // exact aggregates. HLL at rsd=0.01 must land within 5% (5 sigma);
+    // approx_percentile at accuracy=10000 within 1% of exact.
+    val hll = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+    val exact = SparkEntry.queries("q_agg_distinct")(spark, sf)
+    val badHll = hll.join(exact, "l_returnflag")
+      .filter(
+        abs(col("approx_supp") - col("n_supp")).cast("double") /
+          col("n_supp") > 0.05 ||
+        abs(col("approx_orders") - col("n_orders")).cast("double") /
+          col("n_orders") > 0.05)
+    assert(badHll.count() == 0, "HLL estimate outside 5% of exact distinct")
+
+    val ap = SparkEntry.queries("q_agg_approx_percentile")(spark, sf)
+    val ex = graft.io.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.95)").as("e95"))
+    val badP = ap.join(ex, "l_returnflag")
+      .filter(
+        abs(col("p50") - col("e50")) / col("e50") > 0.01 ||
+        abs(col("p95") - col("e95")) / col("e95") > 0.01)
+    assert(badP.count() == 0,
+      "approx percentile outside 1% of exact percentile")
+  }
+
   test("langid: held-out accuracy is measurably above chance") {
     // trained on the hash train-split only; the test split is unseen.
     // 5 balanced classes → chance = 0.2; the profile classifier must
