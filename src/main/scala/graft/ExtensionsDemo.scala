@@ -30,8 +30,17 @@ object ExtensionsDemo {
       .withColumn("d",
         aggregate(zip_with(col("e"), col("e"), (x, y) => x * y), lit(0.0), _ + _))
     val fused = q.queryExecution.optimizedPlan.toString.contains("dot_product")
-    println(s"FUSED=$fused ROWS=${q.count()}")
+    // the injected SQL functions must resolve by name in this session
+    // (no GraftSession.install ran here)
+    val sqlOk = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m")
+      .collect()(0)
+    val fnOk = sqlOk.getDouble(0) == 11.0 && sqlOk.getDouble(1) == 1.0 &&
+      sqlOk.getLong(2) == 2L
+    println(s"FUSED=$fused FUNCS=$fnOk ROWS=${q.count()}")
     spark.stop()
-    if (!fused) sys.exit(1)
+    if (!fused || !fnOk) sys.exit(1)
   }
 }

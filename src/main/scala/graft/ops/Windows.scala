@@ -103,7 +103,22 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("rn").asc)
   }
 
+  /** Distribution family: percent_rank / cume_dist over balance within
+    * segment. The ORDER BY carries a unique tiebreak (custkey), so both
+    * functions are exact rationals of integer rank/count — identical
+    * IEEE divisions in both engines (r4 belt-and-braces). */
+  private val windowDistribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        Det.r4(percent_rank().over(w)).as("pct_rank"),
+        Det.r4(cume_dist().over(w)).as("cume"))
+      .orderBy(col("c_mktsegment").asc, col("c_custkey").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_distribution" -> windowDistribution,
     "q_window_rank"        -> windowRank,
     "q_window_lag_lead"    -> windowLagLead,
     "q_window_frame_rows"  -> windowFrameRows,
@@ -113,6 +128,14 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_distribution" ->
+      s"""SELECT c_mktsegment, c_custkey, c_acctbal,
+         |       ${Det.sqlR4("PERCENT_RANK() OVER w")} AS pct_rank,
+         |       ${Det.sqlR4("CUME_DIST() OVER w")} AS cume
+         |FROM customer
+         |WINDOW w AS (PARTITION BY c_mktsegment
+         |             ORDER BY c_acctbal DESC, c_custkey ASC)
+         |ORDER BY c_mktsegment ASC, c_custkey ASC""".stripMargin,
     "q_window_rank" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |       RANK()       OVER w AS rnk,
