@@ -65,16 +65,55 @@ object StreamingOps {
           .as("dur_ms"))
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** Stream-stream join in batch form: click→purchase attribution —
+    * each purchase matched to same-user clicks in the preceding 2 h.
+    * The equi-key (user_id) makes this a hash join with the time bound
+    * as a post-filter; under `readStream` the identical expression runs
+    * as a watermarked stream-stream join where the time-range bound is
+    * what lets Spark evict buffered rows from join state
+    * ([[graft.streaming.Streams.clickAttribution]] is the true
+    * streaming twin; parity asserted in StreamsSpec). */
+  private val streamStreamJoin: Q = (s, d) => {
+    val e = stream(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("delay_ms"))
+      .orderBy(col("user_id").asc, col("click_id").asc,
+        col("purchase_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> tumbling,
     "q_stream_sliding"  -> sliding,
     "q_stream_session"  -> session,
+    "q_stream_stream_join" -> streamStreamJoin,
   )
 
   private val sqlStream =
     s"SELECT event_id, user_id, event_type, value, ${Det.sqlEts("ts")} AS ts FROM events"
 
   val oracle: Map[String, String] = Map(
+    "q_stream_stream_join" ->
+      s"""WITH s AS ($sqlStream),
+         |c AS (SELECT event_id AS click_id, user_id, ts
+         |      FROM s WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+         |      FROM s WHERE event_type = 'purchase')
+         |SELECT c.user_id, click_id, purchase_id,
+         |       epoch_ms(p.pts) - epoch_ms(c.ts) AS delay_ms
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |             AND p.pts >= c.ts AND p.pts < c.ts + INTERVAL 2 HOURS
+         |ORDER BY c.user_id ASC, click_id ASC, purchase_id ASC""".stripMargin,
     "q_stream_tumbling" ->
       s"""WITH s AS ($sqlStream)
          |SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -58,6 +58,27 @@ object Streams {
     events.join(broadcast(customer),
       events("user_id") === customer("c_custkey"), "left")
 
+  /** Stream-stream join: purchases attributed to same-user clicks in
+    * the preceding 2 h — the true streaming twin of
+    * q_stream_stream_join. Both sides carry a watermark and the join
+    * condition bounds purchase_ts relative to click_ts; together these
+    * let Spark compute how long each buffered row can still match and
+    * evict it from join state afterwards. Without the time-range bound
+    * the state grows without limit — on an unbounded CDC feed that is
+    * the difference between O(watermark-window) and O(stream) state.
+    *
+    * Expected input schemas (renamed so the join condition is
+    * unambiguous): clicks(click_id, user_id, click_ts),
+    * purchases(purchase_id, p_user_id, purchase_ts). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("click_ts", "1 hour")
+      .join(purchases.withWatermark("purchase_ts", "1 hour"),
+        expr("user_id = p_user_id AND purchase_ts >= click_ts" +
+          " AND purchase_ts < click_ts + INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("delay_ms"))
+
   /** Continuously-maintained last-write-wins snapshot — the streaming
     * twin of q_cdc_latest_state (the reference's consumer loop: fold
     * each keyed mutation into current row state). One state entry per

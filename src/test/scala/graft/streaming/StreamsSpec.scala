@@ -115,6 +115,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/${epochs.head}").count() > 0)
   }
 
+  test("stream-stream join equals the batch join on the same input") {
+    val clickRows = Seq((10L, 1L, ts(5)), (11L, 1L, ts(100)), (12L, 2L, ts(10)))
+    val purchRows = Seq(
+      (20L, 1L, ts(30)),   // matches click 10 (25 min later)
+      (21L, 1L, ts(140)),  // matches clicks 10 (135 min) NO (>2h) and 11 (40 min)
+      (22L, 2L, ts(200)))  // >2h after click 12 → no match
+    def toClicks(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("click_id", "user_id", "click_ts")
+    def toPurch(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("purchase_id", "p_user_id", "purchase_ts")
+    val batch = Streams.clickAttribution(
+      toClicks(clickRows.toDF()), toPurch(purchRows.toDF())).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[(Long, Long, Timestamp)]
+    val memP = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.clickAttribution(toClicks(memC.toDF()), toPurch(memP.toDF()))
+      .writeStream.format("memory").queryName(s"ssj_${System.nanoTime()}")
+      .outputMode("append").start()
+    // feed out of lockstep: clicks first, then purchases across 2 epochs
+    memC.addData(clickRows); q.processAllAvailable()
+    memP.addData(purchRows.take(1)); q.processAllAvailable()
+    memP.addData(purchRows.drop(1)); q.processAllAvailable()
+    val streamed = spark.table(q.name).collect().toSet
+    q.stop()
+    assert(batch.map(_.getAs[Long]("purchase_id")) == Set(20L, 21L))
+    assert(streamed == batch)
+  }
+
   test("session windows split at the gap in batch form") {
     val sess = Streams.sessionAgg(evs.toDF()).collect()
     // user 1: 5 | 20 | 70 (15- and 50-min gaps); user 2: 65 | 130
