@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked app's stdout must reach the console UNPREFIXED: sbt's
+// default LoggedOutput decorates every line with "[info] ", which breaks
+// line-oriented JSON consumers of Bench/Verify output (a parser doing
+// json.loads per line never sees a bare `{...}` line). StdoutOutput
+// inherits the parent's stdout directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
