@@ -39,11 +39,11 @@ object Vectors {
         col("label"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
-  /** 8-bit sign-pattern bucket over a dimension slice — a deterministic
+  /** Sign-pattern bucket over a dimension slice — a deterministic
     * random-hyperplane LSH stand-in; different offsets give independent
     * probe tables (multi-probe raises recall, same plan shape). */
-  private def signBucketAt(emb: Column, offset: Int): Column =
-    concat((1 to 8).map(i =>
+  private def signBucketAt(emb: Column, offset: Int, bits: Int = 8): Column =
+    concat((1 to bits).map(i =>
       when(element_at(emb, offset + i) > 0, lit("1")).otherwise(lit("0"))): _*)
 
   private def signBucket(emb: Column): Column = signBucketAt(emb, 0)
@@ -87,21 +87,58 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
-  /** Embedding-cosine near-duplicate pairs within a sign bucket. The
-    * synthetic corpus has no true near-dupes (max in-bucket cosine
-    * ≈0.43), so the threshold is set to surface the most-similar tail;
-    * raise it to 0.95+ for a real dedup corpus. */
+  /** Embedding-dedup blocking depth: each base blocks on
+    * [[DedupBucketBits]] sign bits (within-block pair count
+    * O(n²/2^bits) for random-ish vectors), and [[DedupBases]]
+    * independent bases union their candidates — the LSH-banding
+    * construction: depth buys precision (smaller blocks), bases buy
+    * recall. At corpus scale raise BOTH: ~20+ bits so blocks stay
+    * bounded as n grows, and as many bases as the recall target needs
+    * (for cosine ≥0.95, per-base collision is (1−θ/π)^bits; bases
+    * compound as 1−(1−p)^R). A single fixed-depth bucket — the previous
+    * formulation — is O(n²/2^bits) with n² growing and 2^bits constant:
+    * not a scale plan. */
+  private val DedupBucketBits = 12
+  private val DedupBases = 2
+
+  /** Embedding-cosine near-duplicate pairs: candidates are the UNION of
+    * per-base sign-bucket equi-joins (see [[DedupBucketBits]]), deduped
+    * on the pair key, then verified by exact cosine. The pair
+    * enumeration carries no vector payload — embeddings join back onto
+    * the deduped (a_id, b_id) stream from the doc-sized corpus table,
+    * hint-free (auto-broadcast at fixture scale, shuffle join beyond).
+    * The synthetic corpus has no true near-dupes (max candidate cosine
+    * ≈0.46), so the threshold surfaces the most-similar tail; raise it
+    * to 0.95+ for a real dedup corpus. */
+  /** Deduped (a_id, b_id) candidate pairs from the first `bases` sign
+    * bases — exposed so the spec can assert the multi-base superset
+    * relation. */
+  private[graft] def embDedupCandidates(s: SparkSession, d: String,
+                                        bases: Int = DedupBases): DataFrame = {
+    val c = corpus(s, d)
+    val perBase = (0 until bases).map { base =>
+      val keyed = c.select(col("vec_id"),
+        signBucketAt(col("emb"), base * DedupBucketBits, DedupBucketBits)
+          .as("bucket"))
+      keyed.select(col("bucket"), col("vec_id").as("a_id"))
+        .join(keyed.select(col("bucket"), col("vec_id").as("b_id")),
+          Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }
+    perBase.reduce(_ unionAll _).dropDuplicates("a_id", "b_id")
+  }
+
   private val embDedup: Q = (s, d) => {
-    val c = corpus(s, d).withColumn("bucket", signBucket(col("emb")))
-    val a = c.select(col("bucket"), col("vec_id").as("a_id"),
-      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = c.select(col("bucket"), col("vec_id").as("b_id"),
-      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+    val c = corpus(s, d)
+    embDedupCandidates(s, d)
+      .join(c.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(c.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), "b_id")
       .withColumn("cos",
         dot(col("a_emb"), col("b_emb")) / nullif(col("a_nrm") * col("b_nrm"), lit(0.0)))
-      .filter(col("cos") >= 0.35)
+      .filter(col("cos") >= 0.2)
       .select(col("a_id"), col("b_id"), Det.r4(col("cos")).as("cosine"))
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
@@ -336,16 +373,24 @@ object Vectors {
          |       ${Det.sqlR4("cos")} AS cosine
          |FROM r WHERE rn <= 3
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
-    "q_dedup_embedding" ->
+    "q_dedup_embedding" -> {
+      val db0 = (1 to 12)
+        .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      val db1 = (13 to 24)
+        .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
       s"""WITH c0 AS ($sqlCorpus),
-         |c AS (SELECT *, $sqlBucket AS bucket FROM c0),
+         |c AS (SELECT *, $db0 AS db0, $db1 AS db1 FROM c0),
          |j AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |         list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0.0) AS cos
-         |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM c a JOIN c b
+         |    ON (a.db0 = b.db0 OR a.db1 = b.db1) AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, ${Det.sqlR4("cos")} AS cosine
-         |FROM j WHERE cos >= 0.35
-         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+         |FROM j WHERE cos >= 0.2
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin
+    },
     "q_multimodal_join" ->
       s"""WITH c AS ($sqlCorpus),
          |t AS (SELECT doc_id, lang, n_chars,

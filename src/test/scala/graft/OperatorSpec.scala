@@ -80,6 +80,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall > 0.8, s"LSH candidate recall too low: $recall")
   }
 
+  test("embedding-dedup multi-base candidates superset each single base") {
+    val one = graft.ops.Vectors.embDedupCandidates(spark, sf, bases = 1)
+    val two = graft.ops.Vectors.embDedupCandidates(spark, sf, bases = 2)
+    assert(one.except(two).count() == 0,
+      "base-0 candidate pairs must survive the multi-base union")
+    assert(two.count() >= one.count())
+    // every declared output pair is a candidate (sanity of the join-back)
+    val out = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+    assert(out.select("a_id", "b_id").except(two).count() == 0)
+  }
+
   test("salted signatures equal the dictionary-precompute twin") {
     // the dictionary-free 100 TB path and the small-vocab precompute
     // must produce bit-identical signature tables on the toy vocab
