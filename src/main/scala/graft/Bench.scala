@@ -26,11 +26,15 @@ object Bench {
       }
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Two timed passes, report the per-query minimum over SUCCESSFUL
-    // runs: host co-tenant load spikes (observed 5x inflation) would
-    // otherwise corrupt a single-shot measurement. A failed run must
-    // not win the min (a fast exception is not a fast query); a query
-    // that failed in both passes reports -1 so the failure is visible.
+    // Median-of-N timed passes (default 5) over SUCCESSFUL runs: host
+    // co-tenant load spikes (observed 5x inflation, and a 20% r3→r4
+    // total swing with ZERO code change under min-of-2) would otherwise
+    // corrupt the measurement — the median absorbs a minority of slow
+    // passes where the min still tracks one lucky one. A failed run
+    // must not enter the stats (a fast exception is not a fast query);
+    // a query that failed in every pass reports -1 so the failure is
+    // visible. Per-query [min, max] spread is persisted alongside so a
+    // noisy round is visibly noisy instead of silently wrong.
     def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -38,12 +42,22 @@ object Bench {
           catch { case _: Throwable => false }
         name -> (((System.nanoTime() - t0) / 1e9, ok))
     }
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = p1.map { case (k, (v1, ok1)) =>
-      val (v2, ok2) = p2(k)
-      val best = (if (ok1) Seq(v1) else Nil) ++ (if (ok2) Seq(v2) else Nil)
-      k -> (if (best.nonEmpty) best.min else -1.0)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    val allPasses = (1 to passes).map(_ => timedPass())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val byQuery = SparkEntry.queries.keys.map { k =>
+      k -> allPasses.flatMap { p =>
+        val (v, ok) = p(k); if (ok) Some(v) else None
+      }
+    }.toMap
+    val results = byQuery.map { case (k, xs) => k -> median(xs) }
+    val spread = byQuery.collect { case (k, xs) if xs.nonEmpty =>
+      k -> (xs.min, xs.max)
     }
     // Locale.ROOT: a comma-decimal default locale would emit "0,500"
     // and corrupt the contract JSON line
@@ -52,9 +66,12 @@ object Bench {
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jsonSpread(m: Iterable[(String, (Double, Double))]): String =
+      m.map { case (k, (lo, hi)) => "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]" }
+        .mkString("{", ",", "}")
     // Full per-query map for humans / logs (NOT the contract line — with 85
     // queries it exceeds the driver's captured-output tail and fails to parse).
-    val full = s"""{"n":${results.size},"total_sec":${r3(total)},"sf":"$sfDir","queries":${jsonMap(results)}}"""
+    val full = s"""{"n":${results.size},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"spread":${jsonSpread(spread)}}"""
     println(s"BENCH_FULL $full")
     // ... and persisted to a file so no round's per-query history can be
     // lost to stdout-tail truncation again (BENCH_r01's total was)
