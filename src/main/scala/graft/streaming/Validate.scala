@@ -28,6 +28,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Batch/stream parity of the two is asserted in ValidateSpec, and FSM
   * laws (well-formed accepted; injected gaps/duplicates/bracket breaks
   * detected) are ScalaCheck properties.
+  *
+  * The group layer ([[GMsg]], [[stepGroup]]) adds pgshovel's
+  * publisher-failover acceptance (SURVEY §3.1 E3): a new publisher
+  * legally supersedes the old one mid-stream (audited `handoff`, with
+  * the implied abort of an unfinished transaction), and a superseded
+  * publisher can never re-enter (`stale_publisher`).
   */
 object Validate {
 
@@ -131,6 +137,104 @@ object Validate {
           val (st, vs) = run(it.toSeq.sortBy(_.seq).iterator, init)
           state.update(st)
           vs.iterator
+      }
+  }
+
+  // ------------------------------------------------- publisher failover
+
+  /** One message of a replication-set (group) stream with failover.
+    * pgshovel runs one relay (publisher) per set at a time; on relay
+    * failure another takes over under a NEW publisher id with its own
+    * sequence space, and consumers must accept the takeover
+    * (SURVEY §3.1 E3 "publisher-failover acceptance") rather than
+    * flag it. `arrival` is the transport order (the Kafka offset at
+    * the reference): handoff is an arrival-order concept, so the fold
+    * keys on it explicitly instead of on any publisher's sequence. */
+  case class GMsg(group: String, publisher: String, seq: Long, op: String,
+                  arrival: Long)
+
+  /** Per-group failover state: the publisher currently owning the
+    * stream, its per-publisher FSM state, and the superseded
+    * publishers (grows with failovers, not with messages). */
+  case class GroupTxnState(active: String, pub: TxnState,
+                           retired: List[String])
+  val initialGroupState: GroupTxnState =
+    GroupTxnState(null, initialState, Nil)
+
+  /** A group-stream finding. `violation = false` rows are audit
+    * events of ACCEPTED transitions (`handoff`, and the
+    * `handoff_aborted_txn` it implies when the old publisher died
+    * mid-transaction — the reference's consumers likewise discard the
+    * unfinished transaction and move on); `violation = true` rows are
+    * [[step]]'s kinds plus `stale_publisher`. */
+  case class GroupEvent(group: String, publisher: String, seq: Long,
+                        op: String, kind: String, violation: Boolean)
+
+  /** Pure group transition — wraps [[step]] with failover acceptance:
+    *  - messages from the active publisher validate as before;
+    *  - a message from an UNSEEN publisher is a legal takeover: emit
+    *    an audited `handoff` (plus `handoff_aborted_txn` if the old
+    *    publisher left a transaction open), retire the old publisher,
+    *    and validate the message against a fresh per-publisher state
+    *    (new publishers start their own sequence space);
+    *  - a message from a RETIRED publisher is a `stale_publisher`
+    *    violation and is dropped without touching state — a
+    *    superseded relay must never re-enter the stream. */
+  def stepGroup(st: GroupTxnState, m: GMsg)
+      : (GroupTxnState, List[GroupEvent]) = {
+    def ev(kind: String, violation: Boolean) =
+      GroupEvent(m.group, m.publisher, m.seq, m.op, kind, violation)
+    def delegate(pst: TxnState): (TxnState, List[GroupEvent]) = {
+      val (next, vs) = step(pst, Msg(m.publisher, m.seq, m.op))
+      (next, vs.map(v => ev(v.kind, violation = true)))
+    }
+    if (st.active == null || m.publisher == st.active) {
+      val (p2, evs) = delegate(if (st.active == null) initialState else st.pub)
+      (GroupTxnState(m.publisher, p2, st.retired), evs)
+    } else if (st.retired.contains(m.publisher)) {
+      (st, List(ev("stale_publisher", violation = true)))
+    } else {
+      val aborted =
+        if (st.pub.inTxn) List(ev("handoff_aborted_txn", violation = false))
+        else Nil
+      val (p2, evs) = delegate(initialState)
+      (GroupTxnState(m.publisher, p2, st.active :: st.retired),
+        ev("handoff", violation = false) :: aborted ::: evs)
+    }
+  }
+
+  /** Fold a group's messages (already in arrival order). */
+  def runGroup(msgs: Iterator[GMsg],
+               init: GroupTxnState = initialGroupState)
+      : (GroupTxnState, List[GroupEvent]) =
+    msgs.foldLeft((init, List.empty[GroupEvent])) {
+      case ((st, acc), m) =>
+        val (st2, es) = stepGroup(st, m)
+        (st2, acc ++ es)
+    }
+
+  /** Batch twin: validate a recorded group stream. */
+  def validateGroupBatch(msgs: Dataset[GMsg]): Dataset[GroupEvent] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs.groupByKey(_.group).flatMapGroups { (_, it) =>
+      runGroup(it.toSeq.sortBy(_.arrival).iterator)._2
+    }
+  }
+
+  /** Streaming form: one state-store entry per GROUP (not per
+    * publisher), so failover state survives the publisher change. */
+  def validateGroupStream(msgs: Dataset[GMsg]): Dataset[GroupEvent] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs.groupByKey(_.group)
+      .flatMapGroupsWithState[GroupTxnState, GroupEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it: Iterator[GMsg], state: GroupState[GroupTxnState]) =>
+          val init = state.getOption.getOrElse(initialGroupState)
+          val (st, es) = runGroup(it.toSeq.sortBy(_.arrival).iterator, init)
+          state.update(st)
+          es.iterator
       }
   }
 }

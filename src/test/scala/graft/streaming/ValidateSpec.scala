@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.SparkTestSession
 import Validate.{Msg, TxnState, Violation, initialState, validateBatch, validateStream, validateStreamTws}
+import Validate.{GMsg, GroupEvent, runGroup, validateGroupBatch, validateGroupStream}
 import Validate.{run => foldMsgs}
 
 /** FSM unit + property tests, and batch/stream parity via MemoryStream. */
@@ -94,6 +95,85 @@ class ValidateSpec extends AnyFunSuite {
     val streamed = s2.table(q.name).as[Violation].collect().toSet
     q.stop()
     val batch = validateBatch(spark.createDataset(msgs)).collect().toSet
+    assert(streamed == batch)
+  }
+
+  // ---------------------------------------------- publisher failover
+
+  private def gmsgs(group: String, pub: String, txns: Int, muts: Int,
+      arrival0: Long): List[GMsg] =
+    wellFormed(pub, txns, muts).zipWithIndex.map { case (m, i) =>
+      GMsg(group, pub, m.seq, m.op, arrival0 + i)
+    }
+
+  test("clean publisher handoff is audited, not a violation") {
+    val (st, es) = runGroup(
+      (gmsgs("g", "p1", 2, 1, 0) ++ gmsgs("g", "p2", 2, 1, 100)).iterator)
+    assert(es.map(_.kind) == List("handoff"))
+    assert(es.forall(!_.violation))
+    assert(st.active == "p2" && st.retired == List("p1"))
+  }
+
+  test("handoff mid-transaction audits the implicit abort") {
+    val open = gmsgs("g", "p1", 1, 2, 0).dropRight(1) // commit never arrives
+    val (st, es) = runGroup((open ++ gmsgs("g", "p2", 1, 1, 100)).iterator)
+    assert(es.map(_.kind) == List("handoff", "handoff_aborted_txn"))
+    assert(es.forall(!_.violation))
+    assert(st.active == "p2" && !st.pub.inTxn)
+  }
+
+  test("stale publisher resurrection rejected without state change") {
+    val p2b = gmsgs("g", "p2", 1, 1, 300).map(m => m.copy(seq = m.seq + 3))
+    val (st, es) = runGroup(
+      (gmsgs("g", "p1", 1, 1, 0) ++ gmsgs("g", "p2", 1, 1, 100) ++
+        List(GMsg("g", "p1", 99, "begin", 200)) ++ p2b).iterator)
+    assert(es.map(_.kind) == List("handoff", "stale_publisher"))
+    assert(es.filter(_.violation).map(_.kind) == List("stale_publisher"))
+    assert(st.active == "p2" && st.retired == List("p1"))
+  }
+
+  test("property: chained complete-txn failovers audit handoffs only") {
+    checkProp(Prop.forAll(Gen.choose(1, 5), Gen.choose(1, 4),
+        Gen.choose(0, 3)) { (pubs, txns, muts) =>
+      val msgs = (0 until pubs).toList.flatMap { k =>
+        gmsgs("g", s"p$k", txns, muts, k * 1000L)
+      }
+      val es = runGroup(msgs.iterator)._2
+      es.map(_.kind) == List.fill(pubs - 1)("handoff") &&
+        es.forall(!_.violation)
+    })
+  }
+
+  test("property: single-publisher group stream embeds the plain FSM") {
+    checkProp(Prop.forAll(Gen.choose(1, 6), Gen.choose(0, 4),
+        Gen.choose(0L, 5L)) { (txns, muts, drop) =>
+      val mutated = wellFormed("p", txns, muts).filterNot(_.seq == drop)
+      val plain = foldMsgs(mutated.iterator)._2
+        .map(v => (v.seq, v.op, v.kind))
+      val group = runGroup(mutated.zipWithIndex.map { case (m, i) =>
+        GMsg("g", "p", m.seq, m.op, i.toLong)
+      }.iterator)._2.map(e => (e.seq, e.op, e.kind))
+      plain == group
+    })
+  }
+
+  test("group batch and streaming failover validation agree") {
+    val msgs = gmsgs("g1", "a", 2, 1, 0) ++ gmsgs("g1", "b", 2, 1, 100) ++
+      List(GMsg("g1", "a", 50, "begin", 200)) ++            // resurrection
+      gmsgs("g2", "x", 1, 2, 0).dropRight(1) ++             // open txn …
+      gmsgs("g2", "y", 1, 1, 100)                           // … then handoff
+    val batch = validateGroupBatch(spark.createDataset(msgs)).collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GMsg]
+    val q = validateGroupStream(mem.toDS()).writeStream
+      .format("memory").queryName(s"gfsm_out_${System.nanoTime()}")
+      .outputMode("append").start()
+    val ordered = msgs.sortBy(m => (m.arrival, m.group))
+    val (e1, e2) = ordered.splitAt(ordered.size / 2)
+    mem.addData(e1); q.processAllAvailable()
+    mem.addData(e2); q.processAllAvailable()
+    val streamed = spark.table(q.name).as[GroupEvent].collect().toSet
+    q.stop()
     assert(streamed == batch)
   }
 
