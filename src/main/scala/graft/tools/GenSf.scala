@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Volume-fixture generator: expands the driver's sf0.1 tables ~10x into
+  * a local sf1 directory (`/root/repo/testdata/sf1` by default) so the
+  * suite's scale claims (star-CC round counts, LSH skew split, candidate
+  * pair growth, window/shuffle sizing) can be exercised against real
+  * volume instead of asserted from plan shape. The driver's testdata is
+  * read-only; this writes only inside the repo.
+  *
+  * Construction: K key-offset replicas of every fact/doc table (dims
+  * `region`/`nation` stay single-copy — their keys are referenced
+  * unchanged). Replica 0 is the original data bit-for-bit, so every
+  * invariant the fixtures guarantee (31-word vocabulary, ~377 shingle
+  * universe, dup-group structure) is preserved and merely repeated:
+  *
+  *  - `documents`: texts are re-written through a per-replica BIJECTION
+  *    of the fixed 31-word vocabulary (seeded shuffle; replica 0 =
+  *    identity). The vocabulary — and so the fixture-scale mask caps
+  *    (≤64 tokens, ≤512 shingles; Dedup.scala) — is unchanged, while
+  *    token SETS differ per replica, so near-dup structure stays
+  *    realistic (per-replica clusters plus a thin cross-replica noise
+  *    floor) instead of collapsing into 10x-denser clusters whose pair
+  *    count would grow 100x.
+  *  - `embeddings`: vectors are cyclically rotated by the replica index
+  *    (norm-preserving, deterministic) so ANN bucket occupancy grows
+  *    ~10x without creating 10 exact copies of every vector.
+  *  - `events`: ids/users offset; timestamps unchanged — the stream
+  *    windows see 10x event density over the same wall-clock month,
+  *    which is exactly what a scale-up looks like to a windowed agg.
+  *  - TPC-H-ish facts: all primary/foreign keys offset consistently so
+  *    referential integrity holds within each replica.
+  */
+object GenSf {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/root/repo/testdata/sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+
+    // Per-table key strides = source cardinality (keys are dense 0..N-1
+    // in the driver fixtures; computed, not assumed, so a different
+    // source SF still yields disjoint replica key spaces).
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1L
+
+    val docs = read("documents")
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct().orderBy(col("w"))
+      .collect().map(_.getString(0)).toSeq
+    require(vocab.size <= 64,
+      s"vocabulary ${vocab.size} exceeds the fixture mask cap; " +
+        "permutation would not preserve the ≤64-token invariant")
+
+    /** Seeded vocabulary bijection for replica k (k=0 ⇒ identity). */
+    def perm(k: Int): Map[String, String] =
+      if (k == 0) vocab.map(w => w -> w).toMap
+      else vocab.zip(new scala.util.Random(0xC0FFEE + k).shuffle(vocab)).toMap
+
+    def offset(c: String, k: Int, s: Long) = (col(c) + lit(k * s)).as(c)
+
+    def writeUnion(name: String, parts: Seq[DataFrame]): Unit = {
+      parts.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      val n = spark.read.parquet(s"$dst/$name.parquet").count()
+      println(s"GENSF $name rows=$n")
+    }
+
+    // Dims referenced by unchanged keys: single copy.
+    Seq("region", "nation").foreach { t =>
+      read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    val customer = read("customer"); val cN = stride(customer, "c_custkey")
+    val supplier = read("supplier"); val sN = stride(supplier, "s_suppkey")
+    val part     = read("part");     val pN = stride(part, "p_partkey")
+    val orders   = read("orders");   val oN = stride(orders, "o_orderkey")
+    val lineitem = read("lineitem")
+    val dN = stride(docs, "doc_id")
+    val emb = read("embeddings");    val vN = stride(emb, "vec_id")
+
+    writeUnion("customer", (0 until replicas).map(k =>
+      customer.select(offset("c_custkey", k, cN), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))))
+
+    writeUnion("supplier", (0 until replicas).map(k =>
+      supplier.select(offset("s_suppkey", k, sN), col("s_name"),
+        col("s_nationkey"), col("s_acctbal"))))
+
+    writeUnion("part", (0 until replicas).map(k =>
+      part.select(offset("p_partkey", k, pN), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))))
+
+    writeUnion("orders", (0 until replicas).map(k =>
+      orders.select(offset("o_orderkey", k, oN), offset("o_custkey", k, cN),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))))
+
+    writeUnion("lineitem", (0 until replicas).map(k =>
+      lineitem.select(offset("l_orderkey", k, oN), offset("l_partkey", k, pN),
+        offset("l_suppkey", k, sN), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))))
+
+    // events.ts is TIMESTAMP(NANOS) in the driver parquet; normalize to
+    // µs on write (graft.io.Tables.events accepts either encoding).
+    val events = graft.io.Tables.events(spark, src)
+    val eN = stride(events, "event_id")
+    val uN = stride(events, "user_id")
+    writeUnion("events", (0 until replicas).map(k =>
+      events.select(offset("event_id", k, eN), col("ts"),
+        offset("user_id", k, uN), col("event_type"), col("value"),
+        col("props"))))
+
+    writeUnion("documents", (0 until replicas).map { k =>
+      val m = typedLit(perm(k))
+      docs.select(
+        offset("doc_id", k, dN),
+        array_join(transform(split(col("text"), " "),
+          w => when(length(w) > 0, element_at(m, w)).otherwise(w)), " ")
+          .as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    })
+
+    writeUnion("embeddings", (0 until replicas).map { k =>
+      val dim = 64
+      val rot = k % dim
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      emb.select(offset("vec_id", k, vN), rotated.as("embedding"),
+        col("label"))
+    })
+
+    spark.stop()
+  }
+}
