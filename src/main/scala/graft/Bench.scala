@@ -59,19 +59,29 @@ object Bench {
     val spread = byQuery.collect { case (k, xs) if xs.nonEmpty =>
       k -> (xs.min, xs.max)
     }
+    // A query that failed every pass has no measurement — its -1 marker
+    // must never enter the total (round 5 committed a crashed sf1 run
+    // whose total summed 94 sentinels to -85s and still parsed as a
+    // valid bench line). The total covers successful queries only, and
+    // the failed set is named explicitly in BOTH output lines so a
+    // partial run is unmistakable.
+    val failed = byQuery.collect { case (k, xs) if xs.isEmpty => k }
+      .toSeq.sorted
     // Locale.ROOT: a comma-decimal default locale would emit "0,500"
     // and corrupt the contract JSON line
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jsonList(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.valuesIterator.filter(_ >= 0).sum
     def jsonSpread(m: Iterable[(String, (Double, Double))]): String =
       m.map { case (k, (lo, hi)) => "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]" }
         .mkString("{", ",", "}")
     // Full per-query map for humans / logs (NOT the contract line — with 85
     // queries it exceeds the driver's captured-output tail and fails to parse).
-    val full = s"""{"n":${results.size},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"spread":${jsonSpread(spread)}}"""
+    val full = s"""{"n":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"spread":${jsonSpread(spread)}}"""
     println(s"BENCH_FULL $full")
     // ... and persisted to a file so no round's per-query history can be
     // lost to stdout-tail truncation again (BENCH_r01's total was)
@@ -83,8 +93,9 @@ object Bench {
     } catch { case _: Throwable => () } // read-only fs must not kill the bench
     // Contract line: keep it short (< ~1.2 KB) so it fits entirely inside the
     // driver's tail window even with sbt's trailing "[success]" line after it.
-    // `value` is the TOTAL across ALL queries; `queries` is a representative
-    // headline subset (one per operator family, plus the heaviest ops).
+    // `value` is the TOTAL across all SUCCESSFUL queries (failed ones are
+    // named in `failed`); `queries` is a representative headline subset
+    // (one per operator family, plus the heaviest ops).
     val headline = Seq(
       "q_scan_parquet", "q_agg_hash", "q_agg_cube", "q_join_inner_hash",
       "q_join_broadcast", "q_join_asof", "q_join_interval", "q_window_rank",
@@ -95,7 +106,7 @@ object Bench {
       "q_sim_cosine_topk", "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_tfidf",
       "q_text_langid", "q_pipeline_curate")
     val head = headline.flatMap(k => results.get(k).map(k -> _))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
