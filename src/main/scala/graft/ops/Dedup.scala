@@ -37,9 +37,24 @@ import graft.io.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val RowsPerBand = NumHashes / Bands
+  /** Signature width: 64 salted min-hashes per doc — ONE table serving
+    * both LSH banding (8 bands × 8 rows) and verification (match-count
+    * estimate). */
+  private val VerifyHashes = 64
+
+  /** 8 bands × 8 rows over the full 64-hash signature. The s-curve
+    * midpoint (1/b)^(1/r) = (1/8)^(1/8) ≈ 0.77 sits just under the 0.8
+    * decision threshold; round 5's 4×4-over-16 banding (midpoint ≈0.71)
+    * admitted so many sub-threshold candidates on this dup-heavy corpus
+    * that verification cost grew 33× on 10× data (measured sf0.1→sf1).
+    * Banding on the wider signature cuts P(candidate | J=0.6) ≈3.4×
+    * (0.426 → 0.126) while exact dups (J=1) still always collide; at
+    * the J=0.8 boundary per-pair recall is 1−(1−0.8⁸)⁸ ≈ 0.77 per
+    * band set — OperatorSpec measures realized recall against the
+    * exact ≥0.8 pair set and holds it above 0.8 (boundary-J pairs are
+    * a minority of this corpus's true pairs). */
+  private val Bands = 8
+  private val RowsPerBand = VerifyHashes / Bands
 
   /** Raw (doc_id, word) pairs, duplicates included — [[Text.docTokens]]
     * (shared repartition-then-explode pipeline; rationale there). No
@@ -302,28 +317,24 @@ object Dedup {
     * exists anywhere on this path.
     *
     * Estimator: E[matches/VerifyHashes] = J (each independent min-hash
-    * collides with probability exactly J). The verification signature
-    * is WIDER than the banding one (64 vs 16): at 16 hashes the
-    * estimator's tail is fat enough that this dup-heavy corpus's mass
-    * of mid-similarity pairs floods the threshold (measured 3.5M
+    * collides with probability exactly J). 64 hashes, not 16: at 16
+    * the estimator's tail is fat enough that this dup-heavy corpus's
+    * mass of mid-similarity pairs floods the threshold (measured 3.5M
     * output rows at sf0.1); at 64, P(est ≥ 0.8125 | J = 0.6) drops
     * ~46x (Chernoff), so the output is the true near-dup set plus a
-    * thin noise floor. Band keys still come from the first 16 hashes —
-    * the candidate set is identical to [[minhashLsh]]'s. matches ≥ 52
-    * of 64 ⟺ estimate ≥ 0.8 — integer threshold, no float comparison,
-    * identical in both engines because the signatures are identical
-    * md5 strings. OperatorSpec quantifies agreement with the
-    * mask-exact Jaccard on the toy vocab (where the exact value is
-    * still computable). */
+    * thin noise floor. Band keys partition the SAME 64-hash signature
+    * (8 bands × 8 rows — see [[Bands]]) — the candidate set is
+    * identical to [[minhashLsh]]'s. matches ≥ 52 of 64 ⟺ estimate
+    * ≥ 0.8 — integer threshold, no float comparison, identical in both
+    * engines because the signatures are identical md5 strings.
+    * OperatorSpec quantifies agreement with the mask-exact Jaccard on
+    * the toy vocab (where the exact value is still computable). */
   private val minhashVerify: Q = (s, d) =>
     minhashEstimates(s, d)
       .filter(col("n_match") >= lit(VerifyMatchMin))
       .select(col("a_id"), col("b_id"), col("n_match"),
         Det.r4(col("jaccard_est")).as("jaccard_est"))
       .orderBy(col("a_id").asc, col("b_id").asc)
-
-  /** Verification signature width (the banding signature stays 16). */
-  private val VerifyHashes = 64
 
   /** 52/64 matching hashes ⟺ estimated Jaccard ≥ 0.8 (⌈0.8·64⌉). */
   private val VerifyMatchMin = math.ceil(0.8 * VerifyHashes).toInt
@@ -439,6 +450,33 @@ object Dedup {
     val labels = connectedComponentsStar(
       Tables.documents(s, d).select(col("doc_id")),
       nearPairs(s, d).select(col("a_id"), col("b_id")))
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Cap-free clustering — the decision step of the 100 TB pipeline
+    * wired to its own scale-ready pair source: connected components
+    * over the SIGNATURE near-dup graph ([[minhashEstimates]] ≥ 52/64,
+    * i.e. [[minhashVerify]]'s pair stream) instead of the mask-exact
+    * pairs. Nothing on this path touches a vocabulary dictionary or a
+    * capacity-capped bitmask, so no `raise_error` is reachable — this
+    * is the clustering a real corpus runs, while [[clusters]] stays the
+    * fixture-scale exact-Jaccard twin. Same [[connectedComponentsStar]]
+    * engine (O(log n) rounds); deterministic because the signature
+    * pair set is deterministic (identical md5 math in both engines), so
+    * the DuckDB recursive-CTE oracle agrees exactly. OperatorSpec
+    * additionally measures cluster agreement against the mask-path
+    * clusters on the fixture corpus. */
+  private val clustersSig: Q = (s, d) => {
+    val labels = connectedComponentsStar(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashEstimates(s, d)
+        .filter(col("n_match") >= lit(VerifyMatchMin))
+        .select(col("a_id"), col("b_id")))
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -644,6 +682,7 @@ object Dedup {
     "q_dedup_minhash_verify" -> minhashVerify,
     "q_dedup_simhash"     -> simhash,
     "q_dedup_clusters"    -> clusters,
+    "q_dedup_clusters_sig" -> clustersSig,
   )
 
   private def sqlToks = Text.sqlToks
@@ -669,9 +708,9 @@ object Dedup {
 
   /** Shared CTE chain for the signature-estimate queries: distinct
     * (doc, word) → 64 integer min-hashes (60-bit md5 prefixes, the
-    * DuckDB twin of [[saltedHash]]) → band keys from the first 16 →
-    * DISTINCT candidates → per-pair match count. Ends with
-    * `v(a_id, b_id, n_match)`. */
+    * DuckDB twin of [[saltedHash]]) → band keys (8 bands × 8 rows over
+    * all 64 hashes, mirroring [[Bands]]) → DISTINCT candidates →
+    * per-pair match count. Ends with `v(a_id, b_id, n_match)`. */
   private val sqlMinhashEstCte: String = {
     val matchSum = (0 until VerifyHashes)
       .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
@@ -812,6 +851,23 @@ object Dedup {
          |FROM v
          |WHERE n_match >= $VerifyMatchMin
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    // CC over the signature pair stream (v thresholded at 52/64); the
+    // edge/label CTEs avoid the name `v` which sqlMinhashEstCte owns
+    "q_dedup_clusters_sig" ->
+      s"""${sqlMinhashEstCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ed AS (SELECT a_id AS u, b_id AS w FROM v WHERE n_match >= $VerifyMatchMin
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM v WHERE n_match >= $VerifyMatchMin),
+         |cc(w, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.w, cc.l FROM cc JOIN ed ON ed.u = cc.w),
+         |lab AS (SELECT w AS doc_id, MIN(l) AS cluster_id FROM cc GROUP BY w)
+         |SELECT doc_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       doc_id = cluster_id AS is_keeper
+         |FROM lab
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH w AS (
          |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),

@@ -269,6 +269,31 @@ class OperatorSpec extends AnyFunSuite {
       "too many <=0.5-exact pairs cleared the signature threshold")
   }
 
+  test("signature-pair clustering: exact on its own graph, near mask clusters") {
+    val cs = SparkEntry.queries("q_dedup_clusters_sig")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    // exact invariant: both endpoints of every verify pair (the graph
+    // clustersSig is built from) land in the same cluster
+    val pairs = SparkEntry.queries("q_dedup_minhash_verify")(spark, sf)
+      .select("a_id", "b_id")
+    val split = pairs
+      .join(cs.select(col("doc_id").as("a_id"), col("cluster_id").as("ca")), "a_id")
+      .join(cs.select(col("doc_id").as("b_id"), col("cluster_id").as("cb")), "b_id")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split == 0, s"$split verify pairs straddle clusters")
+    // measured agreement with the mask-exact clustering: the signature
+    // graph's estimate noise can merge or miss a borderline pair, so
+    // equality is not expected — agreement is (484/500 at sf0.01 when
+    // this was written)
+    val cm = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .select(col("doc_id"), col("cluster_id").as("cm_id"))
+    val n = cm.count()
+    val agree = cs.join(cm, "doc_id")
+      .filter(col("cluster_id") === col("cm_id")).count()
+    assert(agree >= (0.95 * n).toLong,
+      s"signature clustering agrees on only $agree of $n docs")
+  }
+
   test("declared star CC equals delta-iteration label propagation") {
     val star = SparkEntry.queries("q_dedup_clusters")(spark, sf)
     val prop = graft.ops.Dedup.clustersDelta(spark, sf)
