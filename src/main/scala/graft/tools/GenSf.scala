@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Construction: K key-offset replicas of every fact/doc table (dims
   * `region`/`nation` stay single-copy — their keys are referenced
-  * unchanged). Replica 0 is the original data bit-for-bit, so every
-  * invariant the fixtures guarantee (31-word vocabulary, ~377 shingle
-  * universe, dup-group structure) is preserved and merely repeated:
+  * unchanged). Replica 0 is VALUE-identical to the original data (not
+  * bit-identical: n_chars is recomputed as int32, text round-trips
+  * through split/join, and timestamp columns are normalized ns→µs), so
+  * every invariant the fixtures guarantee (31-word vocabulary, ~377
+  * shingle universe, dup-group structure) is preserved and merely
+  * repeated:
   *
   *  - `documents`: texts are re-written through a per-replica BIJECTION
   *    of the fixed 31-word vocabulary (seeded shuffle; replica 0 =
@@ -138,8 +141,16 @@ object GenSf {
         .withColumn("n_chars", length(col("text")))
     })
 
+    // Dimension is derived from the data, and unimodality enforced —
+    // a mixed-dim fixture would otherwise silently emit truncated
+    // vectors through slice() (the vocab path has the analogous
+    // require; this one was latent until audited).
+    val dims = emb.select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0))
+    require(dims.length == 1,
+      s"embeddings must share one dimension, found ${dims.toSeq}")
+    val dim = dims.head
     writeUnion("embeddings", (0 until replicas).map { k =>
-      val dim = 64
       val rot = k % dim
       val rotated =
         if (rot == 0) col("embedding")

@@ -11,6 +11,7 @@ Exit nonzero on any mismatch. This is a dev tool only — the shipped
 Scala library has no Python dependency.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -18,6 +19,13 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def table_src(sf_dir: str, t: str) -> str:
+    """Driver fixtures are single parquet files; GenSf volume fixtures
+    are Spark-written directories — glob those."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,12 +48,15 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet({table_src(sf_dir, t)})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed, passed, skipped = [], [], []
+    import time
     for key, sql in sorted(oracle.items()):
         if only and key not in only:
             continue
+        t0 = time.time()
+        print(f"... {key}", file=sys.stderr, flush=True)
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')").df()
@@ -77,6 +88,7 @@ def main() -> int:
             failed.append((key, f"{n} diffs; first at col={c} row={i}: spark={av!r} oracle={bv!r}"))
         else:
             passed.append(key)
+        print(f"... {key} {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     for k in passed:
         print(f"PASS {k}")
     for k in skipped:

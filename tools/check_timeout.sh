@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Per-key oracle compare with a timeout: at volume (sf0.1/sf1) a few
+# DuckDB oracles (recursive-CTE clustering, all-pairs masks) are
+# infeasible; run each key in its own process with a budget so one
+# pathological oracle can't hang the whole volume-correctness pass.
+#
+#   tools/check_timeout.sh <sfDir> <verifyOutDir> <budget_sec> [key ...]
+#
+# Keys default to every key in oracle_sql.json. Prints one line per key:
+# PASS/FAIL/TIMEOUT, and a summary.
+set -u
+SF="$1"; OUT="$2"; BUDGET="$3"; shift 3
+if [ $# -eq 0 ]; then
+  set -- $(python3 -c "import json,sys; print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
+fi
+pass=0; fail=0; tmo=0
+for k in "$@"; do
+  res=$(timeout "$BUDGET" python3 tools/check.py "$SF" "$OUT" "$k" 2>/dev/null | grep -E "^(PASS|FAIL)")
+  rc=$?
+  if [ $rc -eq 124 ]; then echo "TIMEOUT $k"; tmo=$((tmo+1));
+  elif echo "$res" | grep -q "^PASS"; then echo "$res"; pass=$((pass+1));
+  else echo "${res:-FAIL $k (no output)}"; fail=$((fail+1)); fi
+done
+echo "SUMMARY pass=$pass fail=$fail timeout=$tmo budget=${BUDGET}s sf=$SF"
+[ $fail -eq 0 ]
