@@ -406,10 +406,21 @@ object Dedup {
     * codegen (measured 100s). localCheckpoint materializes the
     * signature agg once for its three consumers (band keys + both join
     * sides). */
+  /** Band key j over a signature row `h0..h63`: md5 of the band's 8
+    * hashes — DuckDB twin in [[sqlSigBandsCte]]. */
+  private def intBandKey(j: Int): Column = md5(concat_ws("|",
+    (0 until RowsPerBand).map(r =>
+      col(s"h${j * RowsPerBand + r}").cast("string")): _*).cast("binary"))
+
+  /** `(doc_id, bk0..bk{Bands-1})` band-key frame — the `withKeys`
+    * input of the candidate enumerators; exposed for the spec's
+    * capped-vs-uncapped properties. */
+  private[graft] def lshBandKeys(s: SparkSession, d: String): DataFrame =
+    minhashSignatures(docTokens(s, d))
+      .select(col("doc_id") +:
+        (0 until Bands).map(j => intBandKey(j).as(s"bk$j")): _*)
+
   def minhashEstimates(s: SparkSession, d: String): DataFrame = {
-    val intBandKey = (j: Int) => md5(concat_ws("|",
-      (0 until RowsPerBand).map(r =>
-        col(s"h${j * RowsPerBand + r}").cast("string")): _*).cast("binary"))
     val sigs = minhashSignatures(docTokens(s, d))
       .select(col("doc_id") +:
         array((0 until VerifyHashes).map(i => col(s"h$i")): _*).as("sig") +:
@@ -432,6 +443,73 @@ object Dedup {
       .withColumn("jaccard_est",
         col("n_match").cast("double") / lit(VerifyHashes))
       .select(col("a_id"), col("b_id"), col("n_match"), col("jaccard_est"))
+  }
+
+  /** A band-key group is "hot" past this size — the declared audit
+    * threshold. At 100 TB a hot key is where candidate volume lives:
+    * a group of g docs enumerates g·(g−1)/2 pairs, so the few largest
+    * groups dominate the band join's output on dup-heavy corpora
+    * (measured: one mega-bucket of ~2.3k docs at sf0.1 ⇒ ~2.7M of the
+    * ~4M candidates). */
+  private val HotKeyMinDocs = 32
+
+  /** LSH band-key frequency audit — the volume-control surface of the
+    * minhash pipeline: every (band_idx, band_key) group holding ≥
+    * [[HotKeyMinDocs]] docs, with its size and the pair volume it
+    * would enumerate. On a dup-heavy corpus this is the query an
+    * operator runs BEFORE the band join: hot groups are near-exact
+    * duplicate families (identical band key ⇒ identical 8-hash run),
+    * so the cheap exact-hash dedup inside each hot group removes the
+    * quadratic blowup before pair enumeration —
+    * [[lshCandidatePairsCapped]] is the mechanized version. One keyed
+    * aggregation over the (doc × band) stream; no pair is ever
+    * enumerated here, so the audit costs O(corpus), not O(pairs). */
+  private val lshHotKeys: Q = (s, d) =>
+    minhashSignatures(docTokens(s, d))
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(intBandKey): _*))
+          .as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= HotKeyMinDocs)
+      .withColumn("n_pairs",
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
+      .orderBy(col("band_idx").asc, col("band_key").asc)
+
+  /** Bounded-volume LSH candidates: pairs are enumerated only inside
+    * band-key groups of ≤ `cap` docs; hot groups (the
+    * [[lshHotKeys]] stream at threshold `cap`) are DIVERTED, not
+    * silently dropped — the operator handles them separately (their
+    * shared band key means near-identical signatures: exact-hash dedup
+    * within the group, or a tighter re-band over the group alone).
+    * This is the skew guard a 100 TB dup-heavy corpus needs: join
+    * output is bounded by cap × (doc×band) rows regardless of corpus
+    * dup-density, so no single key can quadratically dominate a stage.
+    *
+    * The exactly-once first-band ownership trick of
+    * [[lshCandidatePairs]] doesn't survive hot-band removal (a pair's
+    * first colliding band may be the hot one), so this path dedups
+    * with a DISTINCT instead — affordable precisely because the cap
+    * bounds the pre-distinct stream. Spec properties: capped ⊆
+    * uncapped; cap = ∞ reproduces the uncapped set exactly; every
+    * dropped pair shares at least one hot band key. */
+  private[graft] def lshCandidatePairsCapped(withKeys: DataFrame,
+                                             cap: Int): DataFrame = {
+    val banded = withKeys.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(j => col(s"bk$j")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val sizes = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_in_key"))
+    val ok = banded.join(sizes.filter(col("n_in_key") <= cap),
+      Seq("band_idx", "band_key"))
+    val x = ok.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("a_id"))
+    val y = ok.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("b_id"))
+    x.join(y, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
   }
 
   /** Connected components over the near-duplicate pair graph —
@@ -680,6 +758,7 @@ object Dedup {
     "q_dedup_ngram"       -> ngram,
     "q_dedup_minhash_lsh" -> minhashLsh,
     "q_dedup_minhash_verify" -> minhashVerify,
+    "q_dedup_lsh_hot_keys" -> lshHotKeys,
     "q_dedup_simhash"     -> simhash,
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
@@ -711,10 +790,10 @@ object Dedup {
     * DuckDB twin of [[saltedHash]]) → band keys (8 bands × 8 rows over
     * all 64 hashes, mirroring [[Bands]]) → DISTINCT candidates →
     * per-pair match count. Ends with `v(a_id, b_id, n_match)`. */
-  private val sqlMinhashEstCte: String = {
-    val matchSum = (0 until VerifyHashes)
-      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+  /** CTE chain `dw → sig → bands(doc_id, band_idx, band_key)` — the
+    * signature/band-key construction shared by the estimate queries and
+    * the hot-key audit. */
+  private val sqlSigBandsCte: String = {
     val intMins = (0 until VerifyHashes)
       .map(i => s"MIN(CAST('0x' || SUBSTRING(md5('$i|' || word), 1, 15) " +
         s"AS BIGINT)) AS h$i")
@@ -724,7 +803,7 @@ object Dedup {
         .map(r => s"CAST(h${j * RowsPerBand + r} AS VARCHAR)")
       s"md5(${cols.mkString(" || '|' || ")})"
     }
-    s"""WITH dw AS (
+    s"""dw AS (
        |  SELECT DISTINCT doc_id, word
        |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)),
        |sig AS (
@@ -734,7 +813,14 @@ object Dedup {
        |bands AS (
        |${intBandKeys.zipWithIndex.map { case (k, j) =>
            s"  SELECT doc_id, $j AS band_idx, $k AS band_key FROM sig"
-         }.mkString("", "\n  UNION ALL\n", "")}),
+         }.mkString("", "\n  UNION ALL\n", "")})""".stripMargin
+  }
+
+  private val sqlMinhashEstCte: String = {
+    val matchSum = (0 until VerifyHashes)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sqlSigBandsCte,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
@@ -844,6 +930,14 @@ object Dedup {
          |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
          |FROM v
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_lsh_hot_keys" ->
+      s"""WITH $sqlSigBandsCte
+         |SELECT band_idx, band_key, COUNT(*) AS n_docs,
+         |       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+         |FROM bands
+         |GROUP BY band_idx, band_key
+         |HAVING COUNT(*) >= $HotKeyMinDocs
+         |ORDER BY band_idx ASC, band_key ASC""".stripMargin,
     "q_dedup_minhash_verify" ->
       s"""$sqlMinhashEstCte
          |SELECT a_id, b_id, n_match,

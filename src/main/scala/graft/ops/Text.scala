@@ -213,6 +213,87 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Word-n-gram stream `(doc_id, gram)`, duplicates kept, docs
+    * shorter than `n` tokens contribute nothing. The gram array is
+    * built per row (element_at over the token array — O(1) per gram),
+    * then exploded; same fan-out-before-explode pipeline as
+    * [[docTokens]]. */
+  private def docWordGrams(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(when(size(col("ts")) >= n,
+          expr(s"transform(sequence(1, size(ts) - ${n - 1}), i -> " +
+            (0 until n).map(k => s"element_at(ts, i + $k)")
+              .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+
+  /** Per-document repetition signals (the Gopher-style quality
+    * filters): most-frequent-token share and duplicate-2-gram share.
+    * High values mark boilerplate/spam a training pipeline drops.
+    *
+    * Scale shape: two (doc, term)-keyed partial aggregations — the
+    * same shuffle class as wordcount — joined doc-keyed (both sides
+    * already clustered by doc_id, so the join re-uses the aggs'
+    * partitioning; no extra shuffle). Nothing is per-row quadratic, so
+    * long documents cost O(tokens), not O(tokens²). */
+  private val repetition: Q = (s, d) => {
+    val tf = docTokens(s, d)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val tokStats = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+    val gf = docWordGrams(s, d, 2)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val gramStats = gf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("n_2gram_distinct"))
+    tokStats.join(gramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_distinct"),
+        Det.r4(col("top_cnt").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        Det.r4(coalesce(
+          (col("n_2grams") - col("n_2gram_distinct")).cast("double") /
+            col("n_2grams"), lit(0.0))).as("dup_2gram_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Benchmark membership for [[contaminate]]: every 97th doc_id plays
+    * the held-out eval set. Deterministic and engine-agnostic. */
+  private val BenchMod = 97
+
+  /** Benchmark decontamination — the training-pipeline step that drops
+    * documents overlapping an evaluation set: word-3-gram shingle
+    * overlap of every corpus doc against the benchmark docs' shingle
+    * union; `contaminated` when ≥ half a doc's distinct shingles
+    * appear in the benchmark (integer comparison, no float threshold).
+    *
+    * Scale shape: an eval benchmark is tiny by nature (thousands of
+    * docs against a 100 TB corpus), so its distinct-shingle set is
+    * explicitly `broadcast` — the corpus-side stream is probed map-side
+    * and never shuffles for the membership test; the only shuffle is
+    * the per-doc distinct + count aggregation, keyed by doc_id. */
+  private val contaminate: Q = (s, d) => {
+    val sh = docWordGrams(s, d, 3)
+    val bench = sh.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+      .select(col("gram")).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+      .select(col("doc_id"), col("gram")).distinct()
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .withColumn("overlap_frac",
+        Det.r4(col("n_hit").cast("double") / col("n_shingles")))
+      .withColumn("contaminated",
+        col("n_hit") * lit(2) >= col("n_shingles"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_wordcount"   -> wordcount,
     "q_text_tfidf"       -> tfidf,
@@ -221,6 +302,8 @@ object Text {
     "q_text_quality"     -> quality,
     "q_text_tokens"      -> tokenCounts,
     "q_text_fingerprint" -> fingerprint,
+    "q_text_repetition"  -> repetition,
+    "q_text_contaminate" -> contaminate,
   )
 
   /** DuckDB twin of [[tokens]] — single source of truth for every
@@ -393,6 +476,56 @@ object Text {
          |FROM t
          |GROUP BY source
          |ORDER BY source ASC""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS c
+         |  FROM (SELECT doc_id, UNNEST(toks) AS word FROM t)
+         |  GROUP BY doc_id, word),
+         |ts AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+         |  FROM tf GROUP BY doc_id),
+         |g AS (
+         |  SELECT doc_id,
+         |         toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS gram
+         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) AS r(i)),
+         |gf AS (
+         |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+         |gs AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         |         COUNT(*) AS n_2gram_distinct
+         |  FROM gf GROUP BY doc_id)
+         |SELECT ts.doc_id, n_tokens, n_distinct,
+         |       ${Det.sqlR4("CAST(top_cnt AS DOUBLE) / n_tokens")} AS top_token_frac,
+         |       COALESCE(n_2grams, 0) AS n_2grams,
+         |       ${Det.sqlR4(
+               "COALESCE(CAST(n_2grams - n_2gram_distinct AS DOUBLE)" +
+               " / n_2grams, 0.0)")} AS dup_2gram_frac
+         |FROM ts LEFT JOIN gs USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_contaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+         |           || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) AS r(i)),
+         |bench AS (
+         |  SELECT DISTINCT gram FROM sh WHERE doc_id % $BenchMod = 0),
+         |c AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |         COUNT(b.gram) AS n_hit
+         |  FROM sh s LEFT JOIN bench b ON s.gram = b.gram
+         |  WHERE s.doc_id % $BenchMod <> 0
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_hit,
+         |       ${Det.sqlR4("CAST(n_hit AS DOUBLE) / n_shingles")} AS overlap_frac,
+         |       n_hit * 2 >= n_shingles AS contaminated
+         |FROM c
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_text_fingerprint" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -38,12 +38,24 @@ object DedupStats {
     val verify = graft.SparkEntry.queries("q_dedup_minhash_verify")(spark, sf)
     val nVer = timed("verify")(verify.count())
     println(s"DEDUPSTATS verify=$nVer")
+    // volume-control surface: hot band keys + the capped stream
+    val hot = graft.SparkEntry.queries("q_dedup_lsh_hot_keys")(spark, sf)
+      .agg(count(lit(1)).as("k"), sum(col("n_pairs")).as("p")).collect()(0)
+    println(s"DEDUPSTATS hot_keys=${hot.getAs[Long]("k")} " +
+      s"hot_pair_volume=${hot.getAs[Long]("p")}")
+    val cap = sys.env.getOrElse("SPARK_GRAFT_LSH_CAP", "64").toInt
+    val capped = graft.ops.Dedup.lshCandidatePairsCapped(
+      graft.ops.Dedup.lshBandKeys(spark, sf), cap)
+    val nCap = timed("capped")(capped.count())
+    println(s"DEDUPSTATS cap=$cap capped_candidates=$nCap")
     if (withExact) {
       val exact = graft.SparkEntry.queries("q_dedup_near")(spark, sf)
         .select("a_id", "b_id")
       val nEx = exact.count()
       val hit = exact.intersect(lsh.select("a_id", "b_id")).count()
       println(f"DEDUPSTATS exact=$nEx recall=${hit.toDouble / nEx}%.4f")
+      val hitCap = exact.intersect(capped).count()
+      println(f"DEDUPSTATS capped_recall=${hitCap.toDouble / nEx}%.4f")
       val cs = graft.SparkEntry.queries("q_dedup_clusters_sig")(spark, sf)
       val cm = graft.SparkEntry.queries("q_dedup_clusters")(spark, sf)
       val n = cm.count()

@@ -80,6 +80,110 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall > 0.8, s"LSH candidate recall too low: $recall")
   }
 
+  test("hot-key audit matches a recount and its pair arithmetic") {
+    val hot = SparkEntry.queries("q_dedup_lsh_hot_keys")(spark, sf)
+    assert(hot.count() > 0, "fixture mega-buckets should exceed the threshold")
+    assert(hot.filter(
+      col("n_pairs") =!= col("n_docs") * (col("n_docs") - 1) / lit(2))
+      .count() == 0)
+    // recount group sizes independently from the band-key frame
+    val banded = graft.ops.Dedup.lshBandKeys(spark, sf)
+      .select(col("doc_id"),
+        posexplode(array((0 until 8).map(j => col(s"bk$j")): _*))
+          .as(Seq("band_idx", "band_key")))
+    val recount = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n2"))
+    assert(hot.join(recount, Seq("band_idx", "band_key"))
+      .filter(col("n_docs") =!= col("n2")).count() == 0)
+  }
+
+  test("capped LSH candidates: subset, identity at cap-∞, hot-only drops") {
+    val withKeys = graft.ops.Dedup.lshBandKeys(spark, sf)
+    val uncapped = graft.ops.Dedup.minhashEstimates(spark, sf)
+      .select("a_id", "b_id")
+    val uncappedVia = graft.ops.Dedup
+      .lshCandidatePairsCapped(withKeys, Int.MaxValue)
+    // cap = ∞ reproduces the declared (first-band-ownership) stream
+    assert(uncappedVia.except(uncapped).count() == 0 &&
+      uncapped.except(uncappedVia).count() == 0,
+      "cap-free capped enumeration diverged from the declared stream")
+    val cap = 16
+    val capped = graft.ops.Dedup.lshCandidatePairsCapped(withKeys, cap)
+    assert(capped.except(uncapped).count() == 0,
+      "capped emitted a pair the uncapped stream lacks")
+    // every dropped pair collides ONLY in hot (> cap) band keys
+    val banded = withKeys.select(col("doc_id"),
+      posexplode(array((0 until 8).map(j => col(s"bk$j")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val hotRows = banded.join(
+      banded.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > cap),
+      Seq("band_idx", "band_key"))
+    val hotPairs = hotRows.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("a_id"))
+      .join(hotRows.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("b_id")), Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val dropped = uncapped.except(capped)
+    assert(dropped.except(hotPairs).count() == 0,
+      "a dropped pair did not share any hot band key")
+    assert(dropped.count() > 0,
+      "fixture mega-buckets should force drops at cap=16")
+  }
+
+  test("repetition signals agree with a per-row array-op twin") {
+    import org.apache.spark.sql.DataFrame
+    val got = SparkEntry.queries("q_text_repetition")(spark, sf)
+    // independent formulation: per-row higher-order functions instead
+    // of keyed aggregations
+    val toks = graft.ops.Text.tokens(col("text"))
+    val twin: DataFrame = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), toks.as("ts"))
+      // the agg formulation emits no row for token-free docs
+      .filter(size(col("ts")) >= 1)
+      .withColumn("grams",
+        when(size(col("ts")) >= 2,
+          expr("transform(sequence(1, size(ts) - 1), i -> " +
+            "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+        graft.Det.r4(
+          expr("array_max(transform(array_distinct(ts), " +
+            "t -> size(filter(ts, x -> x = t))))").cast("double") /
+            size(col("ts"))).as("top_token_frac"),
+        size(col("grams")).cast("long").as("n_2grams"),
+        graft.Det.r4(coalesce(
+          (size(col("grams")) - size(array_distinct(col("grams"))))
+            .cast("double") / nullif(size(col("grams")), lit(0)), lit(0.0)))
+          .as("dup_2gram_frac"))
+    assert(got.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(got).count() == 0,
+      "aggregation-based repetition diverged from array-op twin")
+  }
+
+  test("contamination: benchmark excluded, fractions bounded, dups caught") {
+    val out = SparkEntry.queries("q_text_contaminate")(spark, sf)
+    assert(out.filter(pmod(col("doc_id"), lit(97)) === 0).count() == 0)
+    assert(out.filter(col("n_hit") > col("n_shingles")).count() == 0)
+    assert(out.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1)
+      .count() == 0)
+    // any doc whose text equals a benchmark doc's text must be fully
+    // contaminated (its shingle set IS a benchmark shingle set)
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val benchTexts = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("t")).distinct()
+    val dupOfBench = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(benchTexts, "t").select("doc_id")
+    val flagged = out.filter(col("contaminated") &&
+      col("overlap_frac") === 1.0).select("doc_id")
+    assert(dupOfBench.except(flagged).count() == 0,
+      "an exact duplicate of a benchmark doc escaped contamination")
+  }
+
   test("embedding-dedup multi-base candidates superset each single base") {
     val one = graft.ops.Vectors.embDedupCandidates(spark, sf, bases = 1)
     val two = graft.ops.Vectors.embDedupCandidates(spark, sf, bases = 2)
