@@ -479,9 +479,21 @@ object Dedup {
   /** Bounded-volume LSH candidates: pairs are enumerated only inside
     * band-key groups of ≤ `cap` docs; hot groups (the
     * [[lshHotKeys]] stream at threshold `cap`) are DIVERTED, not
-    * silently dropped — the operator handles them separately (their
-    * shared band key means near-identical signatures: exact-hash dedup
-    * within the group, or a tighter re-band over the group alone).
+    * silently dropped — the audit names them and the operator decides:
+    * process them separately (per-group tighter re-band, or
+    * representative sampling), or drop them as boilerplate mass (the
+    * usual verdict on real-web corpora, where mega-buckets are empty/
+    * template documents). The cap is a volume GUARD, not a free lunch:
+    * on the synthetic fixture the dup mass IS the hot keys (GenSf
+    * replicates whole dup families), so cap=64 keeps only 10% of true
+    * ≥0.8 pairs vs 89% uncapped (DedupStats `capped_recall`) — exactly
+    * the situation the [[lshHotKeys]] audit exists to reveal BEFORE the
+    * choice is made. Neither exact-hash nor identical-signature
+    * grouping absorbs those fixture families (measured: 0 exact-text
+    * dup pairs, 487 of 30 328 true pairs signature-identical at
+    * sf0.01) — their members differ per pair, so their pairs genuinely
+    * require enumeration; an operator who needs them processes the
+    * audited groups, paying their quadratic cost knowingly.
     * This is the skew guard a 100 TB dup-heavy corpus needs: join
     * output is bounded by cap × (doc×band) rows regardless of corpus
     * dup-density, so no single key can quadratically dominate a stage.
