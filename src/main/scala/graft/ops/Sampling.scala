@@ -69,9 +69,43 @@ object Sampling {
         Det.davg(col("n_chars")).as("avg_chars"))
       .orderBy(col("lang").asc, col("split").asc)
 
+  /** Mixture weights for [[sampleWeighted]]: per-language keep rates as
+    * EXACT integer thresholds out of 0x10000 (no float in the
+    * membership test — the 4-hex-digit md5 prefix is compared as an
+    * integer, so both engines agree bit-for-bit). The values model a
+    * training-mixture spec: keep all English, downsample the rest. */
+  private[graft] val mixtureThresholds: Seq[(String, Int)] = Seq(
+    "en" -> 0x10000, "de" -> 0xc000, "es" -> 0x8000,
+    "fr" -> 0x4000, "zh" -> 0x199a)
+
+  /** Domain-weighted sampling (training-data mixing): each language is
+    * kept at its mixture rate via hash-keyed membership — rate changes
+    * re-use the SAME variate, so raising a rate only ADDS documents
+    * (nested samples, the property mixture tuning needs).
+    *
+    * Scale shape: the weights are an exogenous spec joined by
+    * `broadcast` (a mixture table is dozens of rows against a 100 TB
+    * corpus); membership is O(1) per row map-side, so the only shuffle
+    * is the per-(source, lang) accounting aggregation. */
+  private val sampleWeighted: Q = (s, d) => {
+    val w = s.createDataFrame(mixtureThresholds).toDF("lang", "thr")
+    Tables.documents(s, d)
+      .join(broadcast(w), Seq("lang"))
+      .withColumn("keep",
+        conv(substring(h(col("doc_id")), 1, 4), 16, 10)
+          .cast("int") < col("thr"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("realized_rate",
+        Det.r4(col("n_kept").cast("double") / col("n_docs")))
+      .orderBy(col("source").asc, col("lang").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_hash"       -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_weighted"   -> sampleWeighted,
     "q_split_train_test"  -> splitTrainTest,
   )
 
@@ -89,6 +123,24 @@ object Sampling {
         |      FROM documents)
         |WHERE rn <= 20
         |ORDER BY lang ASC, rn ASC""".stripMargin,
+    "q_sample_weighted" -> {
+      val thrCase = mixtureThresholds
+        .map { case (l, t) => s"WHEN '$l' THEN $t" }
+        .mkString("CASE lang ", " ", " ELSE 0 END")
+      s"""WITH t AS (
+         |  SELECT source, lang,
+         |         CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |              AS INT) < ($thrCase) AS keep
+         |  FROM documents)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       ${Det.sqlR4(
+               "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / COUNT(*)")} AS realized_rate
+         |FROM t
+         |GROUP BY source, lang
+         |ORDER BY source ASC, lang ASC""".stripMargin
+    },
     "q_split_train_test" ->
       s"""SELECT lang,
          |       ${sqlSplit("doc_id")} AS split,

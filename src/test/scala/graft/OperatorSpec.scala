@@ -184,6 +184,22 @@ class OperatorSpec extends AnyFunSuite {
       "an exact duplicate of a benchmark doc escaped contamination")
   }
 
+  test("weighted sample: en kept whole, realized rates track the mixture") {
+    val out = SparkEntry.queries("q_sample_weighted")(spark, sf)
+    assert(out.filter(col("lang") === "en" &&
+      col("n_kept") =!= col("n_docs")).count() == 0,
+      "en is specified at rate 1.0 — nothing may be dropped")
+    val byLang = out.groupBy(col("lang"))
+      .agg((sum(col("n_kept")) / sum(col("n_docs"))).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val target = graft.ops.Sampling.mixtureThresholds
+      .map { case (l, t) => l -> t.toDouble / 0x10000 }.toMap
+    target.foreach { case (l, t) =>
+      assert(math.abs(byLang(l) - t) < 0.2,
+        s"lang $l realized ${byLang(l)} vs target $t")
+    }
+  }
+
   test("embedding-dedup multi-base candidates superset each single base") {
     val one = graft.ops.Vectors.embDedupCandidates(spark, sf, bases = 1)
     val two = graft.ops.Vectors.embDedupCandidates(spark, sf, bases = 2)
