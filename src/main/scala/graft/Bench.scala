@@ -19,9 +19,21 @@ object Bench {
     // execution at the target SF instead of first-call compilation,
     // which otherwise dominates (2-4x) the per-query wall time.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Optional subset run (comma-separated keys): partial fixtures like
+    // the vocab-grown sf1v carry only the tables its target queries
+    // read, so the full suite would drown the output in failed rows.
+    val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(keys) =>
+          val want = keys.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val missing = want -- SparkEntry.queries.keySet
+          require(missing.isEmpty, s"unknown bench keys: $missing")
+          SparkEntry.queries.filter { case (k, _) => want(k) }
+        case None => SparkEntry.queries
+      }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
     }
@@ -35,7 +47,7 @@ object Bench {
     // a query that failed in every pass reports -1 so the failure is
     // visible. Per-query [min, max] spread is persisted alongside so a
     // noisy round is visibly noisy instead of silently wrong.
-    def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map {
+    def timedPass(): Map[String, (Double, Boolean)] = queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -50,7 +62,7 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val byQuery = SparkEntry.queries.keys.map { k =>
+    val byQuery = queries.keys.map { k =>
       k -> allPasses.flatMap { p =>
         val (v, ok) = p(k); if (ok) Some(v) else None
       }

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+/** Executed-plan shuffle audit: run each named query at the given SF and
+  * print, per shuffle exchange in the FINAL adaptive plan, the runtime
+  * metrics that matter at scale (data size, partition count, records
+  * written). `.explain` shows the plan Spark intends; this shows what
+  * AQE actually did — whether skew splits fired, what each exchange
+  * carried — so a candidate-volume fix has a measured before/after
+  * (VERDICT r5 stretch ask).
+  *
+  *   sbt "runMain graft.tools.PlanAudit /root/repo/testdata/sf1 q_dedup_minhash_lsh,q_dedup_minhash_verify"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val keys =
+      if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq("q_dedup_minhash_lsh", "q_dedup_minhash_verify",
+        "q_dedup_clusters_sig")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.install(spark)
+
+    // The final plan after AQE re-optimization lives behind
+    // AdaptiveSparkPlanExec/QueryStageExec wrappers that plain
+    // `collect` does not descend into.
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec        => p +: flatten(q.plan)
+      case r: ReusedExchangeExec    => p +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+
+    keys.foreach { k =>
+      val df = graft.SparkEntry.queries(k)(spark, sf)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PLANAUDIT $k rows=$n wall=$sec%.1fs")
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      val skewed = nodes.map(_.nodeName).count(_.contains("skew"))
+      println(s"PLANAUDIT $k shuffles=${shuffles.size} " +
+        s"skew_marked_nodes=$skewed nodes=${nodes.size}")
+      shuffles.zipWithIndex.foreach { case (s, i) =>
+        val m = s.metrics
+        def v(key: String): String =
+          m.get(key).map(_.value.toString).getOrElse("-")
+        println(s"PLANAUDIT $k   x$i dataSize=${v("dataSize")} " +
+          s"records=${v("shuffleRecordsWritten")} " +
+          s"bytesWritten=${v("shuffleBytesWritten")} " +
+          s"parts=${v("numPartitions")} " +
+          s"node=${s.nodeName}")
+      }
+    }
+    spark.stop()
+  }
+}

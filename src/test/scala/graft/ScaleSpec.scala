@@ -125,4 +125,31 @@ class ScaleSpec extends AnyFunSuite {
     q.stop()
     assert(rows.map(_.getAs[Long]("n")).sum == 3)
   }
+
+  test("GenSf growvocab: replica vocabularies disjoint, documents-only fixture") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sfv").toString
+    graft.tools.GenSf.run(spark, sf, out, 3, "growvocab")
+    // documents-only: the signature-path fixture must not duplicate the
+    // tables that bijection mode already covers
+    assert(new java.io.File(out).list().toSet == Set("documents.parquet"))
+    val base = graft.io.Tables.documents(spark, sf)
+    val grown = spark.read.parquet(s"$out/documents.parquet")
+    val n0 = base.count()
+    assert(grown.count() == 3 * n0)
+    def vocabOf(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().count()
+    // suffix tagging makes the three replica vocabularies pairwise
+    // disjoint — total vocab is exactly ×replicas, which is what kills
+    // the cross-replica LSH band-key collisions the bijection fixture
+    // manufactures
+    assert(vocabOf(grown) == 3 * vocabOf(base),
+      s"vocab ${vocabOf(grown)}, want ${3 * vocabOf(base)}")
+    // replica 0 is the identity rewrite: same text multiset as source
+    // (replica key stride is max(doc_id)+1, not row count)
+    val stride = base.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val r0 = grown.filter(col("doc_id") < stride)
+    assert(r0.select("text").except(base.select("text")).count() == 0 &&
+      base.select("text").except(r0.select("text")).count() == 0)
+  }
 }
