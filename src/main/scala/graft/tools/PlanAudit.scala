@@ -43,16 +43,27 @@ object PlanAudit {
     }
 
     keys.foreach { k =>
-      val df = graft.SparkEntry.queries(k)(spark, sf)
+      // Timer brackets construction too: the iterative queries (CC
+      // loop) materialize localCheckpoint blocks eagerly while the
+      // DataFrame is being BUILT, so count-only timing would miss most
+      // of their work. Execution drives the DataFrame's OWN
+      // QueryExecution (toRdd) — `df.count()` would plan and run a
+      // separate count-aggregate query, leaving these plan nodes
+      // unexecuted and every metric zero.
       val t0 = System.nanoTime()
-      val n = df.count()
+      val df = graft.SparkEntry.queries(k)(spark, sf)
+      val qe = df.queryExecution
+      val n = qe.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"PLANAUDIT $k rows=$n wall=$sec%.1fs")
-      val nodes = flatten(df.queryExecution.executedPlan)
+      val nodes = flatten(qe.executedPlan)
       val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
       val skewed = nodes.map(_.nodeName).count(_.contains("skew"))
       println(s"PLANAUDIT $k shuffles=${shuffles.size} " +
         s"skew_marked_nodes=$skewed nodes=${nodes.size}")
+      if (sys.env.contains("SPARK_GRAFT_PLAN_TREE"))
+        println(qe.executedPlan.treeString.linesIterator
+          .take(150).mkString("\n"))
       shuffles.zipWithIndex.foreach { case (s, i) =>
         val m = s.metrics
         def v(key: String): String =
@@ -61,7 +72,9 @@ object PlanAudit {
           s"records=${v("shuffleRecordsWritten")} " +
           s"bytesWritten=${v("shuffleBytesWritten")} " +
           s"parts=${v("numPartitions")} " +
-          s"node=${s.nodeName}")
+          s"node=${s.nodeName} " +
+          s"child=${s.children.headOption.map(_.nodeName).getOrElse("-")} " +
+          s"part=${s.outputPartitioning.getClass.getSimpleName}")
       }
     }
     spark.stop()

@@ -15,8 +15,11 @@ if [ $# -eq 0 ]; then
 fi
 pass=0; fail=0; tmo=0
 for k in "$@"; do
-  res=$(timeout "$BUDGET" python3 tools/check.py "$SF" "$OUT" "$k" 2>/dev/null | grep -E "^(PASS|FAIL)")
+  # capture timeout's exit status BEFORE grep — in a pipeline $? is the
+  # tail's (grep's) status, so a 124 timeout would misreport as FAIL
+  out=$(timeout "$BUDGET" python3 tools/check.py "$SF" "$OUT" "$k" 2>/dev/null)
   rc=$?
+  res=$(printf '%s\n' "$out" | grep -E "^(PASS|FAIL)")
   if [ $rc -eq 124 ]; then echo "TIMEOUT $k"; tmo=$((tmo+1));
   elif echo "$res" | grep -q "^PASS"; then echo "$res"; pass=$((pass+1));
   else echo "${res:-FAIL $k (no output)}"; fail=$((fail+1)); fi
