@@ -139,6 +139,26 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Declared surface of the skew playbook: the events fact side joins
+    * the customer dimension through [[Skew.saltedJoin]] (salt = 8), so
+    * every join key is split across 8 reducer keys — the manual remedy
+    * when one key is hot enough that even AQE's post-shuffle skew split
+    * can't help (a single key's rows all hash to ONE map output
+    * partition; salting re-keys them map-side). Result is identical to
+    * the plain join by construction (the dim side is exploded across
+    * all salts), which is exactly what the oracle checks. The aggregate
+    * on top keeps the declared output small and deterministic. */
+  private val saltedSkewJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, cust, "user_id", salt = 8)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment").asc, col("event_type").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_inner_hash" -> innerHash,
     "q_join_broadcast"  -> broadcastJoin,
@@ -150,6 +170,7 @@ object Joins {
     "q_join_theta"      -> thetaJoin,
     "q_join_interval"   -> intervalJoin,
     "q_join_asof"       -> asofJoin,
+    "q_join_salted"     -> saltedSkewJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -213,5 +234,13 @@ object Joins {
         |SELECT event_id, user_id, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM j WHERE rn = 1
         |ORDER BY event_id ASC""".stripMargin,
+    // The salt is invisible in the result — the oracle is the PLAIN
+    // join, which is the point: salting must not change semantics.
+    "q_join_salted" ->
+      s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
+         |       ${Det.sqlDsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment, event_type
+         |ORDER BY c_mktsegment ASC, event_type ASC""".stripMargin,
   )
 }

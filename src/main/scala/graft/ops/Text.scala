@@ -294,6 +294,35 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Redaction patterns — literal-identical on both engines (kept to
+    * the Java-regex ∩ RE2 common subset: character classes, bounded
+    * repetition; no backrefs or lookaround, which RE2 lacks). */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII scrubbing — the standard curation step before a corpus ships
+    * to training. The fixture text carries no natural PII, so the query
+    * first PLANTS deterministic synthetic identifiers (an email and a
+    * phone derived from doc_id/source — same expression in the oracle),
+    * then scrubs; what's asserted cross-engine is the redaction:
+    * regexp_replace + match counts over the dirty text. Pure map work —
+    * scales embarrassingly; the only shuffle is the contract ORDER BY. */
+  private val piiScrub: Q = (s, d) => {
+    val dirty = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@"), col("source"),
+      lit(".example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .withColumn("dirty", dirty)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("dirty"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")).as("clean"),
+        regexp_count(col("dirty"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("dirty"), lit(PhoneRe)).cast("long").as("n_phone"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_wordcount"   -> wordcount,
     "q_text_tfidf"       -> tfidf,
@@ -304,6 +333,7 @@ object Text {
     "q_text_fingerprint" -> fingerprint,
     "q_text_repetition"  -> repetition,
     "q_text_contaminate" -> contaminate,
+    "q_text_pii_scrub"   -> piiScrub,
   )
 
   /** DuckDB twin of [[tokens]] — single source of truth for every
@@ -540,6 +570,22 @@ object Text {
          |  FROM t)
          |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
          |FROM f
+         |ORDER BY doc_id ASC""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    // matches by default); match counting via LEN(regexp_extract_all).
+    "q_text_pii_scrub" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+         |           || source || '.example.com or +1-555-'
+         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(dirty,
+         |         '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS clean,
+         |       CAST(LEN(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_email,
+         |       CAST(LEN(regexp_extract_all(dirty, '$PhoneRe')) AS BIGINT) AS n_phone
+         |FROM dirty
          |ORDER BY doc_id ASC""".stripMargin,
   )
 }

@@ -486,6 +486,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(curated <= keepers, s"curated $curated > keepers $keepers")
   }
 
+  test("pii scrub: every planted identifier is found and redacted") {
+    val df = SparkEntry.queries("q_text_pii_scrub")(spark, sf)
+    // one planted email + one planted phone per doc, nothing else in
+    // the fixture text can match either pattern
+    assert(df.filter(col("n_email") =!= 1 || col("n_phone") =!= 1)
+      .count() == 0)
+    // redaction is complete: no address or number survives scrubbing
+    assert(df.filter(col("clean").contains("@") ||
+      col("clean").contains("+1-555-")).count() == 0)
+    assert(df.filter(!col("clean").contains("<EMAIL>") ||
+      !col("clean").contains("<PHONE>")).count() == 0)
+  }
+
+  test("salted join aggregate equals the plain-join aggregate") {
+    import graft.io.Tables
+    val plain = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment").asc, col("event_type").asc)
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf)
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
