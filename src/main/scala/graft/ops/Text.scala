@@ -323,6 +323,28 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Text normalization — the curation step BEFORE tokenization
+    * (case-fold, whitespace collapse, edge trim; Unicode NFC would
+    * slot here too, but Spark has no built-in and the fixture is
+    * ASCII). The fixture text is already normalized, so — same
+    * plant-then-fix pattern as [[piiScrub]] — the query first
+    * DE-normalizes deterministically (upper-case, doubled separators,
+    * edge padding; same expression in the oracle) and then normalizes;
+    * the spec asserts the round trip reproduces the source text
+    * exactly. Pure map work; the only shuffle is the contract sort. */
+  private val normalize: Q = (s, d) => {
+    val dirty = concat(lit("  "),
+      regexp_replace(upper(col("text")), lit(" "), lit("   ")), lit(" "))
+    Tables.documents(s, d)
+      .withColumn("dirty", dirty)
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("dirty"), lit("\\s+"), lit(" "))))
+          .as("norm_text"),
+        length(col("dirty")).cast("long").as("n_chars_dirty"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_wordcount"   -> wordcount,
     "q_text_tfidf"       -> tfidf,
@@ -334,6 +356,7 @@ object Text {
     "q_text_repetition"  -> repetition,
     "q_text_contaminate" -> contaminate,
     "q_text_pii_scrub"   -> piiScrub,
+    "q_text_normalize"   -> normalize,
   )
 
   /** DuckDB twin of [[tokens]] — single source of truth for every
@@ -585,6 +608,18 @@ object Text {
          |         '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS clean,
          |       CAST(LEN(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_email,
          |       CAST(LEN(regexp_extract_all(dirty, '$PhoneRe')) AS BIGINT) AS n_phone
+         |FROM dirty
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_normalize" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |         '  ' || replace(upper(text), ' ', '   ') || ' ' AS dirty
+         |  FROM documents)
+         |SELECT doc_id,
+         |       lower(trim(regexp_replace(dirty, '\\s+', ' ', 'g'))) AS norm_text,
+         |       CAST(LENGTH(dirty) AS BIGINT) AS n_chars_dirty,
+         |       CAST(LENGTH(lower(trim(regexp_replace(dirty, '\\s+', ' ', 'g'))))
+         |         AS BIGINT) AS n_chars_norm
          |FROM dirty
          |ORDER BY doc_id ASC""".stripMargin,
   )

@@ -499,6 +499,14 @@ class OperatorSpec extends AnyFunSuite {
       !col("clean").contains("<PHONE>")).count() == 0)
   }
 
+  test("normalize: round trip reproduces the pre-normalized source text") {
+    import graft.io.Tables
+    val norm = SparkEntry.queries("q_text_normalize")(spark, sf)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val src = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    assert(norm.except(src).count() == 0 && src.except(norm).count() == 0)
+  }
+
   test("salted join aggregate equals the plain-join aggregate") {
     import graft.io.Tables
     val plain = Tables.events(spark, sf)
