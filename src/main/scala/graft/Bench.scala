@@ -97,8 +97,14 @@ object Bench {
     println(s"BENCH_FULL $full")
     // ... and persisted to a file so no round's per-query history can be
     // lost to stdout-tail truncation again (BENCH_r01's total was)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+    // A subset run (SPARK_GRAFT_BENCH_ONLY) must never silently clobber
+    // the committed full-suite artifact: default it to a distinct file
+    // unless the caller gave an explicit SPARK_GRAFT_BENCH_OUT.
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        "/root/repo/BENCH_SUBSET.json"
+      else "/root/repo/BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

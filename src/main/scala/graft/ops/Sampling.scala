@@ -127,11 +127,19 @@ object Sampling {
       val thrCase = mixtureThresholds
         .map { case (l, t) => s"WHEN '$l' THEN $t" }
         .mkString("CASE lang ", " ", " ELSE 0 END")
+      // The Spark side inner-joins the mixture table, so a language with
+      // no mixture row is OUT of the sample (a mixture spec is a whitelist).
+      // Mirror that with an explicit IN filter — without it the oracle
+      // would keep unlisted languages at n_kept=0 and the twins would
+      // diverge if the fixture's lang domain ever grows.
+      val langIn = mixtureThresholds.map { case (l, _) => s"'$l'" }
+        .mkString("(", ", ", ")")
       s"""WITH t AS (
          |  SELECT source, lang,
          |         CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)
          |              AS INT) < ($thrCase) AS keep
-         |  FROM documents)
+         |  FROM documents
+         |  WHERE lang IN $langIn)
          |SELECT source, lang, COUNT(*) AS n_docs,
          |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       ${Det.sqlR4(

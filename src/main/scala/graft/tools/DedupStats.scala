@@ -39,8 +39,12 @@ object DedupStats {
     val nVer = timed("verify")(verify.count())
     println(s"DEDUPSTATS verify=$nVer")
     // volume-control surface: hot band keys + the capped stream
+    // coalesce: sum() over zero hot keys is NULL, and getAs[Long] would
+    // NPE unboxing it — a fixture small enough to have no band-key group
+    // over the hot threshold must still print hot_pair_volume=0
     val hot = graft.SparkEntry.queries("q_dedup_lsh_hot_keys")(spark, sf)
-      .agg(count(lit(1)).as("k"), sum(col("n_pairs")).as("p")).collect()(0)
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("n_pairs")), lit(0L)).as("p")).collect()(0)
     println(s"DEDUPSTATS hot_keys=${hot.getAs[Long]("k")} " +
       s"hot_pair_volume=${hot.getAs[Long]("p")}")
     val cap = sys.env.getOrElse("SPARK_GRAFT_LSH_CAP", "64").toInt

@@ -25,4 +25,11 @@ for k in "$@"; do
   else echo "${res:-FAIL $k (no output)}"; fail=$((fail+1)); fi
 done
 echo "SUMMARY pass=$pass fail=$fail timeout=$tmo budget=${BUDGET}s sf=$SF"
-[ $fail -eq 0 ]
+# Exit nonzero on FAIL (2) and, unless tolerated, on TIMEOUT (3) — a run
+# where every key times out must not read as green to an exit-code gate.
+# CHECK_ALLOW_TIMEOUT=1 restores the old behavior for volume passes where
+# known-infeasible oracles (recursive-CTE clustering) are expected to
+# time out and are verified elsewhere (tools/check.py unionfind mode).
+if [ $fail -gt 0 ]; then exit 2; fi
+if [ $tmo -gt 0 ] && [ "${CHECK_ALLOW_TIMEOUT:-0}" != "1" ]; then exit 3; fi
+exit 0
