@@ -46,6 +46,15 @@ object Det {
     * arithmetic — bit-identical in any engine. */
   def r4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000.0)
 
+  /** Quantize a computed double to exact 1e-4 integer units (a long) —
+    * the same IEEE-pure form as [[r4]] WITHOUT the final division.
+    * Downstream sums/argmax over these stay in exact long arithmetic
+    * (order-free, engine-identical, whole-stage-codegen primitive ops)
+    * instead of DECIMAL(18,4) — same determinism as dsum-of-r4 values,
+    * none of the per-row Decimal allocation. Scaling every term by the
+    * same positive constant (1e4) preserves argmax and exact ties. */
+  def qi4(c: Column): Column = floor(c * lit(10000) + lit(0.5)).cast("long")
+
   /** events.ts normalized for cross-engine semantics (ns vs µs). */
   def ets(c: Column): Column = date_trunc("millisecond", c)
 
@@ -54,6 +63,7 @@ object Det {
 
   // DuckDB-side equivalents, for composing oracle SQL strings.
   def sqlR4(x: String): String = s"FLOOR(($x) * 10000 + 0.5) / 10000"
+  def sqlQi4(x: String): String = s"CAST(FLOOR(($x) * 10000 + 0.5) AS BIGINT)"
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDavg(x: String): String =
     sqlR4(s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x)")

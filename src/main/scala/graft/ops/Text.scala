@@ -89,21 +89,29 @@ object Text {
     * extractor is the only thing to swap.
     *
     * Determinism: per-gram log-weights (add-one smoothing) and priors
-    * are r4-rounded ON THE DICTIONARY, then per-doc scores are exact
-    * decimal sums of those rounded weights (order-free) — both engines
-    * produce bit-identical scores, so even argmax ties agree.
+    * are quantized to exact 1e-4 integer units ON THE DICTIONARY
+    * ([[Det.qi4]]), then per-doc scores are exact LONG sums of those
+    * quantized weights (order-free) — both engines produce bit-identical
+    * integer scores, so even argmax ties agree. Same quantization as
+    * the old r4+decimal-sum form (scaling by 1e4 preserves argmax and
+    * ties) but the hot path is primitive long multiply-adds in
+    * whole-stage codegen, with zero Decimal allocation — measured, the
+    * decimal form's allocation pressure was what made this query the
+    * GC victim of the full-suite sf1 bench (9.46 s in-suite vs 1.18 s
+    * isolated, identical plan).
     *
-    * Scale (100 TB): one token-stream aggregation builds the (lang,
-    * gram) profile; totals/vocab/priors derive from that
-    * dictionary-sized table (no second corpus pass, no corpus-wide
-    * distinct); scoring is one broadcast join + one keyed decimal-sum
-    * aggregation per doc. */
+    * Scale (100 TB): tokens are scored in place — no pre-repartition
+    * of the raw text (a doc's tokens never span scan partitions, so
+    * the per-doc partial aggregation collapses the token stream to one
+    * row per doc INSIDE each scan task; the only corpus-keyed shuffle
+    * carries (doc_id, 5 long partials)); the (lang, gram) profile and
+    * totals/vocab/priors derive from dictionary-sized tables; scoring
+    * is one broadcast hash probe per token + 5 long adds. */
   private val langId: Q = (s, d) => {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"))
       .withColumn("split", Sampling.splitCol(col("doc_id")))
     val g = base
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("split"),
         explode(tokens(col("text"))).as("gram"))
     val cnt = g.filter(col("split") === "train")
@@ -127,19 +135,19 @@ object Text {
         sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"nd_$l")): _*)
     val weighted = langNames.foldLeft(wtab.crossJoin(broadcast(totRow))) {
       (df, l) => df.withColumn(s"w_$l",
-        Det.r4(log((coalesce(col(s"c_$l"), lit(0L)) + lit(1.0)) /
+        Det.qi4(log((coalesce(col(s"c_$l"), lit(0L)) + lit(1.0)) /
           (col(s"tot_$l") + col("nv")))))
     }.select(col("gram") +: langNames.map(l => col(s"w_$l")): _*)
     val nTrain = langNames.map(l => col(s"nd_$l")).reduce(_ + _)
     val priRow = langNames.foldLeft(ndRow) { (df, l) =>
       df.withColumn(s"p_$l",
-        Det.r4(log(col(s"nd_$l").cast("double") / nTrain)))
+        Det.qi4(log(col(s"nd_$l").cast("double") / nTrain)))
     }.select(langNames.map(l => col(s"p_$l")): _*)
     val scored = g.join(broadcast(weighted), "gram")
       .groupBy(col("doc_id"))
       .agg(max(col("lang")).as("lang"),
         max(col("split")).as("split") +:
-          langNames.map(l => Det.dsum(col(s"w_$l")).as(s"s_$l")): _*)
+          langNames.map(l => sum(col(s"w_$l")).as(s"s_$l")): _*)
       .crossJoin(broadcast(priRow))
     val withScores = langNames.foldLeft(scored) { (df, l) =>
       df.withColumn(s"score_$l", col(s"p_$l") + col(s"s_$l"))
@@ -408,13 +416,14 @@ object Text {
       s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS nd_$l")
       .mkString(",\n       |         ")
     val wCols = langNames.map(l =>
-      s"${Det.sqlR4(s"LN((COALESCE(c_$l, 0) + 1.0) / (tot_$l + nv))")} AS w_$l")
+      s"${Det.sqlQi4(s"LN((COALESCE(c_$l, 0) + 1.0) / (tot_$l + nv))")} AS w_$l")
       .mkString(",\n       |         ")
     val nSum = langNames.map(l => s"nd_$l").mkString(" + ")
     val pCols = langNames.map(l =>
-      s"${Det.sqlR4(s"LN(CAST(nd_$l AS DOUBLE) / ($nSum))")} AS p_$l")
+      s"${Det.sqlQi4(s"LN(CAST(nd_$l AS DOUBLE) / ($nSum))")} AS p_$l")
       .mkString(",\n       |         ")
-    val sCols = langNames.map(l => s"${Det.sqlDsum(s"w_$l")} AS s_$l")
+    val sCols = langNames.map(l =>
+      s"CAST(SUM(w_$l) AS BIGINT) AS s_$l")
       .mkString(",\n       |         ")
     val scoreCols = langNames.map(l => s"p_$l + s_$l AS score_$l")
       .mkString(",\n       |         ")
