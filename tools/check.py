@@ -2,6 +2,7 @@
 """Local mirror of the driver's DuckDB-oracle compare.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [key ...]
+       python3 tools/check.py --unionfind <sfDir> <verifyOutDir>
 
 For each query key: read the Spark-written parquet under
 <verifyOutDir>/<key>/, run the paired oracle SQL from oracle_sql.json in
@@ -9,6 +10,16 @@ DuckDB (tables bound as views over <sfDir>/<t>.parquet), sort columns by
 name (the driver does), and compare cell-by-cell with exact equality.
 Exit nonzero on any mismatch. This is a dev tool only — the shipped
 Scala library has no Python dependency.
+
+--unionfind: the EXACT volume check for the two clustering queries,
+whose DuckDB recursive-CTE oracle is infeasible at sf0.1+ (times out in
+check_timeout.sh). Instead of an agreement percentage, recompute the
+connected-component labels with a plain union-find over the declared
+pair query's own parquet output (q_dedup_near → q_dedup_clusters,
+q_dedup_minhash_verify → q_dedup_clusters_sig; millions of pairs take
+seconds in Python) and compare doc_id→cluster_id, cluster_size and
+is_keeper cell-exactly. The pair inputs themselves are oracle-verified
+separately, so this closes the chain end to end.
 """
 import json
 import os
@@ -42,7 +53,86 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# clusters key → the declared pair query whose output is its edge set
+UF_PAIRS = {
+    "q_dedup_clusters": "q_dedup_near",
+    "q_dedup_clusters_sig": "q_dedup_minhash_verify",
+}
+
+
+def unionfind_main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id FROM read_parquet({table_src(sf_dir, 'documents')})"
+    ).df()["doc_id"].to_numpy()
+    ok = True
+    for ckey, pkey in UF_PAIRS.items():
+        cdir, pdir = f"{out_dir}/{ckey}", f"{out_dir}/{pkey}"
+        if not (os.path.isdir(cdir) and os.path.isdir(pdir)):
+            print(f"SKIP {ckey}: missing {cdir if not os.path.isdir(cdir) else pdir}")
+            continue
+        import time
+        t0 = time.time()
+        pairs = con.sql(
+            f"SELECT a_id, b_id FROM read_parquet('{pdir}/*.parquet')").df()
+        got = con.sql(
+            f"SELECT doc_id, cluster_id, cluster_size, is_keeper "
+            f"FROM read_parquet('{cdir}/*.parquet')").df()
+        # union-find with path halving; roots carry no order semantics —
+        # min-id labels are assigned per component afterwards
+        parent = {int(d): int(d) for d in docs}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["a_id"].to_numpy(), pairs["b_id"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        label = {}   # root → min doc_id in its component
+        for d in parent:
+            r = find(d)
+            if r not in label or d < label[r]:
+                label[r] = d
+        want_label = {d: label[find(d)] for d in parent}
+        size = {}
+        for d, l in want_label.items():
+            size[l] = size.get(l, 0) + 1
+        diffs = 0
+        if len(got) != len(parent):
+            print(f"FAIL {ckey}: {len(got)} rows vs {len(parent)} documents")
+            ok = False
+            continue
+        for d, cl, cs, kp in zip(got["doc_id"].to_numpy(),
+                                 got["cluster_id"].to_numpy(),
+                                 got["cluster_size"].to_numpy(),
+                                 got["is_keeper"].to_numpy()):
+            d, cl = int(d), int(cl)
+            if (cl != want_label[d] or int(cs) != size[want_label[d]]
+                    or bool(kp) != (d == cl)):
+                diffs += 1
+                if diffs == 1:
+                    print(f"  first diff doc_id={d}: spark=({cl},{cs},{kp}) "
+                          f"unionfind=({want_label[d]},{size[want_label[d]]},"
+                          f"{d == want_label[d]})")
+        n_clusters = len(size)
+        if diffs:
+            print(f"FAIL {ckey}: {diffs} label diffs vs union-find over "
+                  f"{len(pairs)} {pkey} pairs")
+            ok = False
+        else:
+            print(f"PASS {ckey} (union-find: {len(parent)} docs, "
+                  f"{len(pairs)} pairs, {n_clusters} clusters, "
+                  f"{time.time() - t0:.1f}s)")
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if sys.argv[1] == "--unionfind":
+        return unionfind_main(sys.argv[2], sys.argv[3])
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
