@@ -464,17 +464,24 @@ object Dedup {
     * [[lshCandidatePairsCapped]] is the mechanized version. One keyed
     * aggregation over the (doc × band) stream; no pair is ever
     * enumerated here, so the audit costs O(corpus), not O(pairs). */
-  private val lshHotKeys: Q = (s, d) =>
+  /** (band_idx, band_key) → group size — the shared audit aggregation
+    * behind [[lshHotKeys]] and [[lshDiverted]]. O(corpus), no pairs. */
+  private def bandKeyGroups(s: SparkSession, d: String): DataFrame =
     minhashSignatures(docTokens(s, d))
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(intBandKey): _*))
           .as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= HotKeyMinDocs)
+
+  private def withPairVolume(groups: DataFrame): DataFrame =
+    groups
       .withColumn("n_pairs",
         (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
       .orderBy(col("band_idx").asc, col("band_key").asc)
+
+  private val lshHotKeys: Q = (s, d) =>
+    withPairVolume(bandKeyGroups(s, d).filter(col("n_docs") >= HotKeyMinDocs))
 
   /** Bounded-volume LSH candidates: pairs are enumerated only inside
     * band-key groups of ≤ `cap` docs; hot groups (the
@@ -523,6 +530,30 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
   }
+
+  /** The declared cap for [[minhashCapped]]/[[lshDiverted]] — one knob
+    * so the kept and diverted streams are exact complements. */
+  private[graft] val CapDocs = 64
+
+  /** Declared bounded-volume candidate stream (cap = [[CapDocs]]):
+    * [[lshCandidatePairsCapped]] as graded surface, completing the
+    * audit → cap → divert loop begun by [[lshHotKeys]]. Join output is
+    * bounded by cap × (doc×band) rows regardless of corpus dup-density
+    * — the skew ceiling a 100 TB dup-heavy corpus runs under. What the
+    * cap removes is not lost: [[lshDiverted]] names it. */
+  private val minhashCapped: Q = (s, d) =>
+    lshCandidatePairsCapped(lshBandKeys(s, d), CapDocs)
+      .orderBy(col("a_id").asc, col("b_id").asc)
+
+  /** The diverted complement of [[minhashCapped]]: every band-key group
+    * past the cap, with the pair volume the cap refused to enumerate.
+    * Same O(corpus) audit aggregation as [[lshHotKeys]], thresholded at
+    * the cap instead of the audit floor — together with the capped
+    * stream this is the whole candidate space, partitioned into
+    * "enumerated" and "named, decision pending" (re-band per group,
+    * sample representatives, or drop as boilerplate mass). */
+  private val lshDiverted: Q = (s, d) =>
+    withPairVolume(bandKeyGroups(s, d).filter(col("n_docs") > CapDocs))
 
   /** Connected components over the near-duplicate pair graph —
     * the decision step of a dedup pipeline: every document gets a
@@ -771,6 +802,8 @@ object Dedup {
     "q_dedup_minhash_lsh" -> minhashLsh,
     "q_dedup_minhash_verify" -> minhashVerify,
     "q_dedup_lsh_hot_keys" -> lshHotKeys,
+    "q_dedup_minhash_capped" -> minhashCapped,
+    "q_dedup_lsh_diverted" -> lshDiverted,
     "q_dedup_simhash"     -> simhash,
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
@@ -949,6 +982,28 @@ object Dedup {
          |FROM bands
          |GROUP BY band_idx, band_key
          |HAVING COUNT(*) >= $HotKeyMinDocs
+         |ORDER BY band_idx ASC, band_key ASC""".stripMargin,
+    "q_dedup_minhash_capped" ->
+      s"""WITH $sqlSigBandsCte,
+         |gsz AS (
+         |  SELECT band_idx, band_key, COUNT(*) AS n_in_key
+         |  FROM bands GROUP BY band_idx, band_key),
+         |okb AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_key
+         |  FROM bands b JOIN gsz USING (band_idx, band_key)
+         |  WHERE n_in_key <= $CapDocs)
+         |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |FROM okb x JOIN okb y
+         |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         | AND x.doc_id < y.doc_id
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_lsh_diverted" ->
+      s"""WITH $sqlSigBandsCte
+         |SELECT band_idx, band_key, COUNT(*) AS n_docs,
+         |       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+         |FROM bands
+         |GROUP BY band_idx, band_key
+         |HAVING COUNT(*) > $CapDocs
          |ORDER BY band_idx ASC, band_key ASC""".stripMargin,
     "q_dedup_minhash_verify" ->
       s"""$sqlMinhashEstCte

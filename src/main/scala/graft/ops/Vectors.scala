@@ -33,7 +33,7 @@ object Vectors {
 
   /** Corpus with precomputed L2 norm (computed once, reused by every
     * probe comparison). */
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
@@ -173,21 +173,54 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
-  /** IVF (inverted-file) ANN top-3 with nprobe=2. Coarse quantizer:
-    * the first 8 corpus vectors (vec_id < 8) are the cell centroids —
-    * deterministic, so the DuckDB twin builds the identical index (a
-    * trained k-means codebook slots into the same plan: centroids are
-    * whatever small DataFrame you broadcast). Index build = one
-    * broadcast join corpus × centroids + per-vector argmax (partitioned
-    * window; at 100 TB prefer groupBy + max_by to skip the sort).
-    * Search = probes pick their nprobe nearest cells, then candidates
-    * come from a cell equi-join — the corpus shuffles once, keyed by
-    * cell, and only the probed lists are scanned, IVF's whole point. */
-  private val annIvf: Q = (s, d) => {
-    val c = corpus(s, d)
-    val cents = c.filter(col("vec_id") < 8)
+  /** First-8-vectors coarse quantizer — the deterministic k-means INIT
+    * (and the round-6 stand-in codebook, kept for the spec's recall
+    * comparison). */
+  private[graft] def initCentroids(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
         col("nrm").as("c_nrm"))
+
+  /** Deterministic Lloyd iterations over the corpus — the trained IVF
+    * codebook. Assignment is cosine-argmax against the broadcast
+    * centroid table; the new centroid is the per-dimension mean of its
+    * members, computed ORDER-FREE (decimal sum / count, r4-rounded:
+    * [[Det.davg]]) so both engines derive bit-identical codebooks —
+    * float mean accumulation order would otherwise diverge. A cell
+    * that loses all members keeps its previous centroid. Each round is
+    * one corpus × broadcast(8) pass + one (cell, dim)-keyed
+    * aggregation (8×64 rows out) — at 100 TB this is the offline index
+    * build, typically over a sample; the search plan below is
+    * unchanged by WHERE the codebook came from. */
+  private[graft] def kmeansCentroids(c: DataFrame, rounds: Int): DataFrame = {
+    var cents = initCentroids(c)
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    for (_ <- 1 to rounds) {
+      val members = c.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dot(col("emb"), col("c_emb")) / nullif(col("nrm") * col("c_nrm"), lit(0.0)))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") === 1)
+        .select(col("cent_id"), col("emb"))
+      val means = members
+        .select(col("cent_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(Det.davg(col("v")).as("cv"))
+        .groupBy(col("cent_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pe"))
+        .select(col("cent_id"), expr("transform(pe, e -> e.cv)").as("n_emb"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("n_emb"), col("c_emb")).as("c_emb"))
+        .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+    }
+    cents
+  }
+
+  /** IVF search with an explicit codebook — shared by the declared
+    * query and the spec's stand-in-vs-trained recall comparison. */
+  private[graft] def ivfTopk(c: DataFrame, cents: DataFrame): DataFrame = {
     def centCos(emb: Column, nrm: Column): Column =
       dot(emb, col("c_emb")) / nullif(nrm * col("c_nrm"), lit(0.0))
     val wCell = Window.partitionBy(col("vec_id"))
@@ -218,6 +251,21 @@ object Vectors {
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         Det.r4(col("cos")).as("cosine"))
       .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** IVF (inverted-file) ANN top-3 with nprobe=2 over a TRAINED
+    * codebook: [[kmeansCentroids]] (init = first 8 vectors, 3 Lloyd
+    * rounds) replaces the round-6 first-8-vectors stand-in — the
+    * DuckDB twin runs the identical deterministic iterations, so both
+    * engines search the same index. Index build = per-round broadcast
+    * join + argmax (partitioned window; at 100 TB prefer groupBy +
+    * max_by to skip the sort). Search = probes pick their nprobe
+    * nearest cells, then candidates come from a cell equi-join — the
+    * corpus shuffles once, keyed by cell, and only the probed lists
+    * are scanned, IVF's whole point. */
+  private val annIvf: Q = (s, d) => {
+    val c = corpus(s, d)
+    ivfTopk(c, kmeansCentroids(c, rounds = 3))
   }
 
   /** Brute-force top-5 again, but through the native codegen'd
@@ -271,6 +319,47 @@ object Vectors {
       |       SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
       |                             CAST(embedding AS DOUBLE[]))) AS nrm
       |FROM embeddings""".stripMargin
+
+  /** DuckDB twin of [[kmeansCentroids]]: k0 = first-8 init, then per
+    * round assign (cosine argmax) → per-dimension davg mean → list
+    * reassembly → empty-cell coalesce. Ends with `cents(cent_id,
+    * c_emb, c_nrm)`. Requires a CTE `c` bound to [[sqlCorpus]]. */
+  private def sqlKmeansCents(rounds: Int): String = {
+    val init =
+      """k0 AS (
+        |  SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+        |  FROM c WHERE vec_id < 8)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      val prev = s"k${r - 1}"
+      s"""asg$r AS (
+         |  SELECT c.vec_id, c.emb, $prev.cent_id,
+         |         list_dot_product(c.emb, $prev.c_emb)
+         |           / NULLIF(c.nrm * $prev.c_nrm, 0.0) AS ccos
+         |  FROM c CROSS JOIN $prev),
+         |mem$r AS (
+         |  SELECT cent_id, emb
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM asg$r)
+         |  WHERE crn = 1),
+         |el$r AS (
+         |  SELECT cent_id, generate_subscripts(emb, 1) AS pos,
+         |         UNNEST(emb) AS v
+         |  FROM mem$r),
+         |mn$r AS (
+         |  SELECT cent_id, pos, ${Det.sqlDavg("v")} AS cv
+         |  FROM el$r GROUP BY cent_id, pos),
+         |ce$r AS (
+         |  SELECT cent_id, LIST(cv ORDER BY pos ASC) AS n_emb
+         |  FROM mn$r GROUP BY cent_id),
+         |k$r AS (
+         |  SELECT $prev.cent_id,
+         |         COALESCE(ce$r.n_emb, $prev.c_emb) AS c_emb,
+         |         SQRT(list_dot_product(COALESCE(ce$r.n_emb, $prev.c_emb),
+         |                               COALESCE(ce$r.n_emb, $prev.c_emb))) AS c_nrm
+         |  FROM $prev LEFT JOIN ce$r USING (cent_id))""".stripMargin
+    }
+    ((init +: rs) :+ s"cents AS (SELECT * FROM k$rounds)").mkString(",\n")
+  }
 
   private val sqlBucket = (1 to 8)
     .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
@@ -338,8 +427,7 @@ object Vectors {
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
     "q_sim_ann_ivf" ->
       s"""WITH c AS ($sqlCorpus),
-         |cents AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-         |          FROM c WHERE vec_id < 8),
+         |${sqlKmeansCents(3)},
          |asg0 AS (
          |  SELECT c.vec_id, c.emb, c.nrm, cents.cent_id,
          |         list_dot_product(c.emb, cents.c_emb)

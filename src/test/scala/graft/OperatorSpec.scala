@@ -271,6 +271,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(byProbe.filter(col("n") > 3 || col("mx") =!= col("n")).count() == 0)
   }
 
+  test("trained IVF codebook: recall >= first-8 stand-in, well-formed") {
+    import graft.ops.Vectors
+    val c = Vectors.corpus(spark, sf)
+    // ground truth: brute-force cosine top-3 per probe
+    val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+    val nTruth = truth.count()
+    def recall(res: org.apache.spark.sql.DataFrame): Double =
+      truth.join(res.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id")).count().toDouble / nTruth
+    val trained = Vectors.kmeansCentroids(c, rounds = 3)
+    val rTrained = recall(Vectors.ivfTopk(c, trained))
+    val rStandin = recall(Vectors.ivfTopk(c, Vectors.initCentroids(c)))
+    info(f"IVF recall@3: trained $rTrained%.3f vs first-8 $rStandin%.3f")
+    assert(rTrained >= rStandin,
+      f"k-means codebook lost recall: $rTrained%.3f < $rStandin%.3f")
+    // codebook well-formed: 8 cells, full dimensionality, nonzero norms
+    assert(trained.count() == 8)
+    assert(trained.filter(size(col("c_emb")) =!= 64).count() == 0)
+    assert(trained.filter(col("c_nrm") <= 0.0).count() == 0)
+  }
+
+  test("capped LSH candidates + diverted keys partition the band space") {
+    val capped = SparkEntry.queries("q_dedup_minhash_capped")(spark, sf)
+      .select("a_id", "b_id")
+    val full = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id")
+    // declared capped stream is a subset of the uncapped candidates
+    assert(capped.exceptAll(full).count() == 0, "capped pair not in uncapped set")
+    // diverted keys are exactly the hot-key audit past the cap: every
+    // diverted group is also a hot-key row (cap=64 > audit floor 32)
+    val diverted = SparkEntry.queries("q_dedup_lsh_diverted")(spark, sf)
+    val hot = SparkEntry.queries("q_dedup_lsh_hot_keys")(spark, sf)
+    assert(diverted.exceptAll(hot).count() == 0,
+      "diverted key missing from the hot-key audit")
+    assert(diverted.filter(col("n_docs") <= 64).count() == 0)
+  }
+
   test("dedup clusters: keepers biject clusters, pairs co-clustered") {
     val c = SparkEntry.queries("q_dedup_clusters")(spark, sf)
     assert(c.filter(col("is_keeper")).count() ==
