@@ -104,9 +104,7 @@ class ScaleSpec extends AnyFunSuite {
 
   test("streaming aggregation runs on the RocksDB state store") {
     import java.sql.Timestamp
-    val s = spark.newSession()
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s = SparkTestSession.rocksSession
     import s.implicits._
     implicit val ctx = s.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime

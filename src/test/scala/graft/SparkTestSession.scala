@@ -18,5 +18,18 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Cloned session whose streaming state lives in the RocksDB state
+    * store — the provider a 100 TB deployment runs (off-heap state,
+    * incremental snapshot checkpointing; the jar ships with Spark 4.1).
+    * The conf is session-scoped, so suites opt in per-query without
+    * touching the shared session's default HDFS-backed store. */
+  def rocksSession: SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2
+  }
+
   val sf: String = "/root/testdata/sf0.001"
 }

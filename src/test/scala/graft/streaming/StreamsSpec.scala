@@ -31,14 +31,14 @@ class StreamsSpec extends AnyFunSuite {
 
   private def runStream(input: Seq[Seq[Ev]],
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      mode: String = "append") = {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+      mode: String = "append",
+      session: org.apache.spark.sql.SparkSession = spark) = {
+    val mem = MemoryStream[Ev](session)
     val q = build(mem.toDF()).writeStream
       .format("memory").queryName(s"s_${System.nanoTime()}")
       .outputMode(mode).start()
     input.foreach { batch => mem.addData(batch); q.processAllAvailable() }
-    val out = spark.table(q.name).collect()
+    val out = session.table(q.name).collect()
     q.stop()
     out
   }
@@ -62,6 +62,18 @@ class StreamsSpec extends AnyFunSuite {
     val dup = evs(4).copy(value = 99.0) // same event_id=4 redelivered
     val out = runStream(Seq(evs, Seq(dup)),
       df => Streams.dedupWithinWatermark(df))
+    assert(out.map(_.getAs[Long]("event_id")).toSeq.sorted ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("dedupWithinWatermark on the RocksDB state store: same collapse") {
+    // same redelivery scenario as above, but the dedup state lives in
+    // RocksDB — the store a 100 TB deployment runs. Behavior must be
+    // provider-independent.
+    val dup = evs(4).copy(value = 99.0)
+    val out = runStream(Seq(evs, Seq(dup)),
+      df => Streams.dedupWithinWatermark(df),
+      session = SparkTestSession.rocksSession)
     assert(out.map(_.getAs[Long]("event_id")).toSeq.sorted ==
       Seq(0L, 1L, 2L, 3L, 4L))
   }

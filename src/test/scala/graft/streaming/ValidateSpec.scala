@@ -82,9 +82,7 @@ class ValidateSpec extends AnyFunSuite {
       wellFormed("b", 2, 1).filterNot(_.seq == 1) ++
       List(Msg("c", 0, "mutation"))
     // transformWithState requires the RocksDB state store provider
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s2 = SparkTestSession.rocksSession
     val mem2 = MemoryStream[Msg](s2)
     val q = validateStreamTws(mem2.toDS()).writeStream
       .format("memory").queryName(s"tws_${System.nanoTime()}")
@@ -175,6 +173,25 @@ class ValidateSpec extends AnyFunSuite {
     val streamed = spark.table(q.name).as[GroupEvent].collect().toSet
     q.stop()
     assert(streamed == batch)
+  }
+
+  test("FSM stream on the RocksDB state store agrees with batch") {
+    // the flatMapGroupsWithState FSM with its per-publisher state in
+    // RocksDB — provider choice must not change a single violation
+    val msgs = wellFormed("a", 3, 2) ++
+      wellFormed("b", 2, 1).filterNot(_.seq == 1) ++
+      List(Msg("c", 0, "mutation"))
+    val s2 = SparkTestSession.rocksSession
+    val mem = MemoryStream[Msg](s2)
+    val q = validateStream(mem.toDS()).writeStream
+      .format("memory").queryName(s"fsm_rocks_${System.nanoTime()}")
+      .outputMode("append").start()
+    val (e1, e2) = msgs.splitAt(msgs.size / 2)
+    mem.addData(e1); q.processAllAvailable()
+    mem.addData(e2); q.processAllAvailable()
+    val streamed = s2.table(q.name).as[Violation].collect().toSet
+    q.stop()
+    assert(streamed == validateBatch(spark.createDataset(msgs)).collect().toSet)
   }
 
   test("batch and streaming validation agree (MemoryStream, 2 epochs)") {
