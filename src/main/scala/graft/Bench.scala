@@ -47,12 +47,31 @@ object Bench {
     // a query that failed in every pass reports -1 so the failure is
     // visible. Per-query [min, max] spread is persisted alongside so a
     // noisy round is visibly noisy instead of silently wrong.
+    // Opt-in per-query heap high-water probe (SPARK_GRAFT_BENCH_HEAP=1):
+    // full GC + pool-peak reset before each query (OUTSIDE the timed
+    // window), sum of heap-pool peaks after. Off by default so the
+    // published 5-pass medians keep the exact round-over-round
+    // methodology; a separate 1-pass probe run answers "where does the
+    // sf1 heap go" with measurements instead of arithmetic.
+    val heapProbe = sys.env.get("SPARK_GRAFT_BENCH_HEAP").contains("1")
+    val heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    }
+    val peakHeapMb = scala.collection.mutable.Map.empty[String, Double]
     def timedPass(): Map[String, (Double, Boolean)] = queries.map {
       case (name, fn) =>
+        if (heapProbe) { System.gc(); heapPools.foreach(_.resetPeakUsage()) }
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
-        name -> (((System.nanoTime() - t0) / 1e9, ok))
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (heapProbe) {
+          val mb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+          peakHeapMb(name) = math.max(mb, peakHeapMb.getOrElse(name, 0.0))
+        }
+        name -> ((dt, ok))
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     val allPasses = (1 to passes).map(_ => timedPass())
@@ -93,7 +112,10 @@ object Bench {
         .mkString("{", ",", "}")
     // Full per-query map for humans / logs (NOT the contract line — with 85
     // queries it exceeds the driver's captured-output tail and fails to parse).
-    val full = s"""{"n":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"spread":${jsonSpread(spread)}}"""
+    val heapJson =
+      if (heapProbe) s""","peak_heap_mb":${jsonMap(peakHeapMb.toSeq.sortBy(-_._2))}"""
+      else ""
+    val full = s"""{"n":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"spread":${jsonSpread(spread)}$heapJson}"""
     println(s"BENCH_FULL $full")
     // ... and persisted to a file so no round's per-query history can be
     // lost to stdout-tail truncation again (BENCH_r01's total was)
