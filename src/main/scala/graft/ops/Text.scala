@@ -353,8 +353,65 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Bigram-LM quality score (CCNet-style perplexity filtering, the
+    * curation signal behind "keep the docs a clean-corpus LM finds
+    * unsurprising"): an add-one-smoothed bigram model TRAINED ON THE
+    * TRAIN SPLIT (same stable hash split as [[langId]]) scores every
+    * doc by total and per-bigram negative log-likelihood; rank/filter
+    * on avg_nll_e4 is the downstream curation step. Backoff: observed
+    * bigram → observed-w1 unseen-continuation weight → global
+    * unseen-w1 weight, all three precomputed on DICTIONARY-sized
+    * tables and broadcast — the corpus-sized path is one hash probe
+    * per bigram + a long sum (order-free exact integer units,
+    * [[Det.qi4]], same determinism story as langid).
+    *
+    * Scale (100 TB): bigrams are extracted in-scan (array transform,
+    * no explode-join); the only corpus-keyed shuffle carries (doc_id,
+    * 2 long partials). The bigram dictionary grows with corpus vocab —
+    * at real scale prune it by min-count (the add-one backoff already
+    * absorbs the tail) before broadcasting, or let AQE pick a shuffle
+    * join; the plan is unchanged either way. */
+  private val lmScore: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
+        tokens(col("text")).as("toks"))
+    val bi = base.select(col("doc_id"), col("split"),
+        explode(expr(
+          """filter(
+            |  transform(toks, (w, i) -> struct(w AS w1, try_element_at(toks, i + 2) AS w2)),
+            |  b -> b.w2 IS NOT NULL)""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("split"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bi.filter(col("split") === "train")
+    val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vRow = train.agg(countDistinct(col("w2")).as("v"))
+    val wBi = c12.join(c1, "w1").crossJoin(broadcast(vRow))
+      .select(col("w1"), col("w2"),
+        Det.qi4(-log((col("c12") + lit(1.0)) / (col("c1") + col("v")))).as("w_bi"))
+    val wUn = c1.crossJoin(broadcast(vRow))
+      .select(col("w1"),
+        Det.qi4(-log(lit(1.0) / (col("c1") + col("v")))).as("w_un"))
+    val wGlob = vRow.select(Det.qi4(-log(lit(1.0) / col("v"))).as("w_glob"))
+    val scored = bi
+      .join(broadcast(wBi), Seq("w1", "w2"), "left")
+      .join(broadcast(wUn), Seq("w1"), "left")
+      .crossJoin(broadcast(wGlob))
+      .withColumn("w", coalesce(col("w_bi"), col("w_un"), col("w_glob")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("nll_e4"))
+    base.select(col("doc_id"), col("split"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_e4"), lit(0L)).as("nll_e4"))
+      .withColumn("avg_nll_e4", expr("nll_e4 div nullif(n_bigrams, 0)"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_wordcount"   -> wordcount,
+    "q_text_lm_score"    -> lmScore,
     "q_text_tfidf"       -> tfidf,
     "q_text_lang_stats"  -> langStats,
     "q_text_langid"      -> langId,
@@ -476,6 +533,50 @@ object Text {
          |GROUP BY word
          |ORDER BY n DESC, word ASC
          |LIMIT 20""".stripMargin,
+    "q_text_lm_score" ->
+      s"""WITH lm_base AS (
+         |  SELECT doc_id, ${Sampling.sqlSplit("doc_id")} AS split,
+         |         $sqlToks AS toks
+         |  FROM documents),
+         |lm_bi AS (
+         |  SELECT doc_id, split, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, split, toks,
+         |               generate_subscripts(toks, 1) AS i
+         |        FROM lm_base)
+         |  WHERE i < LEN(toks)),
+         |lm_c12 AS (
+         |  SELECT w1, w2, COUNT(*) AS c12
+         |  FROM lm_bi WHERE split = 'train' GROUP BY 1, 2),
+         |lm_c1 AS (
+         |  SELECT w1, COUNT(*) AS c1
+         |  FROM lm_bi WHERE split = 'train' GROUP BY 1),
+         |lm_v AS (
+         |  SELECT COUNT(DISTINCT w2) AS v FROM lm_bi WHERE split = 'train'),
+         |lm_wbi AS (
+         |  SELECT lm_c12.w1, lm_c12.w2,
+         |         ${Det.sqlQi4("-LN((c12 + 1.0) / (c1 + v))")} AS w_bi
+         |  FROM lm_c12 JOIN lm_c1 USING (w1) CROSS JOIN lm_v),
+         |lm_wun AS (
+         |  SELECT w1, ${Det.sqlQi4("-LN(1.0 / (c1 + v))")} AS w_un
+         |  FROM lm_c1 CROSS JOIN lm_v),
+         |lm_wg AS (
+         |  SELECT ${Det.sqlQi4("-LN(1.0 / v)")} AS w_glob FROM lm_v),
+         |lm_sc AS (
+         |  SELECT lm_bi.doc_id,
+         |         COUNT(*) AS n_bigrams,
+         |         CAST(SUM(COALESCE(w_bi, w_un, w_glob)) AS BIGINT) AS nll_e4
+         |  FROM lm_bi
+         |  LEFT JOIN lm_wbi USING (w1, w2)
+         |  LEFT JOIN lm_wun USING (w1)
+         |  CROSS JOIN lm_wg
+         |  GROUP BY lm_bi.doc_id)
+         |SELECT b.doc_id, b.split,
+         |       COALESCE(n_bigrams, 0) AS n_bigrams,
+         |       COALESCE(nll_e4, 0) AS nll_e4,
+         |       COALESCE(nll_e4, 0) // NULLIF(COALESCE(n_bigrams, 0), 0)
+         |         AS avg_nll_e4
+         |FROM lm_base b LEFT JOIN lm_sc USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_text_tfidf" ->
       s"""WITH tf AS (
          |  SELECT doc_id, word, COUNT(*) AS tf

@@ -268,6 +268,34 @@ object Vectors {
     ivfTopk(c, kmeansCentroids(c, rounds = 3))
   }
 
+  /** Semantic clustering for SemDeDup-style curation: every corpus
+    * vector assigned to its nearest trained-codebook centroid (the
+    * same 3-round Lloyd codebook [[annIvf]] searches), with the cell
+    * population and the r4-rounded cosine to its centroid — the raw
+    * material for semantic dedup (keep one doc per tight cell), topic
+    * balancing, and mixture audits. One broadcast(8-row codebook)
+    * probe + per-vector argmax, one cell-keyed window for the size;
+    * the corpus never self-joins, so the plan is O(corpus) at any
+    * scale (the codebook stays driver-small even when trained on a
+    * sample of a 100 TB corpus). */
+  private val simKmeans: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cents = kmeansCentroids(c, rounds = 3)
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("emb"), col("c_emb")) / nullif(col("nrm") * col("c_nrm"), lit(0.0)))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster_id"), col("ccos"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        Det.r4(col("ccos")).as("cent_cos"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Brute-force top-5 again, but through the native codegen'd
     * [[graft.functions.CosineSimilarity]] expression instead of the
     * higher-order zip_with/aggregate composition — one fused loop per
@@ -310,6 +338,7 @@ object Vectors {
     "q_sim_ann_lsh"       -> annLsh,
     "q_sim_ann_multiprobe"-> annMultiprobe,
     "q_sim_ann_ivf"       -> annIvf,
+    "q_sim_kmeans"        -> simKmeans,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -461,6 +490,24 @@ object Vectors {
          |       ${Det.sqlR4("cos")} AS cosine
          |FROM r WHERE rn <= 3
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_kmeans" ->
+      s"""WITH c AS ($sqlCorpus),
+         |${sqlKmeansCents(3)},
+         |a0 AS (
+         |  SELECT c.vec_id, cents.cent_id,
+         |         list_dot_product(c.emb, cents.c_emb)
+         |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+         |  FROM c CROSS JOIN cents),
+         |asg AS (
+         |  SELECT vec_id, cent_id AS cluster_id, ccos
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM a0)
+         |  WHERE crn = 1)
+         |SELECT vec_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       ${Det.sqlR4("ccos")} AS cent_cos
+         |FROM asg
+         |ORDER BY vec_id ASC""".stripMargin,
     "q_dedup_embedding" -> {
       val db0 = (1 to 12)
         .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")

@@ -293,6 +293,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(trained.filter(col("c_nrm") <= 0.0).count() == 0)
   }
 
+  test("kmeans clusters: sizes reconcile, ids from the 8-cell codebook") {
+    val k = SparkEntry.queries("q_sim_kmeans")(spark, sf)
+    val corpus = graft.io.Tables.embeddings(spark, sf).count()
+    assert(k.count() == corpus, "every vector must be assigned")
+    // cluster_size is the true population of its cluster_id
+    val bad = k.groupBy("cluster_id", "cluster_size")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("cluster_size"))
+    assert(bad.count() == 0, "cluster_size disagrees with actual population")
+    assert(k.filter(col("cluster_id") < 0 || col("cluster_id") > 7).count() == 0)
+    assert(k.filter(col("cent_cos") < -1.0001 || col("cent_cos") > 1.0001)
+      .count() == 0)
+  }
+
+  test("lm score: per-doc bigram accounting and nonnegative nll") {
+    val lm = SparkEntry.queries("q_text_lm_score")(spark, sf)
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    assert(lm.count() == docs.count(), "every doc must be scored")
+    // n_bigrams = max(n_tokens - 1, 0), exactly
+    val bad = lm.join(docs, "doc_id")
+      .filter(col("n_bigrams") =!= greatest(col("n_tokens") - 1, lit(0L)))
+    assert(bad.count() == 0, "bigram count disagrees with token count")
+    assert(lm.filter(col("nll_e4") < 0).count() == 0, "negative nll")
+    // add-one smoothing upper bound: no per-bigram weight can exceed
+    // ln(c1_max + V) — checked loosely via the average
+    val mx = lm.filter(col("n_bigrams") > 0)
+      .agg(max(col("avg_nll_e4"))).head.getLong(0)
+    assert(mx < 200000L, s"avg nll $mx implausibly large for add-one smoothing")
+  }
+
   test("capped LSH candidates + diverted keys partition the band space") {
     val capped = SparkEntry.queries("q_dedup_minhash_capped")(spark, sf)
       .select("a_id", "b_id")
