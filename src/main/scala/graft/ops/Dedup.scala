@@ -52,7 +52,14 @@ object Dedup {
     * the J=0.8 boundary per-pair recall is 1−(1−0.8⁸)⁸ ≈ 0.77 per
     * band set — OperatorSpec measures realized recall against the
     * exact ≥0.8 pair set and holds it above 0.8 (boundary-J pairs are
-    * a minority of this corpus's true pairs). */
+    * a minority of this corpus's true pairs).
+    *
+    * Cost accounting for the bench reader: moving from 16 to 64 hashes
+    * made the per-query band-key computation dearer (q_dedup_minhash_lsh
+    * 3.38 → 4.42 s at sf0.1 in round 6), but the cost moved OUT of
+    * verification — the lsh+verify+clusters chain fell 15.7 → 14.7 s
+    * at sf0.1 and verify fell 179.9 → 57.1 s at sf1. The per-key
+    * regression is the banding trade, not a defect. */
   private val Bands = 8
   private val RowsPerBand = VerifyHashes / Bands
 
