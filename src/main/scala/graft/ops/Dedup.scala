@@ -714,12 +714,22 @@ object Dedup {
         .distinct()
     }
     // materialized once: hop and the contraction join both read it —
-    // without the checkpoint the (expensive) pair pipeline runs twice
+    // without this the (expensive) pair pipeline runs twice. DISK_ONLY,
+    // not localCheckpoint: the raw edge set is the one corpus-scale
+    // intermediate here (205-219 M rows at sf1), and the default
+    // MEMORY_AND_DISK checkpoint pins it in executor heap — measured at
+    // sf1 that old-gen churn made LATER CC invocations in the same JVM
+    // degrade 23 s → 82-93 s (heap aging), and it is what forced the
+    // 48 GiB local-mode heap. On disk the per-pass cost is one
+    // serialize + two deserializes; the heap holds only stream buffers.
+    // (hop and the contracted skeleton stay heap-checkpointed — they
+    // are node-/skeleton-sized, and the loop needs their truncated
+    // lineage.)
     val raw = pairs
       .select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Contraction pre-pass: hop every node to m(v) = min(Γ(v) ∪ v) —
     // one keyed aggregation over the edge list — and re-key the edges
     // through that label. Near-dup components are near-cliques, so
