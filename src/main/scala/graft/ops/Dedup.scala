@@ -524,10 +524,19 @@ object Dedup {
     val banded = withKeys.select(col("doc_id"),
       posexplode(array((0 until Bands).map(j => col(s"bk$j")): _*))
         .as(Seq("band_idx", "band_key")))
-    val sizes = banded.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("n_in_key"))
-    val ok = banded.join(sizes.filter(col("n_in_key") <= cap),
-      Seq("band_idx", "band_key"))
+    // Group sizes via a band-key window, NOT a groupBy+join-back: the
+    // join form re-derives the full signature lineage (tokenize → 64
+    // minhash aggs → band keys) once per branch — three times in all
+    // with the self-join below. The window keeps ONE lineage up to a
+    // single (band_idx, band_key) exchange; the self-join's two reads
+    // then land on the SAME exchange (ReusedExchange — reads shuffle
+    // files, not the signature pipeline) and need no further shuffle,
+    // since the window's partitioning already satisfies the join.
+    val ok = banded
+      .withColumn("n_in_key", count(lit(1))
+        .over(Window.partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("n_in_key") <= cap)
+      .drop("n_in_key")
     val x = ok.select(col("band_idx"), col("band_key"),
       col("doc_id").as("a_id"))
     val y = ok.select(col("band_idx"), col("band_key"),
@@ -812,6 +821,62 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Span granularity for [[spans]]: 5-token windows. Fine enough that
+    * real shared passages register, coarse enough that the fixture's
+    * 31-word vocabulary doesn't make every span trivially shared. */
+  private val SpanK = 5
+
+  /** Sliding SpanK-token spans `(doc_id, gram)`, duplicates kept —
+    * the same fan-out-before-explode pipeline as [[Text.docWordGrams]]
+    * (which drops to n=2/3; spans need their own width). */
+  private def docSpanGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(when(size(col("ts")) >= SpanK,
+          expr(s"transform(sequence(1, size(ts) - ${SpanK - 1}), i -> " +
+            (0 until SpanK).map(k => s"element_at(ts, i + $k)")
+              .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+
+  /** Duplicated-SPAN detection — the exact-substring signal of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., ACL 2022), at word-5-gram granularity: a span is
+    * duplicated when it occurs in ≥ 2 DISTINCT documents; the query
+    * reports, per document, its span count, duplicated-span count and
+    * duplicated fraction — the signal a curation pipeline thresholds
+    * (or uses to cut the duplicated passages themselves, since the
+    * span stream carries enough to reconstruct positions).
+    *
+    * Where the doc-level family ([[near]]/[[ngram]]/MinHash) scores
+    * whole-document similarity, this catches the common real-corpus
+    * case of two long documents sharing one boilerplate paragraph —
+    * doc-level Jaccard stays low, span-level duplication flags it.
+    *
+    * Scale shape — single linear lineage, NO self-join and no
+    * broadcast of anything corpus-sized: (gram, doc)-keyed partial
+    * agg (map-side combine collapses within-doc repeats), a
+    * gram-keyed window for the distinct-doc count (the only wide
+    * exchange carries one row per distinct (gram, doc)), then the
+    * doc-keyed roll-up. Spans never ride a join; the gram strings
+    * could be xxhash64-folded at real scale, kept verbatim here so
+    * the oracle stays string-exact. */
+  private val spans: Q = (s, d) => {
+    val perDocGram = docSpanGrams(s, d)
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    perDocGram
+      .withColumn("nd",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        Det.r4(col("n_dup_spans").cast("double") / col("n_spans")))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> exact,
     "q_dedup_near"        -> near,
@@ -822,6 +887,7 @@ object Dedup {
     "q_dedup_minhash_capped" -> minhashCapped,
     "q_dedup_lsh_diverted" -> lshDiverted,
     "q_dedup_simhash"     -> simhash,
+    "q_dedup_spans"       -> spans,
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
   )
@@ -912,6 +978,30 @@ object Dedup {
         |FROM documents
         |GROUP BY 1
         |ORDER BY h ASC""".stripMargin,
+    "q_dedup_spans" -> {
+      val gram = (0 until SpanK)
+        .map(k => s"toks[CAST(i + $k AS INT)]").mkString(" || ' ' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, $gram AS gram
+         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - ${SpanK - 2}, 1)))
+         |         AS r(i)),
+         |pg AS (
+         |  SELECT gram, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT doc_id, c, COUNT(*) OVER (PARTITION BY gram) AS nd
+         |  FROM pg)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_spans,
+         |       CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
+         |         AS n_dup_spans,
+         |       ${Det.sqlR4(
+             "CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)" +
+             " / SUM(c)")} AS dup_frac
+         |FROM nd
+         |GROUP BY doc_id
+         |ORDER BY doc_id ASC""".stripMargin
+    },
     "q_dedup_near" ->
       s"""WITH $sqlMasks,
          |p AS (

@@ -302,6 +302,84 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Bloom-filter sizing for [[contaminateBloom]]: 2^16 bits, 3 probes.
+    * At the fixture's ~hundreds of benchmark shingles the filter is
+    * ~8 KiB with a vanishing false-positive rate; the SAME construction
+    * at a 100 M-shingle eval suite is a few hundred MiB — still
+    * broadcastable where the raw shingle-string set is not. */
+  private val BloomBits = 1L << 16
+  private val BloomK = 3
+
+  /** Bit position i of a gram: xxhash64 re-seeded by mixing in the
+    * probe index as a second hashed value — k cheap independent-ish
+    * positions, all codegen'd integer work. */
+  private def bloomPos(i: Int): Column =
+    pmod(xxhash64(col("gram"), lit(i)), lit(BloomBits)).cast("int")
+
+  /** Bloom-prefiltered benchmark decontamination — same SEMANTICS (and
+    * oracle) as [[contaminate]], different 100 TB plan: instead of
+    * broadcasting the benchmark's distinct shingle STRINGS and probing
+    * every corpus shingle against them, the benchmark is folded into a
+    * bit-set membership table (its distinct set bit positions — the
+    * bloom filter, relational form), and the corpus stream is
+    * prefiltered by k broadcast-hash probes on INTEGER positions.
+    * Bloom filters have no false negatives, so the prefilter is sound;
+    * survivors (true hits + the filter's false positives) then pass
+    * through the exact shingle join, restoring exact counts — the
+    * standard two-phase membership plan (Spark's own runtime bloom-join
+    * filtering, `spark.sql.optimizer.runtime.bloomFilter.*`, plays the
+    * same trick below the API).
+    *
+    * Why it matters at scale: the exact path's broadcast grows with the
+    * eval suite's shingle-string bytes; the bloom table is fixed-size
+    * bits. And because the prefilter rejects map-side, the exact join's
+    * probe side shrinks from |corpus shingles| to |survivors| — at real
+    * overlap rates, orders of magnitude. The exact-verify join here
+    * keeps the equi-key on gram with the bloom verdict as a residual
+    * join condition, so one BroadcastHashJoin serves both phases. */
+  /** The benchmark's distinct 3-gram shingles (eval side of the
+    * membership test). */
+  private def benchGrams(s: SparkSession, d: String): DataFrame =
+    docWordGrams(s, d, 3)
+      .filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+      .select(col("gram")).distinct()
+
+  /** The bloom-prefiltered corpus shingle stream `(doc_id, gram,
+    * maybe)` — exposed for the spec, which asserts the filter's two
+    * defining properties (no false negatives; materially selective)
+    * that the exact-equality oracle cannot distinguish. */
+  private[graft] def bloomProbed(s: SparkSession, d: String): DataFrame = {
+    val bits = benchGrams(s, d)
+      .select(explode(array((0 until BloomK).map(bloomPos): _*)).as("p"))
+      .distinct()
+    val corpus = docWordGrams(s, d, 3)
+      .filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+      .select(col("doc_id"), col("gram")).distinct()
+    (0 until BloomK).foldLeft(corpus) { (df, i) =>
+      df.join(
+        broadcast(bits.select(col("p").as(s"p$i"))
+          .withColumn(s"h$i", lit(1))),
+        bloomPos(i) === col(s"p$i"), "left")
+        .drop(s"p$i")
+    }.withColumn("maybe",
+        (0 until BloomK).map(i => col(s"h$i").isNotNull).reduce(_ && _))
+      .drop((0 until BloomK).map(i => s"h$i"): _*)
+  }
+
+  private val contaminateBloom: Q = (s, d) => {
+    val b = benchGrams(s, d).withColumn("hit", lit(1)).as("b")
+    bloomProbed(s, d).as("c")
+      .join(broadcast(b),
+        col("maybe") && col("c.gram") === col("b.gram"), "left")
+      .groupBy(col("c.doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .withColumn("overlap_frac",
+        Det.r4(col("n_hit").cast("double") / col("n_shingles")))
+      .withColumn("contaminated",
+        col("n_hit") * lit(2) >= col("n_shingles"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Redaction patterns — literal-identical on both engines (kept to
     * the Java-regex ∩ RE2 common subset: character classes, bounded
     * repetition; no backrefs or lookaround, which RE2 lacks). */
@@ -420,6 +498,7 @@ object Text {
     "q_text_fingerprint" -> fingerprint,
     "q_text_repetition"  -> repetition,
     "q_text_contaminate" -> contaminate,
+    "q_text_contaminate_bloom" -> contaminateBloom,
     "q_text_pii_scrub"   -> piiScrub,
     "q_text_normalize"   -> normalize,
   )
@@ -429,6 +508,30 @@ object Text {
     * misread as engine drift). */
   val sqlToks: String =
     "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
+
+  /** Shared oracle for [[contaminate]] and [[contaminateBloom]] — the
+    * two are the same function computed through different plans. */
+  private val sqlContaminate: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+       |           || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+       |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) AS r(i)),
+       |bench AS (
+       |  SELECT DISTINCT gram FROM sh WHERE doc_id % $BenchMod = 0),
+       |c AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |         COUNT(b.gram) AS n_hit
+       |  FROM sh s LEFT JOIN bench b ON s.gram = b.gram
+       |  WHERE s.doc_id % $BenchMod <> 0
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_shingles, n_hit,
+       |       ${Det.sqlR4("CAST(n_hit AS DOUBLE) / n_shingles")} AS overlap_frac,
+       |       n_hit * 2 >= n_shingles AS contaminated
+       |FROM c
+       |ORDER BY doc_id ASC""".stripMargin
 
   private[graft] val sqlPred = langNames.foldRight("'und'") { (l, acc) =>
     s"CASE WHEN score_$l = best THEN '$l' ELSE $acc END"
@@ -668,27 +771,12 @@ object Text {
                " / n_2grams, 0.0)")} AS dup_2gram_frac
          |FROM ts LEFT JOIN gs USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
-    "q_text_contaminate" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $sqlToks AS toks FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
-         |           || ' ' || toks[CAST(i + 2 AS INT)] AS gram
-         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) AS r(i)),
-         |bench AS (
-         |  SELECT DISTINCT gram FROM sh WHERE doc_id % $BenchMod = 0),
-         |c AS (
-         |  SELECT s.doc_id, COUNT(*) AS n_shingles,
-         |         COUNT(b.gram) AS n_hit
-         |  FROM sh s LEFT JOIN bench b ON s.gram = b.gram
-         |  WHERE s.doc_id % $BenchMod <> 0
-         |  GROUP BY s.doc_id)
-         |SELECT doc_id, n_shingles, n_hit,
-         |       ${Det.sqlR4("CAST(n_hit AS DOUBLE) / n_shingles")} AS overlap_frac,
-         |       n_hit * 2 >= n_shingles AS contaminated
-         |FROM c
-         |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_contaminate" -> sqlContaminate,
+    // Bloom prefilter + exact verify ≡ exact membership (no false
+    // negatives; false positives die in the verify join), so the bloom
+    // variant answers to the SAME oracle — that equivalence IS the
+    // property under test.
+    "q_text_contaminate_bloom" -> sqlContaminate,
     "q_text_fingerprint" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -589,6 +589,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("zorder buckets are bounded boxes on both axes that cover all rows") {
+    val df = SparkEntry.queries("q_layout_zorder")(spark, sf)
+    // top-6-bit split of the 8+8-bit curve fixes 3 high bits per axis
+    // → every bucket is inside a 32×32 box; that bound on BOTH axes is
+    // the row-group-pruning property a single-column sort cannot give
+    val loose = df.filter(
+      col("max_x") - col("min_x") > 31 || col("max_y") - col("min_y") > 31)
+    assert(loose.count() == 0, "a z-bucket spans more than its 32x32 box")
+    val total = df.agg(sum(col("n_rows"))).head.getLong(0)
+    assert(total == graft.io.Tables.lineitem(spark, sf).count())
+  }
+
+  test("bloom decontamination: equals exact, no false negatives, selective") {
+    val exact = SparkEntry.queries("q_text_contaminate")(spark, sf)
+    val bloom = SparkEntry.queries("q_text_contaminate_bloom")(spark, sf)
+    // cell-exact equality with the exact plan ALSO proves bloom
+    // soundness: a false negative would depress some doc's n_hit
+    assert(exact.collect().toSeq == bloom.collect().toSeq,
+      "bloom-prefiltered result diverges from the exact plan")
+    // and the prefilter must reject a material share of the corpus
+    // stream — otherwise it's a no-op wearing a bloom filter's hat
+    val probed = graft.ops.Text.bloomProbed(spark, sf)
+    val probedGrams = probed.count()
+    val survivors = probed.filter(col("maybe")).count()
+    assert(survivors < probedGrams,
+      s"bloom prefilter rejected nothing ($survivors of $probedGrams)")
+  }
+
+  test("dedup spans: per-doc accounting matches token counts") {
+    val df = SparkEntry.queries("q_dedup_spans")(spark, sf)
+    assert(df.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+    // n_spans is exactly max(tokens - 4, 0), and <5-token docs are absent
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long").as("nt"))
+    val bad = df.join(toks, "doc_id")
+      .filter(col("n_spans") =!= col("nt") - 4 || col("nt") < 5)
+    assert(bad.count() == 0, "span count disagrees with token count")
+    // a duplicated span needs two documents: the dup-doc count is 0 or >= 2
+    val nDup = df.filter(col("n_dup_spans") > 0).count()
+    assert(nDup == 0 || nDup >= 2, s"exactly one doc with dup spans: $nDup")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
