@@ -346,6 +346,90 @@ object Dedup {
   /** 52/64 matching hashes ⟺ estimated Jaccard ≥ 0.8 (⌈0.8·64⌉). */
   private val VerifyMatchMin = math.ceil(0.8 * VerifyHashes).toInt
 
+  /** Batch selector for [[incremental]]: doc_id ≡ 9 (mod 10) plays
+    * "today's ingest" (~10% of the corpus). Deterministic and
+    * engine-agnostic, like [[Text]]'s BenchMod eval split. */
+  private val NewBatchMod = 10
+
+  /** Incremental near-dedup — the daily-ingest production shape: find
+    * every ≥0.8-estimated pair with AT LEAST ONE endpoint in the new
+    * batch (new×corpus catches resubmissions of existing documents;
+    * new×new catches duplicates inside the batch). Pairs between two
+    * OLD documents are someone else's history and are never enumerated:
+    * the band join keeps the full corpus on one side but the NEW batch
+    * only on the other, so candidate volume—and the verify join behind
+    * it—scales with |batch| × band-key occupancy, not |corpus|².
+    *
+    * At 100 TB the corpus side of this join is a STORED signature/band
+    * table (signatures are content-derived and immutable, so yesterday's
+    * table is appended, never recomputed — here both sides derive from
+    * `documents` because the fixture has no second table). Skew control
+    * composes unchanged: the banded stream is the same one
+    * [[lshHotKeys]] audits and [[lshCandidatePairsCapped]] caps.
+    * Output matches [[minhashVerify]]'s shape, so the spec can assert
+    * the defining identity: incremental ≡ verify restricted to pairs
+    * touching the batch. */
+  /** `(doc_id, sig, bk0..bk{Bands-1})` from a raw (doc_id, word)
+    * stream — the signature/band construction shared by the declared
+    * incremental query and its streaming foreachBatch twin
+    * (StreamsSpec), which feeds each micro-batch's documents through
+    * this same function before joining the stored corpus table. */
+  private[graft] def sigBands(dw: DataFrame): DataFrame =
+    minhashSignatures(dw)
+      .select(col("doc_id") +:
+        array((0 until VerifyHashes).map(i => col(s"h$i")): _*).as("sig") +:
+        (0 until Bands).map(j => intBandKey(j).as(s"bk$j")): _*)
+
+  /** Salt fan-out for [[incrementalPairs]]' band join: a hot band key
+    * (the audit's mega-buckets, 23k docs at sf1) would otherwise put
+    * its whole g_all × g_new pair block on ONE task — measured 67 s
+    * median, [46, 97] spread at sf1 unsalted vs 36 s for the FULL
+    * verify. Salting splits every key's block 16 ways: the new side
+    * keeps one deterministic salt per row, the corpus side replicates
+    * ×16 (the banded stream is ids only, so the inflation is bytes-
+    * cheap), and the join key grows to (band, key, salt). */
+  private val IncSalts = 16
+
+  /** ≥52/64-match pairs with at least one endpoint in `newSB`, the
+    * other in `corpusSB ∪ newSB` (both `sigBands`-shaped). The band
+    * join's new side carries ONLY the batch, so candidate volume is
+    * |batch| × band-key occupancy. */
+  private[graft] def incrementalPairs(corpusSB: DataFrame,
+                                      newSB: DataFrame): DataFrame = {
+    def banded(sb: DataFrame, as: String) = sb.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(j => col(s"bk$j")): _*))
+          .as(Seq("band_idx", "band_key")))
+      .select(col("band_idx"), col("band_key"), col("doc_id").as(as))
+    val all = corpusSB.unionByName(newSB)
+    val newB = banded(newSB, "n_id").withColumn("salt",
+      pmod(xxhash64(col("n_id")), lit(IncSalts.toLong)).cast("int"))
+    val allB = banded(all, "o_id").withColumn("salt",
+      explode(array((0 until IncSalts).map(lit): _*)))
+    val cand = allB
+      .join(newB, Seq("band_idx", "band_key", "salt"))
+      .filter(col("o_id") =!= col("n_id"))
+      .select(least(col("o_id"), col("n_id")).as("a_id"),
+        greatest(col("o_id"), col("n_id")).as("b_id"))
+      .distinct()
+    val sa = all.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val sb = all.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    val matches = org.apache.spark.sql.graft.SigMatchCount
+      .sigMatchCount(col("a_sig"), col("b_sig"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_match", matches)
+      .filter(col("n_match") >= lit(VerifyMatchMin))
+      .select(col("a_id"), col("b_id"), col("n_match"),
+        Det.r4(col("n_match").cast("double") / lit(VerifyHashes))
+          .as("jaccard_est"))
+  }
+
+  private val incremental: Q = (s, d) => {
+    val sigs = sigBands(docTokens(s, d)).localCheckpoint()
+    val isNew = pmod(col("doc_id"), lit(NewBatchMod)) === NewBatchMod - 1
+    incrementalPairs(sigs.filter(!isNew), sigs.filter(isNew))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   /** The i-th salted integer min-hash ingredient: the 60-bit prefix of
     * md5(i || '|' || word), as a BIGINT. Fixed-width lowercase hex
     * orders identically to its numeric value, so min-of-int equals
@@ -888,6 +972,7 @@ object Dedup {
     "q_dedup_lsh_diverted" -> lshDiverted,
     "q_dedup_simhash"     -> simhash,
     "q_dedup_spans"       -> spans,
+    "q_dedup_incremental" -> incremental,
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
   )
@@ -944,10 +1029,14 @@ object Dedup {
          }.mkString("", "\n  UNION ALL\n", "")})""".stripMargin
   }
 
+  /** `a.h_i = b.h_i` match count over CTE aliases a/b — shared by the
+    * estimate chain and the incremental oracle. */
+  private val sqlMatchSum = (0 until VerifyHashes)
+    .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   private val sqlMinhashEstCte: String = {
-    val matchSum = (0 until VerifyHashes)
-      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val matchSum = sqlMatchSum
     s"""WITH $sqlSigBandsCte,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
@@ -1114,6 +1203,25 @@ object Dedup {
          |ORDER BY band_idx ASC, band_key ASC""".stripMargin,
     "q_dedup_minhash_verify" ->
       s"""$sqlMinhashEstCte
+         |SELECT a_id, b_id, n_match,
+         |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
+         |FROM v
+         |WHERE n_match >= $VerifyMatchMin
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $sqlSigBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS a_id,
+         |         GREATEST(x.doc_id, y.doc_id) AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |   AND x.doc_id <> y.doc_id
+         |  WHERE y.doc_id % $NewBatchMod = ${NewBatchMod - 1}),
+         |v AS (
+         |  SELECT c.a_id, c.b_id, CAST($sqlMatchSum AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN sig a ON a.doc_id = c.a_id
+         |  JOIN sig b ON b.doc_id = c.b_id)
          |SELECT a_id, b_id, n_match,
          |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
          |FROM v

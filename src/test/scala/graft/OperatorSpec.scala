@@ -632,6 +632,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(nDup == 0 || nDup >= 2, s"exactly one doc with dup spans: $nDup")
   }
 
+  test("incremental dedup equals full verify restricted to the batch") {
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    val touches = col("a_id") % 10 === 9 || col("b_id") % 10 === 9
+    val expected = SparkEntry.queries("q_dedup_minhash_verify")(spark, sf)
+      .filter(touches)
+    assert(inc.collect().toSeq == expected.collect().toSeq,
+      "incremental pair set diverges from batch-restricted full verify")
+    // and it must never emit an old×old pair
+    assert(inc.filter(!touches).count() == 0)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -112,6 +112,49 @@ class StreamsSpec extends AnyFunSuite {
     assert(byKey(2L).event_id == 4 && byKey(2L).value == 7.0)
   }
 
+  test("foreachBatch incremental dedup equals the batch query, any batching") {
+    // The production ingest loop: new documents stream in; each
+    // micro-batch is signed with the SAME sigBands construction the
+    // batch query uses, joined against the stored corpus signature
+    // table, and the batch's signatures are then APPENDED to the store
+    // — so a pair spanning two micro-batches is found when its later
+    // member arrives. Over any partitioning of the new docs into
+    // batches, the union of per-batch pairs must equal the declared
+    // q_dedup_incremental output exactly.
+    import graft.ops.{Dedup, Text}
+    val sfDir = SparkTestSession.sf
+    val docs = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def sb(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sigBands(df.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("word"))).localCheckpoint()
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .as[(Long, String)].collect().sortBy(_._1)
+    var corpus = sb(docs.filter(pmod(col("doc_id"), lit(10)) =!= 9))
+    val seen = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bsb = sb(batch)
+        seen ++= Dedup.incrementalPairs(corpus, bsb)
+          .select(col("a_id"), col("b_id"), col("n_match").cast("long"))
+          .as[(Long, Long, Long)].collect()
+        corpus = corpus.unionByName(bsb).localCheckpoint()
+        ()
+      }
+      .outputMode("update").start()
+    val (firstHalf, secondHalf) = newDocs.splitAt(newDocs.length / 2)
+    mem.addData(firstHalf); q.processAllAvailable()
+    mem.addData(secondHalf); q.processAllAvailable()
+    q.stop()
+    val expected = graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .select(col("a_id"), col("b_id"), col("n_match").cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(seen.toSeq.sorted == expected,
+      "streamed incremental pairs diverge from the batch query")
+  }
+
   test("epoch parquet sink writes idempotent epoch directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-epoch-ck").toString
