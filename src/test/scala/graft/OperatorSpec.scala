@@ -601,6 +601,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(total == graft.io.Tables.lineitem(spark, sf).count())
   }
 
+  test("z-order write layout: second-dimension predicates prune files") {
+    // Ground the layout claim with REAL writes: the same rows written
+    // 16-file range-partitioned by zvalue vs by x alone; per-file
+    // min/max boxes (what row-group/file stats pruning consumes) are
+    // then probed with a y-band predicate. The x-sorted layout cannot
+    // prune y at all (every file spans the full y range); the Z layout
+    // tiles the plane, so only the tiles the band crosses intersect.
+    import java.nio.file.Files
+    val li = graft.io.Tables.lineitem(spark, sf)
+      .select(pmod(col("l_partkey"), lit(256L)).as("x"),
+        pmod(col("l_suppkey"), lit(256L)).as("y"))
+      .withColumn("z", graft.ops.Layout.zvalue(col("x"), col("y")))
+    val dirZ = Files.createTempDirectory("graft-zorder").toString
+    val dirX = Files.createTempDirectory("graft-xsort").toString
+    li.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(dirZ)
+    li.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(dirX)
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1"))
+      .collect()
+    // y ∈ [64, 95]: a file's stats box intersects iff y0 <= 95 && y1 >= 64
+    def yHits(bs: Array[org.apache.spark.sql.Row]) =
+      bs.count(r => r.getAs[Long]("y0") <= 95 && r.getAs[Long]("y1") >= 64)
+    val (bz, bx) = (boxes(dirZ), boxes(dirX))
+    assert(bz.length > 1 && bx.length > 1)
+    assert(yHits(bz) * 2 <= yHits(bx),
+      s"z layout (${yHits(bz)}/${bz.length} files for the y-band) should " +
+        s"prune at least 2x better than x-sort (${yHits(bx)}/${bx.length})")
+  }
+
   test("bloom decontamination: equals exact, no false negatives, selective") {
     val exact = SparkEntry.queries("q_text_contaminate")(spark, sf)
     val bloom = SparkEntry.queries("q_text_contaminate_bloom")(spark, sf)
