@@ -676,6 +676,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(inc.filter(!touches).count() == 0)
   }
 
+  test("incremental dedup against a stored corpus signature table") {
+    // The production formulation the declared query's scaladoc claims:
+    // corpus signatures are content-derived and immutable, so they are
+    // written ONCE and read back from parquet — only the batch is
+    // signed fresh. Must reproduce the self-contained query exactly.
+    import java.nio.file.Files
+    import graft.ops.{Dedup, Text}
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def words(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val isNew = pmod(col("doc_id"), lit(10)) === 9
+    val store = Files.createTempDirectory("graft-sigstore").toString
+    Dedup.sigBands(words(docs.filter(!isNew)))
+      .write.mode("overwrite").parquet(store)
+    val pairs = Dedup.incrementalPairs(spark.read.parquet(store),
+        Dedup.sigBands(words(docs.filter(isNew))))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+    val expected = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    assert(pairs.collect().toSeq == expected.collect().toSeq,
+      "stored-table incremental diverges from the self-contained query")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
