@@ -910,19 +910,22 @@ object Dedup {
     * 31-word vocabulary doesn't make every span trivially shared. */
   private val SpanK = 5
 
-  /** Sliding SpanK-token spans `(doc_id, gram)`, duplicates kept —
-    * the same fan-out-before-explode pipeline as [[Text.docWordGrams]]
-    * (which drops to n=2/3; spans need their own width). */
+  /** Sliding SpanK-token spans `(doc_id, start, gram)` — `start` is the
+    * 0-based token position of the span's first word (posexplode index)
+    * — the same fan-out-before-explode pipeline as
+    * [[Text.docWordGrams]] (which drops to n=2/3; spans need their own
+    * width and, for [[spansRemove]], the position). */
   private def docSpanGrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
       .select(col("doc_id"),
-        explode(when(size(col("ts")) >= SpanK,
+        posexplode(when(size(col("ts")) >= SpanK,
           expr(s"transform(sequence(1, size(ts) - ${SpanK - 1}), i -> " +
             (0 until SpanK).map(k => s"element_at(ts, i + $k)")
               .mkString("concat_ws(' ', ", ", ", ")") + ")"))
-          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+          .as(Seq("start", "gram")))
 
   /** Duplicated-SPAN detection — the exact-substring signal of
     * "Deduplicating Training Data Makes Language Models Better"
@@ -961,6 +964,53 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Duplicated-span REMOVAL — the action step behind [[spans]]: every
+    * token position covered by any cross-document duplicated 5-gram is
+    * dropped, and the document is re-joined from the survivors (plus
+    * kept/dropped token accounting). This is the cleanup "Deduplicating
+    * Training Data Makes Language Models Better" actually performs —
+    * cut the shared boilerplate passage, keep the unique prose.
+    *
+    * Scale shape: the duplicated-gram stream (same gram-keyed
+    * exchanges as [[spans]]) explodes into covered positions — at most
+    * SpanK rows per duplicated span, ids+ints only — then one
+    * doc-keyed anti-join drops covered tokens and one doc-keyed
+    * aggregation rebuilds the text. Token order is restored by sorting
+    * the surviving (pos, word) pairs inside the aggregation
+    * (`array_sort` on structs — deterministic, no window, no second
+    * sort exchange). Docs with no duplicated spans pass through
+    * token-identical; docs fully covered come back empty with full
+    * drop accounting. */
+  private val spansRemove: Q = (s, d) => {
+    val pg = docSpanGrams(s, d)
+    val dupGrams = pg.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val covered = pg.join(dupGrams, Seq("gram"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${SpanK - 1})")).as("pos"))
+      .distinct()
+    val toks = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "word")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(" +
+          "array_sort(collect_list(struct(pos, word))), s -> s.word))")
+          .as("clean_text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> exact,
     "q_dedup_near"        -> near,
@@ -972,6 +1022,7 @@ object Dedup {
     "q_dedup_lsh_diverted" -> lshDiverted,
     "q_dedup_simhash"     -> simhash,
     "q_dedup_spans"       -> spans,
+    "q_dedup_spans_remove" -> spansRemove,
     "q_dedup_incremental" -> incremental,
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
@@ -1089,6 +1140,44 @@ object Dedup {
              " / SUM(c)")} AS dup_frac
          |FROM nd
          |GROUP BY doc_id
+         |ORDER BY doc_id ASC""".stripMargin
+    },
+    "q_dedup_spans_remove" -> {
+      val gram = (0 until SpanK)
+        .map(k => s"toks[CAST(i + $k AS INT)]").mkString(" || ' ' || ")
+      // SQL positions are 1-based (RANGE starts at 1, toks[p] indexes
+      // from 1); the Spark side is 0-based posexplode — the covered
+      // SETS correspond 1:1 and positions never reach the output.
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS start, $gram AS gram
+         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - ${SpanK - 2}, 1)))
+         |         AS r(i)),
+         |dup AS (
+         |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+         |  GROUP BY gram HAVING COUNT(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, CAST(p AS BIGINT) AS p
+         |  FROM g JOIN dup USING (gram),
+         |       UNNEST(RANGE(g.start, g.start + $SpanK)) AS r(p)),
+         |tok AS (
+         |  SELECT doc_id, p, toks[CAST(p AS INT)] AS w
+         |  FROM t, UNNEST(RANGE(1, LEN(toks) + 1)) AS r(p)),
+         |kept AS (
+         |  SELECT k.doc_id, k.p, k.w
+         |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.p = c.p
+         |  WHERE c.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |         STRING_AGG(w, ' ' ORDER BY p) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(a.clean_text, '') AS clean_text,
+         |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(LEN(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+         |         AS n_dropped
+         |FROM t d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin
     },
     "q_dedup_near" ->

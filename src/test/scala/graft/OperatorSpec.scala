@@ -665,6 +665,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(nDup == 0 || nDup >= 2, s"exactly one doc with dup spans: $nDup")
   }
 
+  test("span removal: accounting reconciles with detection") {
+    val rm = SparkEntry.queries("q_dedup_spans_remove")(spark, sf)
+    val det = SparkEntry.queries("q_dedup_spans")(spark, sf)
+    // kept + dropped = the document's token count, for every doc
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long").as("nt"))
+    assert(rm.join(toks, "doc_id")
+      .filter(col("n_kept") + col("n_dropped") =!= col("nt")).count() == 0)
+    // a doc drops tokens iff detection found duplicated spans in it
+    val joined = rm.join(det, Seq("doc_id"), "left")
+    assert(joined.filter(
+      (coalesce(col("n_dup_spans"), lit(0L)) > 0) =!= (col("n_dropped") > 0))
+      .count() == 0, "drop accounting disagrees with span detection")
+    // the fixture's dup families guarantee real removals happen
+    assert(rm.filter(col("n_dropped") > 0).count() > 0)
+  }
+
   test("incremental dedup equals full verify restricted to the batch") {
     val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
     val touches = col("a_id") % 10 === 9 || col("b_id") % 10 === 9
