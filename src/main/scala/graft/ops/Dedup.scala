@@ -79,9 +79,14 @@ object Dedup {
     * build identical masks. The global window is over the vocabulary
     * (≤ 64 rows by the guard), not the corpus. */
   private def vocab(dw: DataFrame): DataFrame =
+    // windowless dictionary numbering: fold the ≤64-word vocabulary
+    // into one sorted array and posexplode it — same (word, pos) as an
+    // alphabetical row_number, without a global WindowExec (which
+    // Spark logs as a single-partition hazard even when guarded-tiny)
     dw.select(col("word")).distinct()
-      .withColumn("pos",
-        row_number().over(Window.orderBy(col("word").asc)) - 1)
+      .agg(sort_array(collect_list(col("word"))).as("ws"))
+      .select(posexplode(col("ws")).as(Seq("pos", "word")))
+      .select(col("word"), col("pos"))
 
   /** Bit of the dictionary-encoded token-set mask: the corpus
     * vocabulary is tiny (31 tokens at every SF), so a token set
@@ -201,7 +206,9 @@ object Dedup {
     // the corpus-sized aggregation below does only equality tests and
     // bit_ors per shingle occurrence
     val v = dw.select(col("sh")).distinct()
-      .withColumn("pos", row_number().over(Window.orderBy(col("sh").asc)) - 1)
+      // windowless numbering (sorted-array posexplode, see [[vocab]])
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+      .select(posexplode(col("shs")).as(Seq("pos", "sh")))
       .withColumn("pos", guard)
       .withColumn("wk", (col("pos") / 64).cast("int"))
       .withColumn("bitval",
@@ -427,6 +434,64 @@ object Dedup {
     val sigs = sigBands(docTokens(s, d)).localCheckpoint()
     val isNew = pmod(col("doc_id"), lit(NewBatchMod)) === NewBatchMod - 1
     incrementalPairs(sigs.filter(!isNew), sigs.filter(isNew))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** Filesystem identity stamp of a fixture table — file names, sizes
+    * and mtimes folded through md5, computed from metadata alone (no
+    * data read, no Spark job). Guards [[storedCorpusSigs]] against
+    * fixture regeneration: GenSf rewriting the parquet changes the
+    * stamp, which changes the store path, which forces a rebuild. In a
+    * production deployment the table format's snapshot id
+    * (Delta/Iceberg) plays exactly this role. */
+  private def fsStamp(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The STORED corpus signature/band table behind
+    * [[incrementalStored]]: built ONCE per (fixture path, content
+    * stamp) — tokenize + 64 salted hashes + band agg over the old
+    * corpus — then read back as plain parquet forever after. The
+    * `_SUCCESS` marker gates readability (a crashed build never
+    * half-reads); the stamp in the path keys freshness. Override the
+    * store root with SPARK_GRAFT_SIG_STORE. */
+  private[graft] def storedCorpusSigs(s: SparkSession, d: String): DataFrame = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
+    val dir = s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
+      fsStamp(s"$d/documents.parquet")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val isOld = pmod(col("doc_id"), lit(NewBatchMod)) =!= NewBatchMod - 1
+      sigBands(docTokens(s, d).filter(isOld))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Incremental near-dedup against the STORED signature table — the
+    * formulation a daily-ingest pipeline actually runs, and the cost
+    * profile [[incremental]]'s scaladoc promises: signatures are
+    * content-derived and immutable, so yesterday's corpus table is
+    * READ, never recomputed; only the new batch (~10% of docs here) is
+    * tokenized and signed in-query. Identical output to
+    * `q_dedup_incremental` by construction — same band join, same salt
+    * fan-out, same verify — so the two share one oracle and the driver
+    * hash-compare proves stored ≡ recomputed, while the bench rows
+    * quantify the saving (the corpus side collapses from the full
+    * tokenize+sign lineage to a parquet scan of |corpus| rows × 9
+    * columns). The batch side is localCheckpointed because
+    * [[incrementalPairs]] consumes it four times (banded new, banded
+    * all, both verify sides). */
+  private val incrementalStored: Q = (s, d) => {
+    val isNew = pmod(col("doc_id"), lit(NewBatchMod)) === NewBatchMod - 1
+    val batch = sigBands(docTokens(s, d).filter(isNew)).localCheckpoint()
+    incrementalPairs(storedCorpusSigs(s, d), batch)
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
@@ -981,15 +1046,24 @@ object Dedup {
     * sort exchange). Docs with no duplicated spans pass through
     * token-identical; docs fully covered come back empty with full
     * drop accounting. */
-  private val spansRemove: Q = (s, d) => {
+  /** Distinct token positions covered by any cross-document duplicated
+    * span — the shared head of [[spansRemove]] (which cuts them) and
+    * [[spansMerged]] (which consolidates them into intervals).
+    * ids+ints only past the gram join; at most SpanK rows per
+    * duplicated span before the distinct. */
+  private def coveredPositions(s: SparkSession, d: String): DataFrame = {
     val pg = docSpanGrams(s, d)
     val dupGrams = pg.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("gram"))
-    val covered = pg.join(dupGrams, Seq("gram"))
+    pg.join(dupGrams, Seq("gram"))
       .select(col("doc_id"),
         explode(expr(s"sequence(start, start + ${SpanK - 1})")).as("pos"))
       .distinct()
+  }
+
+  private val spansRemove: Q = (s, d) => {
+    val covered = coveredPositions(s, d)
     val toks = Tables.documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"),
@@ -1011,6 +1085,36 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Merged (paragraph-level) duplicated-span intervals — the
+    * consolidation "Deduplicating Training Data Makes Language Models
+    * Better" applies before cutting: adjacent/overlapping covered
+    * positions fuse into MAXIMAL contiguous intervals, so the cut list
+    * a pipeline executes downstream is one row per contiguous passage,
+    * not one row per raw 5-gram (a 40-token boilerplate paragraph is
+    * one interval here vs 36 overlapping spans in the raw stream).
+    *
+    * Scale shape: identical exchanges to [[spansRemove]] up to the
+    * covered-position stream, then ONE doc-keyed window (island id =
+    * pos - row_number, the standard gaps-and-islands identity: the
+    * difference is constant exactly within a consecutive run) and one
+    * (doc, island) aggregation. Nothing global, nothing corpus-sized
+    * on one partition. Output positions are 0-based token indices,
+    * end-INCLUSIVE; the oracle's 1-based UNNEST positions shift by one
+    * at the output edge only. OperatorSpec reconciles per-doc
+    * sum(span_len) against [[spansRemove]]'s n_dropped and asserts the
+    * intervals are disjoint with true gaps between them (maximality). */
+  private val spansMerged: Q = (s, d) =>
+    coveredPositions(s, d)
+      .withColumn("isl", col("pos").cast("long") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos")).cast("long").as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+      .orderBy(col("doc_id").asc, col("span_start").asc)
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> exact,
     "q_dedup_near"        -> near,
@@ -1023,7 +1127,9 @@ object Dedup {
     "q_dedup_simhash"     -> simhash,
     "q_dedup_spans"       -> spans,
     "q_dedup_spans_remove" -> spansRemove,
+    "q_dedup_spans_merged" -> spansMerged,
     "q_dedup_incremental" -> incremental,
+    "q_dedup_incremental_stored" -> incrementalStored,
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
   )
@@ -1102,6 +1208,26 @@ object Dedup {
        |  JOIN sig b ON b.doc_id = c.b_id)""".stripMargin
   }
 
+  private val sqlIncremental: String =
+    s"""WITH $sqlSigBandsCte,
+       |cand AS (
+       |  SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS a_id,
+       |         GREATEST(x.doc_id, y.doc_id) AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |   AND x.doc_id <> y.doc_id
+       |  WHERE y.doc_id % $NewBatchMod = ${NewBatchMod - 1}),
+       |v AS (
+       |  SELECT c.a_id, c.b_id, CAST($sqlMatchSum AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.a_id
+       |  JOIN sig b ON b.doc_id = c.b_id)
+       |SELECT a_id, b_id, n_match,
+       |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
+       |FROM v
+       |WHERE n_match >= $VerifyMatchMin
+       |ORDER BY a_id ASC, b_id ASC""".stripMargin
+
   private val sqlSimhashBits = (1 to 16)
     .map(k => s"SUM(CASE WHEN SUBSTRING(md5(word), $k, 1) IN " +
       s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$k")
@@ -1179,6 +1305,39 @@ object Dedup {
          |         AS n_dropped
          |FROM t d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin
+    },
+    "q_dedup_spans_merged" -> {
+      val gram = (0 until SpanK)
+        .map(k => s"toks[CAST(i + $k AS INT)]").mkString(" || ' ' || ")
+      // Same 1-based covered-position CTE chain as spans_remove; the
+      // gaps-and-islands grouping key p - ROW_NUMBER() is shift-
+      // invariant, so only the output edge converts to the Spark
+      // side's 0-based token indices (MIN/MAX - 1).
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS start, $gram AS gram
+         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - ${SpanK - 2}, 1)))
+         |         AS r(i)),
+         |dup AS (
+         |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+         |  GROUP BY gram HAVING COUNT(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, CAST(p AS BIGINT) AS p
+         |  FROM g JOIN dup USING (gram),
+         |       UNNEST(RANGE(g.start, g.start + $SpanK)) AS r(p)),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |         p - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                ORDER BY p ASC) AS grp
+         |  FROM cov)
+         |SELECT doc_id,
+         |       CAST(MIN(p) - 1 AS BIGINT) AS span_start,
+         |       CAST(MAX(p) - 1 AS BIGINT) AS span_end,
+         |       CAST(COUNT(*) AS BIGINT) AS span_len
+         |FROM isl
+         |GROUP BY doc_id, grp
+         |ORDER BY doc_id ASC, span_start ASC""".stripMargin
     },
     "q_dedup_near" ->
       s"""WITH $sqlMasks,
@@ -1297,25 +1456,12 @@ object Dedup {
          |FROM v
          |WHERE n_match >= $VerifyMatchMin
          |ORDER BY a_id ASC, b_id ASC""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""WITH $sqlSigBandsCte,
-         |cand AS (
-         |  SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS a_id,
-         |         GREATEST(x.doc_id, y.doc_id) AS b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-         |   AND x.doc_id <> y.doc_id
-         |  WHERE y.doc_id % $NewBatchMod = ${NewBatchMod - 1}),
-         |v AS (
-         |  SELECT c.a_id, c.b_id, CAST($sqlMatchSum AS BIGINT) AS n_match
-         |  FROM cand c
-         |  JOIN sig a ON a.doc_id = c.a_id
-         |  JOIN sig b ON b.doc_id = c.b_id)
-         |SELECT a_id, b_id, n_match,
-         |       ${Det.sqlR4(s"CAST(n_match AS DOUBLE) / $VerifyHashes")} AS jaccard_est
-         |FROM v
-         |WHERE n_match >= $VerifyMatchMin
-         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    // shared verbatim by q_dedup_incremental_stored: the stored-table
+    // formulation produces the identical pair set by construction, so
+    // one oracle serves both and the driver's hash compare doubles as
+    // the stored ≡ recomputed proof.
+    "q_dedup_incremental" -> sqlIncremental,
+    "q_dedup_incremental_stored" -> sqlIncremental,
     // CC over the signature pair stream (v thresholded at 52/64); the
     // edge/label CTEs avoid the name `v` which sqlMinhashEstCte owns
     "q_dedup_clusters_sig" ->

@@ -15,12 +15,12 @@ import graft.io.Tables
   * `Window.partitionBy(key).orderBy(seq)`.
   *
   * Scale notes: every window below partitions by a high-cardinality key
-  * (customer, user) — one shuffle by key, then sort within partition;
-  * no window spans the whole dataset except q_window_ntile (global
-  * distribution query over the 1:10 customer dim, which at 100 TB would
-  * be a two-pass rank: per-partition histograms + merge — Spark's
-  * single-partition window is acceptable only because the dim is small;
-  * flagged in the scaladoc there).
+  * (customer, user) — one shuffle by key, then sort within partition.
+  * No window spans the whole dataset on one partition: the one global
+  * distribution query (q_window_ntile) runs as a two-pass sampled
+  * range-split + exact rank arithmetic (see its scaladoc) whose only
+  * window is bucket-partitioned; its tiny global steps (boundary pick,
+  * bucket-count prefix sums) are windowless aggregates/joins.
   *
   * Window sums over doubles use decimal-cast inputs: DuckDB aggregates
   * frames via a segment tree (tree-order additions), Spark re-aggregates
@@ -79,16 +79,99 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
-  /** Distribution family over a single global ordering. At 100 TB a
-    * global ntile needs a two-pass quantile split, not a one-partition
-    * window — acceptable here only because customer is the 1:10 dim. */
+  /** Distribution family over a single global ordering — the TWO-PASS
+    * distributed formulation (round 9; replaces the single-partition
+    * global window, the engine's last scale-killer shape).
+    *
+    * The ORDER BY carries a unique tiebreak (custkey), so every row has
+    * a unique exact global rank `r` in [1, n] and all three window
+    * functions are pure arithmetic in (r, n):
+    * ntile = equal-height split of r, percent_rank = (r-1)/(n-1),
+    * cume_dist = r/n. The plan derives `r` without ever sorting the
+    * corpus on one partition — the same design as Spark's own
+    * RangePartitioner:
+    *
+    *  1. a hash sample of EXPECTED [[NtileSampleTarget]] rows
+    *     (md5-uniform u kept iff u·n < target — fixed expected size at
+    *     any corpus scale) is folded into ONE sorted array by a plain
+    *     aggregate, and ≤ [[NtileBuckets]]-1 range boundary tuples
+    *     (acctbal, custkey) are picked from it by index — no window at
+    *     all in this pass (Spark 4's EliminateWindowPartitions folds
+    *     constant partition keys back to the warned global window, so
+    *     "tiny window on a constant key" is not actually available);
+    *  2. boundaries broadcast; each row's bucket is assigned MAP-SIDE
+    *     by counting boundaries ≤ its sort tuple (exact, tie-safe —
+    *     boundaries are full tuples, so equal balances cannot straddle
+    *     a bucket edge and no bucket is tie-skewed);
+    *  3. one bucket-partitioned window gives local ranks (each
+    *     partition ≈ n/buckets rows; buckets scale with the corpus);
+    *  4. per-bucket counts (≤ buckets rows) prefix-sum into offsets
+    *     via a tiny triangle self-join and broadcast back:
+    *     r = offset + local rank.
+    *
+    * Boundary QUALITY only affects balance, never correctness — ranks
+    * are exact whatever the sample returned. The customer input is
+    * scanned once per tiny aggregate (n, boundaries, bucket counts) —
+    * three cheap column-pruned scans instead of one corpus-wide sort
+    * on a single partition. Oracle is the plain SQL window
+    * (unchanged); OperatorSpec additionally proves this plan
+    * row-identical to Spark's built-in global-window ntile. */
+  private[ops] val NtileSampleTarget = 1024
+  private[ops] val NtileBuckets = 32
   private val windowNtile: Q = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    Tables.customer(s, d)
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val nDf = cust.agg(count(lit(1)).as("n"))
+    // Pass 1: sample → sorted array → ≤ NtileBuckets-1 boundary tuples
+    // (1 row). element_at is guarded (CASE) so an undersized sample
+    // yields fewer boundaries, never an ANSI index error; array_distinct
+    // keeps boundaries strictly increasing (duplicates would only skip
+    // bucket numbers, but strict is cleaner to reason about).
+    val u = conv(substring(md5(col("c_custkey").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    val bnds = cust.crossJoin(broadcast(nDf))
+      .filter(u * col("n") < lit(NtileSampleTarget.toDouble))
+      .agg(sort_array(collect_list(struct(col("c_acctbal").as("bal"),
+        col("c_custkey").as("key")))).as("arr"))
+      .select(expr(
+        s"""array_distinct(filter(
+           |  transform(sequence(1, ${NtileBuckets - 1}),
+           |    i -> CASE WHEN (i * size(arr)) div $NtileBuckets >= 1
+           |         THEN element_at(arr,
+           |                CAST((i * size(arr)) div $NtileBuckets AS INT))
+           |         END),
+           |  x -> x IS NOT NULL))""".stripMargin).as("bnds"))
+    // Pass 2: map-side bucket assignment, bucket-local ranks, offsets.
+    val bucketed = cust.crossJoin(broadcast(bnds))
+      .withColumn("bucket", size(filter(col("bnds"), b =>
+        b.getField("bal") < col("c_acctbal") ||
+          (b.getField("bal") === col("c_acctbal") &&
+            b.getField("key") <= col("c_custkey")))))
+      .drop("bnds")
+    val local = bucketed.withColumn("lr", row_number().over(
+      Window.partitionBy(col("bucket"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)))
+    // Offsets: prefix sums over the ≤ NtileBuckets-row count table via
+    // a triangle self-join (tiny × tiny; windowless by design).
+    val stats = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
+    val offs = stats.as("a")
+      .join(stats.as("b"), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("off"))
+    local.join(broadcast(offs), "bucket")
+      .crossJoin(broadcast(nDf))
+      .withColumn("r", col("off") + col("lr"))
+      // SQL-standard equal-height ntile: first n%4 tiles get one extra.
+      .withColumn("quartile", expr(
+        """CAST(CASE WHEN r <= (n % 4) * (n div 4 + 1)
+          |     THEN (r - 1) div (n div 4 + 1) + 1
+          |     ELSE n % 4 + (r - (n % 4) * (n div 4 + 1) - 1)
+          |            div greatest(n div 4, 1) + 1
+          |     END AS INT)""".stripMargin))
+      .withColumn("prank", when(col("n") === 1, lit(0.0))
+        .otherwise((col("r") - 1).cast("double") / (col("n") - 1).cast("double")))
+      .withColumn("cdist", col("r").cast("double") / col("n").cast("double"))
       .select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("prank"),
-        cume_dist().over(w).as("cdist"))
+        col("quartile"), col("prank"), col("cdist"))
       .orderBy(col("c_custkey").asc)
   }
 

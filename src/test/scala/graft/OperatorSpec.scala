@@ -387,6 +387,80 @@ class OperatorSpec extends AnyFunSuite {
       "approx percentile outside 1% of exact percentile")
   }
 
+  test("merged spans reconcile with span removal and are maximal") {
+    val merged = SparkEntry.queries("q_dedup_spans_merged")(spark, sf)
+    // intervals are contiguous: length is exactly the index width
+    assert(merged.filter(
+      col("span_len") =!= col("span_end") - col("span_start") + 1)
+      .count() == 0, "non-contiguous interval emitted")
+    // maximality: consecutive intervals per doc leave a real gap —
+    // adjacent or overlapping covered runs must have fused
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("span_start").asc)
+    val unfused = merged
+      .withColumn("prev_end", lag(col("span_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("span_start") <= col("prev_end") + 1)
+    assert(unfused.count() == 0,
+      "adjacent/overlapping intervals were not merged")
+    // total coverage reconciles with q_dedup_spans_remove's accounting:
+    // every dropped token is covered by exactly one merged interval
+    val dropped = SparkEntry.queries("q_dedup_spans_remove")(spark, sf)
+      .select(col("doc_id"), col("n_dropped"))
+      .filter(col("n_dropped") > 0)
+    val cover = merged.groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("covered"))
+    val mismatch = dropped.join(cover, Seq("doc_id"), "full")
+      .filter(coalesce(col("n_dropped"), lit(0L)) =!=
+        coalesce(col("covered"), lit(0L)))
+    assert(mismatch.count() == 0,
+      "merged-interval coverage != dropped-token accounting")
+  }
+
+  test("stored-signature incremental ≡ in-query incremental, store reused") {
+    val a = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    val b = SparkEntry.queries("q_dedup_incremental_stored")(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "stored-table formulation diverged from the in-query one")
+    // a second invocation must READ the store, never rebuild it: the
+    // _SUCCESS marker's mtime is the build receipt
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store"))
+    val markers = Option(root.listFiles()).toSeq.flatten
+      .filter(_.getName.contains("sf0.001"))
+      .map(dd => new java.io.File(dd, "_SUCCESS")).filter(_.exists())
+    assert(markers.nonEmpty, "no signature store was materialized")
+    val marker = markers.maxBy(_.lastModified)
+    val t0 = marker.lastModified
+    SparkEntry.queries("q_dedup_incremental_stored")(spark, sf).count()
+    assert(marker.lastModified == t0, "store was rebuilt on re-run")
+  }
+
+  test("two-pass ntile is row-identical to the built-in global window") {
+    // q_window_ntile derives exact global ranks via sampled range
+    // boundaries + bucket-local windows (no corpus-sized single
+    // partition). Boundary sampling affects only bucket BALANCE; this
+    // identity proves the output is bit-equal to the one-partition
+    // formulation it replaced — quartile, percent_rank and cume_dist
+    // are exact rationals of (rank, n), so doubles match exactly too.
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q_window_ntile")(spark, sf)
+    // constant-valued (but non-foldable, so EliminateWindowPartitions
+    // keeps it) partition key = one partition, same semantics as the
+    // bare global window, without tripping the WindowExec warning the
+    // rewrite exists to eliminate from the test logs
+    val w = Window.partitionBy(substring(col("c_custkey").cast("string"), 1, 0))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val ref = graft.io.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+    assert(got.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(got).count() == 0,
+      "two-pass ntile diverged from the built-in window formulation")
+  }
+
   test("langid: held-out accuracy is measurably above chance") {
     // trained on the hash train-split only; the test split is unseen.
     // 5 balanced classes → chance = 0.2; the profile classifier must
