@@ -1,33 +1,39 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Det
 import graft.io.Tables
 
 /** Multimodal-column plumbing (driver mandate): treat image/audio/video
-  * payloads as opaque `binary` columns with typed metadata, with real
-  * Spark-side plumbing (schema, partitioning, batch shape) and a
-  * clearly-marked STUB where a codec library would decode bytes.
+  * payloads as opaque `binary` columns with typed metadata, decoded in
+  * partition-local batches.
   *
-  * The fixture set has no binary table, so `withBinaryPayload` derives a
-  * deterministic binary column from `documents.text` (UTF-8 bytes) — at
-  * deployment this column is the real media payload read from parquet.
+  * REAL codecs, zero new deps: the JDK's own `javax.imageio` writes and
+  * reads PNG and JPEG (headless-safe). The fixture set has no binary
+  * table, so [[withImagePayload]] renders a real tiny image per
+  * document — PNG for even doc_id, JPEG for odd — whose dimensions are
+  * fixed arithmetic in the row's own `n_chars` ([[genW]]/[[genH]]) and
+  * whose pixels are a deterministic hash pattern. Because the dims are
+  * SQL-predictable from `documents.n_chars` while the bytes are genuine
+  * codec output, the DuckDB oracle compare proves the real
+  * encode→decode round-trip: the decoded width/height/format must land
+  * exactly on the generator's arithmetic.
   *
   * Decode runs through [[decodeBatched]]: a `mapPartitions` pipeline
   * that drains each partition in fixed-size batches (the shape a
-  * vectorized codec or model server wants), applies a pluggable
-  * `Array[Byte] => MediaMeta` decoder, and re-attaches results
-  * positionally. The default [[stubDecoder]] is a deterministic fake
-  * (length/byte arithmetic) because no image/audio codec ships in this
-  * environment — swap it for a real codec at deployment; the Spark
-  * plumbing around it (encoders, batching, schema) is real and tested.
+  * vectorized codec or model server wants), applies `Array[Byte] =>
+  * MediaMeta`, and re-attaches results positionally. The default
+  * [[imageDecoder]] is a real header parse — `ImageIO`'s reader
+  * negotiation sniffs the container magic, then reads width/height
+  * from the header WITHOUT decoding the raster (the production probe
+  * shape). Unknown bytes degrade to ("unknown", -1, -1), never throw.
   *
-  * Scale notes (100 TB): payloads never shuffle — decode is
-  * partition-local; only the small typed metadata struct flows into
-  * joins/aggregations. Batch size bounds per-task memory regardless of
-  * payload size; at cluster scale pair with
+  * Scale notes (100 TB): payloads never shuffle — render, decode and
+  * resize are partition-local; only the small typed metadata struct
+  * flows into joins/aggregations. Batch size bounds per-task memory
+  * regardless of payload size; at cluster scale pair with
   * `spark.sql.files.maxPartitionBytes` so a task holds ~one batch of
   * payloads at a time.
   */
@@ -43,23 +49,73 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_bytes", LongType, nullable = false)))
 
-  /** Attach the opaque binary payload column (deterministic stand-in:
-    * UTF-8 bytes of the text). */
-  def withBinaryPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+  /** Generator dims — the single source of truth shared by
+    * [[renderImage]], the declared queries' oracles, and the specs.
+    * Kept small so a fixture render is a few KB, and chosen so the
+    * width/height domains differ (a transposed decode cannot pass). */
+  private[graft] def genW(nChars: Long): Int = (nChars % 64).toInt + 8
+  private[graft] def genH(nChars: Long): Int = (nChars % 48).toInt + 8
+  private[graft] val SqlGenW = "CAST(n_chars % 64 + 8 AS INT)"
+  private[graft] val SqlGenH = "CAST(n_chars % 48 + 8 AS INT)"
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * A production build replaces this with e.g. a JPEG header parse;
-    * everything around it stays unchanged. */
-  def stubDecoder(payload: Array[Byte]): MediaMeta = {
-    val n = payload.length.toLong
-    val fmt = (n % 3) match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
+  /** One real image: PNG (even doc_id) or JPEG (odd), genW×genH,
+    * pixels a deterministic integer hash of (doc_id, x, y). */
+  private[graft] def renderImage(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = (genW(nChars), genH(nChars))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((docId * 1315423911L + x * 2654435761L +
+          y * 97531L) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
     }
-    // ??? <- real codec call goes here; fake dims are pure arithmetic
-    MediaMeta(fmt, (n % 640).toInt + 1, (n % 480).toInt + 1, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (docId % 2 == 0) "png" else "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** `(doc_id, payload)` with REAL image bytes, rendered in the same
+    * partition-local batched shape the decode path drains — the
+    * fixture stand-in for reading a parquet binary column. */
+  def withImagePayload(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
+        case (id, nc) => (id, renderImage(id, nc))
+      }))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode — container sniff + header-only dimension read
+    * via the JDK's ImageIO reader negotiation. The raster is never
+    * decoded (a metadata probe over 100 TB of media must not be), and
+    * undecodable bytes degrade to ("unknown", -1, -1) instead of
+    * failing the partition. */
+  def imageDecoder(payload: Array[Byte]): MediaMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) MediaMeta("unknown", -1, -1, payload.length.toLong)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          MediaMeta(r.getFormatName.toLowerCase,
+            r.getWidth(0), r.getHeight(0), payload.length.toLong)
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException =>
+        MediaMeta("unknown", -1, -1, payload.length.toLong)
+    } finally iis.close()
   }
 
   /** Partition-local batched decode: drains rows in `batchSize` groups,
@@ -67,7 +123,7 @@ object Multimodal {
     * server call), and emits (key, meta) rows. */
   def decodeBatched(df: DataFrame, keyCol: String, payloadCol: String,
       batchSize: Int = 64,
-      decoder: Array[Byte] => MediaMeta = stubDecoder): DataFrame = {
+      decoder: Array[Byte] => MediaMeta = imageDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pairs: Dataset[(Long, Array[Byte])] = df
@@ -85,29 +141,40 @@ object Multimodal {
         col("meta.nBytes").as("n_bytes"))
   }
 
-  /** STUB resize — deterministic byte truncation in place of a real
-    * scaler: the "resized" payload is the first `targetW*targetH/8`
-    * bytes. A production build swaps in an image scaler; the
-    * binary-in/binary-out partition-local batch shape is the point. */
-  /** Single source of truth for the stub's output cap — referenced by
-    * [[resizeStub]], the declared resize query, and its oracle SQL, so
-    * retargeting the stub cannot desynchronize them. */
-  private[ops] val ResizeTargetW = 160
-  private[ops] val ResizeTargetH = 240
-  private[ops] val ResizeCapBytes: Int = ResizeTargetW * ResizeTargetH / 8
+  /** Resize target box — fit-inside, never upscale. Smaller than every
+    * generator dim range on at least one axis, so real downscaling
+    * happens for every fixture image. Shared with the oracle SQL. */
+  private[graft] val ResizeBoxW = 32
+  private[graft] val ResizeBoxH = 24
 
-  def resizeStub(payload: Array[Byte], targetW: Int = ResizeTargetW,
-      targetH: Int = ResizeTargetH): Array[Byte] = {
-    val cap = targetW * targetH / 8
-    // ??? <- real scaler call goes here
-    if (payload.length <= cap) payload else java.util.Arrays.copyOf(payload, cap)
+  /** REAL image resize: decode, aspect-preserving fit into the target
+    * box (scale = min(boxW/w, boxH/h, 1) — floor to pixels, min 1),
+    * re-encode as PNG (resize pipelines normalize the container). The
+    * integer dim arithmetic is plain IEEE double ops, so the oracle
+    * can predict the output dims from `n_chars` alone. */
+  def imageResizer(payload: Array[Byte],
+      boxW: Int = ResizeBoxW, boxH: Int = ResizeBoxH): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val scale = math.min(
+      math.min(boxW.toDouble / img.getWidth, boxH.toDouble / img.getHeight),
+      1.0)
+    val rw = math.max(math.floor(img.getWidth * scale).toInt, 1)
+    val rh = math.max(math.floor(img.getHeight * scale).toInt, 1)
+    val out = new java.awt.image.BufferedImage(
+      rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(img, 0, 0, rw, rh, null) finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 
   /** Partition-local batched resize: binary → binary, payloads never
     * shuffle; same batch shape as [[decodeBatched]]. */
   def resizeBatched(df: DataFrame, keyCol: String, payloadCol: String,
       batchSize: Int = 64,
-      resizer: Array[Byte] => Array[Byte] = resizeStub(_)): DataFrame = {
+      resizer: Array[Byte] => Array[Byte] = imageResizer(_)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("long"), col(payloadCol))
@@ -118,32 +185,32 @@ object Multimodal {
       .toDF(keyCol, "resized")
   }
 
-  /** Declared query: payload metadata via the pure-expression path (the
-    * same arithmetic as the stub decoder, so it is oracle-expressible;
-    * MultimodalSpec asserts the mapPartitions path agrees with it). */
-  private val metaQ: Q = (s, d) => {
-    val withPayload = withBinaryPayload(Tables.documents(s, d))
-    withPayload
-      .withColumn("n_bytes", length(col("payload")).cast("long"))
-      .select(col("doc_id"),
-        when(pmod(col("n_bytes"), lit(3)) === 0, "png")
-          .when(pmod(col("n_bytes"), lit(3)) === 1, "jpeg")
-          .otherwise("webp").as("format"),
-        (pmod(col("n_bytes"), lit(640)) + 1).cast("int").as("width"),
-        (pmod(col("n_bytes"), lit(480)) + 1).cast("int").as("height"),
-        col("n_bytes"))
+  /** Declared query: REAL metadata of the real payloads — render →
+    * ImageIO header decode, all partition-local. The oracle predicts
+    * format from doc_id parity and dims from the generator arithmetic;
+    * a hash match therefore certifies that genuine PNG/JPEG bytes
+    * round-tripped through a genuine decoder. (`n_bytes` is real codec
+    * output length — compressed size is not SQL-predictable, so it
+    * stays out of the declared projection; the spec asserts it > 0.) */
+  private val metaQ: Q = (s, d) =>
+    decodeBatched(withImagePayload(Tables.documents(s, d)),
+      "doc_id", "payload")
+      .select(col("doc_id"), col("format"), col("width"), col("height"))
       .orderBy(col("doc_id").asc)
-  }
 
-  /** Declared query: resize accounting via the expression twin of
-    * [[resizeStub]] (cap = [[ResizeCapBytes]]). */
+  /** Declared query: REAL resize — render → scale into the
+    * [[ResizeBoxW]]×[[ResizeBoxH]] box → re-encode → decode the
+    * RESIZED bytes. The emitted dims come from decoding the resized
+    * image, so the oracle match proves the scaler actually produced an
+    * image of the predicted size (and the png container survives its
+    * own round-trip). */
   private val resizeQ: Q = (s, d) =>
-    withBinaryPayload(Tables.documents(s, d))
-      .withColumn("n_bytes", length(col("payload")).cast("long"))
-      .select(col("doc_id"), col("n_bytes"),
-        least(col("n_bytes"), lit(ResizeCapBytes.toLong)).as("resized_bytes"),
-        Det.r4(least(col("n_bytes"), lit(ResizeCapBytes.toLong)).cast("double") /
-          nullif(col("n_bytes"), lit(0L))).as("scale"))
+    decodeBatched(
+      resizeBatched(withImagePayload(Tables.documents(s, d)),
+        "doc_id", "payload"),
+      "doc_id", "resized")
+      .select(col("doc_id"), col("format").as("r_format"),
+        col("width").as("r_width"), col("height").as("r_height"))
       .orderBy(col("doc_id").asc)
 
   private val FrameChars = 64
@@ -172,15 +239,17 @@ object Multimodal {
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("checksum"))
       .orderBy(col("doc_id").asc)
 
-  /** Declared query: feature extraction — meta → a small numeric
-    * feature vector (normalized dims + log-bytes), the shape a
-    * downstream model join consumes. Stub features, real algebra. */
+  /** Declared query: feature extraction — decoded meta → a small
+    * numeric feature vector (dims normalized by their generator-domain
+    * maxima, log-pixel-count), the shape a downstream model join
+    * consumes. Real decoded inputs, oracle-predictable algebra. */
   private val featuresQ: Q = (s, d) =>
     metaQ(s, d)
       .select(col("doc_id"),
-        Det.r4(col("width").cast("double") / 640.0).as("f_width"),
-        Det.r4(col("height").cast("double") / 480.0).as("f_height"),
-        Det.r4(log(col("n_bytes").cast("double") + 1.0)).as("f_logbytes"))
+        Det.r4(col("width").cast("double") / 72.0).as("f_width"),
+        Det.r4(col("height").cast("double") / 56.0).as("f_height"),
+        Det.r4(log(col("width").cast("double") * col("height") + 1.0))
+          .as("f_logpixels"))
       .orderBy(col("doc_id").asc)
 
   val queries: Map[String, Q] = Map(
@@ -190,28 +259,31 @@ object Multimodal {
     "q_multimodal_features" -> featuresQ,
   )
 
+  /** Oracle-side resized dims, from the generator arithmetic: the same
+    * IEEE double ops as [[imageResizer]] (LEAST/FLOOR/GREATEST). */
+  private def sqlResized(axis: String): String = {
+    val scale =
+      s"LEAST(LEAST($ResizeBoxW.0 / w, $ResizeBoxH.0 / h), 1.0)"
+    val src = if (axis == "w") "w" else "h"
+    s"GREATEST(CAST(FLOOR($src * $scale) AS INT), 1)"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
-      """WITH b AS (
-        |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
-        |  FROM documents)
-        |SELECT doc_id,
-        |       CASE WHEN n_bytes % 3 = 0 THEN 'png'
-        |            WHEN n_bytes % 3 = 1 THEN 'jpeg'
-        |            ELSE 'webp' END AS format,
-        |       CAST(n_bytes % 640 + 1 AS INT) AS width,
-        |       CAST(n_bytes % 480 + 1 AS INT) AS height,
-        |       n_bytes
-        |FROM b
-        |ORDER BY doc_id ASC""".stripMargin,
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         |       $SqlGenW AS width,
+         |       $SqlGenH AS height
+         |FROM documents
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_resize" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
-         |  FROM documents)
-         |SELECT doc_id, n_bytes,
-         |       LEAST(n_bytes, $ResizeCapBytes) AS resized_bytes,
-         |       ${Det.sqlR4(s"CAST(LEAST(n_bytes, $ResizeCapBytes) AS DOUBLE) / NULLIF(n_bytes, 0)")} AS scale
-         |FROM b
+      s"""WITH m AS (
+         |  SELECT doc_id, $SqlGenW AS w, $SqlGenH AS h FROM documents)
+         |SELECT doc_id,
+         |       'png' AS r_format,
+         |       ${sqlResized("w")} AS r_width,
+         |       ${sqlResized("h")} AS r_height
+         |FROM m
          |ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH f AS (
@@ -232,17 +304,14 @@ object Multimodal {
          |FROM s
          |ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_features" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, CAST(n_bytes % 640 + 1 AS INT) AS width,
-         |         CAST(n_bytes % 480 + 1 AS INT) AS height, n_bytes
-         |  FROM b)
+      s"""WITH m AS (
+         |  SELECT doc_id, $SqlGenW AS width, $SqlGenH AS height
+         |  FROM documents)
          |SELECT doc_id,
-         |       ${Det.sqlR4("CAST(width AS DOUBLE) / 640.0")} AS f_width,
-         |       ${Det.sqlR4("CAST(height AS DOUBLE) / 480.0")} AS f_height,
-         |       ${Det.sqlR4("LN(CAST(n_bytes AS DOUBLE) + 1.0)")} AS f_logbytes
+         |       ${Det.sqlR4("CAST(width AS DOUBLE) / 72.0")} AS f_width,
+         |       ${Det.sqlR4("CAST(height AS DOUBLE) / 56.0")} AS f_height,
+         |       ${Det.sqlR4(
+               "LN(CAST(width AS DOUBLE) * height + 1.0)")} AS f_logpixels
          |FROM m
          |ORDER BY doc_id ASC""".stripMargin,
   )

@@ -332,11 +332,15 @@ object Text {
     *
     * Why it matters at scale: the exact path's broadcast grows with the
     * eval suite's shingle-string bytes; the bloom table is fixed-size
-    * bits. And because the prefilter rejects map-side, the exact join's
-    * probe side shrinks from |corpus shingles| to |survivors| — at real
-    * overlap rates, orders of magnitude. The exact-verify join here
-    * keeps the equi-key on gram with the bloom verdict as a residual
-    * join condition, so one BroadcastHashJoin serves both phases. */
+    * bits. In THIS plan the exact join keeps the equi-key on gram with
+    * the bloom verdict as a residual condition in one
+    * BroadcastHashJoin — every corpus row still streams through that
+    * join (the per-doc n_shingles count needs all rows), but rejected
+    * rows short-circuit on the integer verdict instead of attempting a
+    * string hash-table match. The probe side itself shrinks to
+    * |survivors| only in the hits-only production variant (no per-doc
+    * denominator), where the prefilter drops rejected rows before the
+    * join — at real overlap rates, orders of magnitude fewer rows. */
   /** The benchmark's distinct 3-gram shingles (eval side of the
     * membership test). */
   private def benchGrams(s: SparkSession, d: String): DataFrame =

@@ -57,9 +57,18 @@ object PlanAudit {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"PLANAUDIT $k rows=$n wall=$sec%.1fs")
       val nodes = flatten(qe.executedPlan)
-      val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      // flatten descends ReusedExchangeExec (so the listing shows every
+      // consumer), but `shuffles=` must read literally: a reused
+      // exchange wraps the SAME node instance, so identity-dedupe
+      // counts each physical shuffle once and `reused=` reports how
+      // many extra consumers read its files for free.
+      val allShuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      val shuffles = allShuffles.filter(seen.add)
+      val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
       val skewed = nodes.map(_.nodeName).count(_.contains("skew"))
-      println(s"PLANAUDIT $k shuffles=${shuffles.size} " +
+      println(s"PLANAUDIT $k shuffles=${shuffles.size} reused=$reused " +
         s"skew_marked_nodes=$skewed nodes=${nodes.size}")
       if (sys.env.contains("SPARK_GRAFT_PLAN_TREE"))
         println(qe.executedPlan.treeString.linesIterator

@@ -5,36 +5,72 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 import graft.io.Tables
 
-/** The mapPartitions batched-decode plumbing must agree with the
-  * pure-expression metadata query (same stub arithmetic), across batch
-  * boundaries and partition counts. */
+/** The REAL-codec multimodal plumbing: payloads must be genuine
+  * PNG/JPEG containers, the ImageIO header decode must round-trip the
+  * generator's dims, the resize must actually shrink rasters into the
+  * target box, and the batched mapPartitions shape must be
+  * batch-size- and partition-count-invariant. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  test("decodeBatched output equals expression-path metadata") {
-    val docs = Tables.documents(spark, SparkTestSession.sf)
-    val viaExpr = Multimodal.queries("q_multimodal_meta")(spark, SparkTestSession.sf)
-    val viaBatch = Multimodal.decodeBatched(
-        Multimodal.withBinaryPayload(docs).repartition(7),
-        "doc_id", "payload", batchSize = 13)
-      .orderBy(col("doc_id"))
-    assert(viaExpr.collect().toSeq == viaBatch.collect().toSeq)
+  test("payloads are genuine PNG/JPEG containers (magic bytes)") {
+    val rows = Multimodal.withImagePayload(
+        Tables.documents(spark, SparkTestSession.sf))
+      .select(col("doc_id"), col("payload")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      if (id % 2 == 0)
+        assert((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G', s"doc $id: not a PNG container")
+      else
+        assert((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8,
+          s"doc $id: not a JPEG container")
+    }
   }
 
-  test("resizeBatched byte counts equal the declared resize query") {
-    val docs = Tables.documents(spark, SparkTestSession.sf)
-    val viaBatch = Multimodal.resizeBatched(
-        Multimodal.withBinaryPayload(docs).repartition(5),
-        "doc_id", "payload", batchSize = 17)
-      .select(col("doc_id"), length(col("resized")).cast("long").as("resized_bytes"))
-      .orderBy(col("doc_id"))
-    val viaExpr = Multimodal.queries("q_multimodal_resize")(spark, SparkTestSession.sf)
-      .select(col("doc_id"), col("resized_bytes"))
-    assert(viaExpr.collect().toSeq == viaBatch.collect().toSeq)
-    // the stub never grows a payload
-    val grow = Multimodal.queries("q_multimodal_resize")(spark, SparkTestSession.sf)
-      .filter(col("resized_bytes") > col("n_bytes"))
-    assert(grow.count() == 0)
+  test("header decode round-trips the generator dims and real sizes") {
+    val decoded = Multimodal.decodeBatched(
+        Multimodal.withImagePayload(
+          Tables.documents(spark, SparkTestSession.sf)).repartition(7),
+        "doc_id", "payload", batchSize = 13)
+    val expected = Tables.documents(spark, SparkTestSession.sf)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("jpeg")
+          .as("format"),
+        (pmod(col("n_chars"), lit(64)) + 8).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(48)) + 8).cast("int").as("height"))
+    val d = decoded.select(col("doc_id"), col("format"), col("width"),
+      col("height"))
+    assert(d.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(d).count() == 0,
+      "ImageIO header decode diverged from the generator arithmetic")
+    // compressed size is codec output — unpredictable but never empty
+    assert(decoded.filter(col("n_bytes") <= 0).count() == 0)
+  }
+
+  test("resize fits the box, never upscales, and stays decodable") {
+    val meta = Multimodal.queries("q_multimodal_meta")(
+      spark, SparkTestSession.sf)
+    val resized = Multimodal.queries("q_multimodal_resize")(
+      spark, SparkTestSession.sf)
+    assert(resized.filter(col("r_format") =!= "png").count() == 0,
+      "resize must normalize the container to png")
+    assert(resized.filter(col("r_width") > Multimodal.ResizeBoxW ||
+      col("r_height") > Multimodal.ResizeBoxH).count() == 0,
+      "resized image exceeds the target box")
+    val joined = resized.join(meta, "doc_id")
+    assert(joined.filter(col("r_width") > col("width") ||
+      col("r_height") > col("height")).count() == 0,
+      "resize upscaled an image")
+  }
+
+  test("undecodable bytes degrade, never throw") {
+    val m = Multimodal.imageDecoder("not an image".getBytes("UTF-8"))
+    assert(m == Multimodal.MediaMeta("unknown", -1, -1, 12L))
+    val empty = Multimodal.imageDecoder(Array.emptyByteArray)
+    assert(empty.format == "unknown" && empty.nBytes == 0L)
   }
 
   test("frame sampling covers every doc and checksums are stable") {
@@ -50,11 +86,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("binary parquet round-trip drives the mapPartitions paths") {
     // the deployment shape: payloads persisted as a real parquet binary
     // column, re-read, and decoded/resized via the batched mapPartitions
-    // plumbing — not the in-memory expression twins
+    // plumbing over the re-read bytes
     val dir = java.nio.file.Files
       .createTempDirectory("graft-multimodal").toString + "/payloads"
-    Multimodal.withBinaryPayload(Tables.documents(spark, SparkTestSession.sf))
-      .select(col("doc_id"), col("payload"))
+    Multimodal.withImagePayload(Tables.documents(spark, SparkTestSession.sf))
       .write.mode("overwrite").parquet(dir)
     val back = spark.read.parquet(dir)
     assert(back.schema("payload").dataType ==
@@ -62,24 +97,27 @@ class MultimodalSpec extends AnyFunSuite {
       "payload column must round-trip as a parquet binary column")
     val viaBatch = Multimodal.decodeBatched(back.repartition(3),
         "doc_id", "payload", batchSize = 11)
+      .select(col("doc_id"), col("format"), col("width"), col("height"))
       .orderBy(col("doc_id"))
-    val viaExpr = Multimodal.queries("q_multimodal_meta")(
+    val viaQuery = Multimodal.queries("q_multimodal_meta")(
       spark, SparkTestSession.sf)
-    assert(viaExpr.collect().toSeq == viaBatch.collect().toSeq,
-      "decodeBatched over re-read parquet diverged from expression path")
-    val resizedBack = Multimodal.resizeBatched(back.repartition(3),
-        "doc_id", "payload", batchSize = 11)
-      .select(col("doc_id"), length(col("resized")).cast("long").as("resized_bytes"))
+    assert(viaQuery.collect().toSeq == viaBatch.collect().toSeq,
+      "decode over re-read parquet diverged from the declared query")
+    val resizedBack = Multimodal.decodeBatched(
+        Multimodal.resizeBatched(back.repartition(3),
+          "doc_id", "payload", batchSize = 11),
+        "doc_id", "resized")
+      .select(col("doc_id"), col("format").as("r_format"),
+        col("width").as("r_width"), col("height").as("r_height"))
       .orderBy(col("doc_id"))
-    val resizedExpr = Multimodal.queries("q_multimodal_resize")(
+    val resizedQuery = Multimodal.queries("q_multimodal_resize")(
       spark, SparkTestSession.sf)
-      .select(col("doc_id"), col("resized_bytes"))
-    assert(resizedExpr.collect().toSeq == resizedBack.collect().toSeq,
-      "resizeBatched over re-read parquet diverged from expression path")
+    assert(resizedQuery.collect().toSeq == resizedBack.collect().toSeq,
+      "resize over re-read parquet diverged from the declared query")
   }
 
   test("batch size does not change results (1 vs 1000)") {
-    val docs = Multimodal.withBinaryPayload(
+    val docs = Multimodal.withImagePayload(
       Tables.documents(spark, SparkTestSession.sf))
     val a = Multimodal.decodeBatched(docs, "doc_id", "payload", 1)
       .orderBy(col("doc_id")).collect().toSeq
