@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Det
 import graft.io.Tables
@@ -92,17 +93,129 @@ object StreamingOps {
         col("purchase_id").asc)
   }
 
+  /** Watermark late-data accounting, §2.I's semantics put under the
+    * DuckDB oracle (round-8 verdict stretch ask): the `events` table is
+    * replayed as an arrival-ordered stream (arrival order = event_id,
+    * which IS sorted in this fixture — it models the ingest sequence),
+    * each event's EVENT time is its arrival time minus a deterministic
+    * md5-keyed network delay (0–150 min in 10-min steps — the fixture
+    * is otherwise perfectly ordered, so the jitter supplies the
+    * out-of-orderness watermarks exist for), and arrival micro-batches
+    * are fixed [[LateBatchRows]]-row chunks of the sequence.
+    *
+    * Structured Streaming's contract, in batch form: the watermark for
+    * batch b is max(event time seen in batches < b) − delay, updated
+    * only at batch boundaries; a row is LATE (dropped by a stateful
+    * windowed aggregation) when its tumbling window has already closed:
+    * window_end ≤ watermark. Output: per-window totals, late counts
+    * and surviving counts — exactly what the streaming job's windowed
+    * state would emit plus the drop accounting its metrics report.
+    *
+    * Scale shape — the sequential running max becomes a TWO-LEVEL
+    * exclusive prefix max, nothing global on one partition:
+    * per-batch maxima (keyed agg, |batches| = |events|/50 rows), then
+    * (a) intra-chunk exclusive prefix via a chunk-keyed window
+    * ([[LateChunk]] batches per chunk) and (b) chunk-level maxima
+    * prefixed by a tiny triangle self-join (|batches|/64 rows; at
+    * 100 TB the batch-stats table is micro-batch-count-sized — time-
+    * bounded, not data-bounded — and a third level can be nested if a
+    * deployment ever needs it). Everything else is epoch-ms integer
+    * arithmetic, identical in both engines. */
+  private[graft] val LateJitterChoices = 16
+  private[graft] val LateJitterUnitMs = 600000L  // 10 min
+  private[graft] val LateBatchRows = 50L         // arrival rows per micro-batch
+  private[graft] val LateDelayMs = 1800000L      // 30 min watermark delay
+  private[graft] val LateWindowMs = 3600000L     // 1 h tumbling window
+  private[graft] val LateChunk = 64L             // batches per prefix chunk
+
+  /** `(event_id, bid, ems)` — arrival batch id and jittered event-time
+    * epoch-ms; shared by the declared query and the replay spec. */
+  private[graft] def lateArrivals(s: SparkSession, d: String): DataFrame =
+    stream(s, d).select(col("event_id"),
+      expr(s"event_id div $LateBatchRows").as("bid"),
+      (unix_millis(col("ts")) -
+        pmod(conv(substring(md5(col("event_id").cast("string")
+          .cast("binary")), 1, 2), 16, 10).cast("long"),
+          lit(LateJitterChoices.toLong)) * lit(LateJitterUnitMs)).as("ems"))
+
+  /** Exclusive prefix max of per-batch event-time maxima, minus the
+    * delay: `(bid, wm)` — wm is NULL for the first batch (no watermark
+    * yet), exactly the streaming engine's initial state. */
+  private[graft] def lateWatermarks(arrivals: DataFrame): DataFrame = {
+    val bs = arrivals.groupBy(col("bid")).agg(max(col("ems")).as("mx"))
+      .withColumn("cg", expr(s"bid div $LateChunk"))
+    val intra = bs.withColumn("pmx", max(col("mx")).over(
+      Window.partitionBy(col("cg")).orderBy(col("bid").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val cs = bs.groupBy(col("cg")).agg(max(col("mx")).as("cmx"))
+    val cpre = cs.as("a")
+      .join(cs.as("b"), col("b.cg") < col("a.cg"), "left")
+      .groupBy(col("a.cg").as("cg")).agg(max(col("b.cmx")).as("cpmx"))
+    // Spark's greatest skips NULLs: wm is NULL only when BOTH prefix
+    // terms are (the global first batch).
+    intra.join(broadcast(cpre), "cg")
+      .select(col("bid"),
+        (greatest(col("pmx"), col("cpmx")) - lit(LateDelayMs)).as("wm"))
+  }
+
+  private val lateEvents: Q = (s, d) => {
+    val arrivals = lateArrivals(s, d)
+    arrivals.join(lateWatermarks(arrivals), Seq("bid"), "left")
+      .withColumn("win_ms", expr(s"(ems div $LateWindowMs) * $LateWindowMs"))
+      .withColumn("late",
+        col("wm").isNotNull && col("win_ms") + lit(LateWindowMs) <= col("wm"))
+      .groupBy(col("win_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .withColumn("n_ontime", col("n_events") - col("n_late"))
+      .orderBy(col("win_ms").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> tumbling,
     "q_stream_sliding"  -> sliding,
     "q_stream_session"  -> session,
     "q_stream_stream_join" -> streamStreamJoin,
+    "q_stream_late_events" -> lateEvents,
   )
 
   private val sqlStream =
     s"SELECT event_id, user_id, event_type, value, ${Det.sqlEts("ts")} AS ts FROM events"
 
   val oracle: Map[String, String] = Map(
+    // the oracle states the sequential watermark contract directly
+    // (one running-max window); the Spark side implements it as the
+    // two-level distributed prefix — the hash match proves them equal
+    "q_stream_late_events" ->
+      s"""WITH s AS (
+         |  SELECT event_id,
+         |         epoch_ms(${Det.sqlEts("ts")}) AS ams
+         |  FROM events),
+         |j AS (
+         |  SELECT event_id, event_id // $LateBatchRows AS bid,
+         |         ams - (CAST('0x' || SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 2)
+         |                    AS INT) % $LateJitterChoices) * $LateJitterUnitMs AS ems
+         |  FROM s),
+         |bs AS (SELECT bid, max(ems) AS mx FROM j GROUP BY bid),
+         |wm AS (
+         |  SELECT bid,
+         |         max(mx) OVER (ORDER BY bid ASC
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING
+         |                       AND 1 PRECEDING) - $LateDelayMs AS wm
+         |  FROM bs),
+         |f AS (
+         |  SELECT (j.ems // $LateWindowMs) * $LateWindowMs AS win_ms,
+         |         CASE WHEN wm.wm IS NOT NULL
+         |               AND (j.ems // $LateWindowMs) * $LateWindowMs
+         |                   + $LateWindowMs <= wm.wm
+         |              THEN 1 ELSE 0 END AS late
+         |  FROM j JOIN wm USING (bid))
+         |SELECT win_ms, COUNT(*) AS n_events,
+         |       CAST(SUM(late) AS BIGINT) AS n_late,
+         |       CAST(COUNT(*) - SUM(late) AS BIGINT) AS n_ontime
+         |FROM f
+         |GROUP BY win_ms
+         |ORDER BY win_ms ASC""".stripMargin,
     "q_stream_stream_join" ->
       s"""WITH s AS ($sqlStream),
          |c AS (SELECT event_id AS click_id, user_id, ts

@@ -436,6 +436,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(marker.lastModified == t0, "store was rebuilt on re-run")
   }
 
+  test("late-event accounting equals a sequential watermark replay") {
+    // the declared query computes the watermark with a distributed
+    // two-level prefix max; this replays the stream SEQUENTIALLY
+    // (fixture-scale, driver-side) with the textbook single-pass
+    // semantics — batch-boundary watermark updates, window_end <= wm
+    // drops — and demands identical per-window accounting
+    import graft.ops.StreamingOps
+    val W = StreamingOps.LateWindowMs
+    val got = SparkEntry.queries("q_stream_late_events")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val arr = StreamingOps.lateArrivals(spark, sf)
+      .select(col("bid"), col("ems")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var maxSeen: Option[Long] = None
+    for ((bid, group) <- arr.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val wm = maxSeen.map(_ - StreamingOps.LateDelayMs)
+      for ((_, ems) <- group) {
+        val win = math.floorDiv(ems, W) * W
+        val late = if (wm.exists(win + W <= _)) 1L else 0L
+        val (n, l) = acc.getOrElse(win, (0L, 0L))
+        acc(win) = (n + 1, l + late)
+      }
+      val mx = group.map(_._2).max
+      maxSeen = Some(maxSeen.fold(mx)(math.max(_, mx)))
+    }
+    assert(got == acc.toMap,
+      "distributed prefix-max accounting diverged from sequential replay")
+    // the jitter must actually produce late data, or the operator
+    // tests nothing
+    assert(acc.valuesIterator.map(_._2).sum > 0, "no late events at all")
+  }
+
   test("two-pass ntile is row-identical to the built-in global window") {
     // q_window_ntile derives exact global ranks via sampled range
     // boundaries + bucket-local windows (no corpus-sized single
