@@ -27,6 +27,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracle),
     (Extras.queries, Extras.oracle),
     (Sampling.queries, Sampling.oracle),
+    (Pack.queries, Pack.oracle),
     (Layout.queries, Layout.oracle),
     (Pipeline.queries, Pipeline.oracle),
   )

@@ -102,11 +102,41 @@ object Sampling {
       .orderBy(col("source").asc, col("lang").asc)
   }
 
+  /** Temperature exponent for [[mixTemperature]] — α = 1/2, i.e. a
+    * language's mixture weight ∝ √count. sqrt is an exactly-rounded
+    * IEEE primitive (identical in any engine), and each weight is
+    * quantized to 1e-4 integer units BEFORE the cross-group sum, so
+    * the normalizing denominator is an exact long — order-free and
+    * bit-identical — rather than a float sum whose value depends on
+    * accumulation order. */
+  private val mixTemperature: Q = (s, d) => {
+    val qw = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q", Det.qi4(sqrt(col("n_docs").cast("double"))))
+    val tot = qw.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("w_q")).as("w_total"))
+    qw.crossJoin(broadcast(tot))
+      .withColumn("nat_share", Det.r4(col("n_docs") / col("n_total")))
+      .withColumn("temp_weight",
+        Det.r4(col("w_q").cast("double") / col("w_total")))
+      .withColumn("target_docs",
+        floor(col("w_q").cast("double") / col("w_total") * col("n_total")
+          + lit(0.5)).cast("long"))
+      .withColumn("boost",
+        Det.r4(col("w_q").cast("double") / col("w_total") * col("n_total")
+          / col("n_docs")))
+      .select(col("lang"), col("n_docs"), col("nat_share"),
+        col("temp_weight"), col("target_docs"), col("boost"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_hash"       -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted"   -> sampleWeighted,
     "q_split_train_test"  -> splitTrainTest,
+    "q_mix_temperature"   -> mixTemperature,
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,6 +179,26 @@ object Sampling {
          |GROUP BY source, lang
          |ORDER BY source ASC, lang ASC""".stripMargin
     },
+    "q_mix_temperature" ->
+      s"""WITH c AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |q AS (
+         |  SELECT lang, n_docs,
+         |         ${Det.sqlQi4("SQRT(CAST(n_docs AS DOUBLE))")} AS w_q
+         |  FROM c),
+         |t AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         |         CAST(SUM(w_q) AS BIGINT) AS w_total
+         |  FROM q)
+         |SELECT lang, n_docs,
+         |       ${Det.sqlR4("n_docs / n_total")} AS nat_share,
+         |       ${Det.sqlR4("w_q / w_total")} AS temp_weight,
+         |       CAST(FLOOR(w_q / w_total * n_total + 0.5) AS BIGINT)
+         |         AS target_docs,
+         |       ${Det.sqlR4("w_q / w_total * n_total / n_docs")} AS boost
+         |FROM q CROSS JOIN t
+         |ORDER BY lang ASC""".stripMargin,
     "q_split_train_test" ->
       s"""SELECT lang,
          |       ${sqlSplit("doc_id")} AS split,

@@ -320,6 +320,143 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  // --- Product quantization (PQ) ------------------------------------
+  //
+  // The ANN variants above shrink the CANDIDATE SET; PQ shrinks the
+  // BYTES. A 64-dim float64 vector is 512 bytes; its PQ code — one
+  // centroid id per 8-dim subspace — is 8 small ints. At 100 TB the
+  // difference decides whether the search structure fits executor
+  // memory at all: the compressed-domain scan (ADC) touches only
+  // (vec_id, j, code) triples, never a raw corpus vector, so the big
+  // side of the search join carries ~1/64th of the payload and the
+  // exact vectors stay in cold storage for an optional re-rank.
+  //
+  // Training is per-subspace k-means — but NOT a per-subspace loop:
+  // the subspace index `j` is exploded into the data and one
+  // relational Lloyd iteration trains all M codebooks simultaneously
+  // (corpus × broadcast(M·K rows) join + (j, cent, dim)-keyed mean —
+  // the same data-parallel shape as [[kmeansCentroids]], one more key
+  // column). Centroid components pass through [[Det.davg]], so both
+  // engines iterate over bit-identical codebooks; distances are then
+  // identical pure-IEEE expressions and the argmin (tie → lower
+  // cent_id) agrees everywhere.
+
+  /** Subspace count × dims (M·D = 64, the embedding width). */
+  private[graft] val PqM = 8
+  private[graft] val PqDim = 8
+
+  /** Centroids per subspace (codes are 4-bit here; 8-bit in prod). */
+  private[graft] val PqK = 16
+  private val PqRounds = 2
+
+  /** Squared L2 via three dot products — the identity form keeps the
+    * expression a composition of the same sequential folds DuckDB's
+    * `list_dot_product` runs, so both engines accumulate in the same
+    * order (the [[annIvf]] precedent, distance instead of cosine). */
+  private def d2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** (vec_id, j, sv): the corpus exploded into per-subspace slices. */
+  private[graft] def subvecs(c: DataFrame): DataFrame =
+    c.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(j =>
+        slice(col("emb"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+
+  /** All M codebooks as one (j, cent_id, cv) table — init = first
+    * [[PqK]] vectors' slices, then `rounds` relational Lloyd rounds.
+    * At 100 TB this trains on a sample; the coding/search plans below
+    * don't care where the (tiny, broadcast) codebook came from. */
+  private[graft] def pqCodebook(c: DataFrame, rounds: Int): DataFrame = {
+    val sv = subvecs(c)
+    var cents = sv.filter(col("vec_id") < PqK)
+      .select(col("j"), col("vec_id").cast("int").as("cent_id"),
+        col("sv").as("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd").asc, col("cent_id").asc)
+    for (_ <- 1 to rounds) {
+      val members = sv.join(broadcast(cents), Seq("j"))
+        .withColumn("dd", d2(col("sv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("cent_id"), col("sv"))
+      val means = members
+        .select(col("j"), col("cent_id"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("cent_id"), col("pos"))
+        .agg(Det.davg(col("v")).as("cv1"))
+        .groupBy(col("j"), col("cent_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv1"))))
+          .as("pe"))
+        .select(col("j"), col("cent_id"),
+          expr("transform(pe, e -> e.cv1)").as("n_cv"))
+      cents = cents.join(means, Seq("j", "cent_id"), "left")
+        .select(col("j"), col("cent_id"),
+          coalesce(col("n_cv"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** Per-(vec, subspace) nearest centroid: (vec_id, j, code, dd). */
+  private[graft] def pqCodes(c: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd").asc, col("cent_id").asc)
+    subvecs(c).join(broadcast(cents), Seq("j"))
+      .withColumn("dd", d2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("cent_id").as("code"), col("dd"))
+  }
+
+  /** PQ compression: each vector's M codes (as a `-`-joined string —
+    * engine-neutral list rendering) plus its total squared
+    * reconstruction error in exact 1e-4 long units ([[Det.qi4]] per
+    * subspace BEFORE the sum, so the 8-term add is order-free).
+    * One broadcast join + one keyed agg — O(corpus · K) map-side work,
+    * a single shuffle, no corpus self-join anywhere. */
+  private val embedPq: Q = (s, d) => {
+    val c = corpus(s, d)
+    pqCodes(c, pqCodebook(c, PqRounds))
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(struct(j, code))), " +
+          "e -> CAST(e.code AS STRING)), '-')").as("codes"),
+        sum(Det.qi4(col("dd"))).as("err_q"))
+      .orderBy(col("vec_id").asc)
+  }
+
+  /** ADC (asymmetric distance computation) top-5: probes stay exact,
+    * the corpus is its PQ codes only. Each probe precomputes a
+    * (j, cent_id) → partial-d² lookup table (M·K rows — broadcast);
+    * a corpus code row then joins the LUT on (j, code) and the
+    * per-pair approximate distance is a SUM of M quantized partials —
+    * a partial-aggregated, shuffle-once plan whose big side never
+    * carries a float vector. Quantized-long partials make the sum
+    * order-free, so the ranking (adist asc, vec_id asc) is exact in
+    * both engines. */
+  private val annPq: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cents = pqCodebook(c, PqRounds)
+    val codes = pqCodes(c, cents)
+      .select(col("vec_id"), col("j"), col("code"))
+    val lut = subvecs(c.filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(cents), Seq("j"))
+      .select(col("probe_id"), col("j").as("lj"),
+        col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(broadcast(lut),
+        col("j") === col("lj") && col("code") === col("lc"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** Multimodal join: text features ⊕ vector features per document. */
   private val multimodalJoin: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -339,6 +476,8 @@ object Vectors {
     "q_sim_ann_multiprobe"-> annMultiprobe,
     "q_sim_ann_ivf"       -> annIvf,
     "q_sim_kmeans"        -> simKmeans,
+    "q_embed_pq"          -> embedPq,
+    "q_sim_ann_pq"        -> annPq,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -388,6 +527,63 @@ object Vectors {
          |  FROM $prev LEFT JOIN ce$r USING (cent_id))""".stripMargin
     }
     ((init +: rs) :+ s"cents AS (SELECT * FROM k$rounds)").mkString(",\n")
+  }
+
+  /** DuckDB twin of [[subvecs]] + [[pqCodebook]] + [[pqCodes]]: the
+    * slice explosion, `rounds` relational Lloyd rounds over all M
+    * subspaces at once, and the final code assignment. Ends with CTEs
+    * `pq(j, cent_id, cv)` and `cd(vec_id, j, code, dd)`. Requires a
+    * CTE `c` bound to [[sqlCorpus]]. */
+  private def sqlPqCodes(rounds: Int): String = {
+    def dd(a: String, b: String): String =
+      s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)" +
+        s" + list_dot_product($b, $b)"
+    val init =
+      s"""sv AS (
+         |  SELECT vec_id, j,
+         |         list_slice(emb, j * $PqDim + 1, j * $PqDim + $PqDim) AS sv
+         |  FROM c CROSS JOIN
+         |    (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS j) js),
+         |pk0 AS (
+         |  SELECT j, CAST(vec_id AS INTEGER) AS cent_id, sv AS cv
+         |  FROM sv WHERE vec_id < $PqK)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      val prev = s"pk${r - 1}"
+      s"""pa$r AS (
+         |  SELECT s.vec_id, s.j, s.sv, k.cent_id,
+         |         ${dd("s.sv", "k.cv")} AS dd
+         |  FROM sv s JOIN $prev k ON s.j = k.j),
+         |pm$r AS (
+         |  SELECT j, cent_id, sv
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |                  ORDER BY dd ASC, cent_id ASC) AS rn FROM pa$r)
+         |  WHERE rn = 1),
+         |pe$r AS (
+         |  SELECT j, cent_id, generate_subscripts(sv, 1) AS pos,
+         |         UNNEST(sv) AS v
+         |  FROM pm$r),
+         |pn$r AS (
+         |  SELECT j, cent_id, pos, ${Det.sqlDavg("v")} AS cv1
+         |  FROM pe$r GROUP BY j, cent_id, pos),
+         |pc$r AS (
+         |  SELECT j, cent_id, LIST(cv1 ORDER BY pos ASC) AS ncv
+         |  FROM pn$r GROUP BY j, cent_id),
+         |pk$r AS (
+         |  SELECT k.j, k.cent_id, COALESCE(pc$r.ncv, k.cv) AS cv
+         |  FROM $prev k LEFT JOIN pc$r
+         |    ON k.j = pc$r.j AND k.cent_id = pc$r.cent_id)""".stripMargin
+    }
+    val fin =
+      s"""pq AS (SELECT * FROM pk$rounds),
+         |cd AS (
+         |  SELECT vec_id, j, cent_id AS code, dd
+         |  FROM (SELECT s.vec_id, s.j, k.cent_id, ${dd("s.sv", "k.cv")} AS dd,
+         |               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+         |                 ORDER BY ${dd("s.sv", "k.cv")} ASC, k.cent_id ASC)
+         |                 AS rn
+         |        FROM sv s JOIN pq k ON s.j = k.j)
+         |  WHERE rn = 1)""".stripMargin
+    ((init +: rs) :+ fin).mkString(",\n")
   }
 
   private val sqlBucket = (1 to 8)
@@ -508,6 +704,36 @@ object Vectors {
          |       ${Det.sqlR4("ccos")} AS cent_cos
          |FROM asg
          |ORDER BY vec_id ASC""".stripMargin,
+    "q_embed_pq" ->
+      s"""WITH c AS ($sqlCorpus),
+         |${sqlPqCodes(2)}
+         |SELECT vec_id,
+         |       array_to_string(LIST(CAST(code AS VARCHAR) ORDER BY j ASC),
+         |                       '-') AS codes,
+         |       CAST(SUM(${Det.sqlQi4("dd")}) AS BIGINT) AS err_q
+         |FROM cd
+         |GROUP BY vec_id
+         |ORDER BY vec_id ASC""".stripMargin,
+    "q_sim_ann_pq" ->
+      s"""WITH c AS ($sqlCorpus),
+         |${sqlPqCodes(2)},
+         |lut AS (
+         |  SELECT s.vec_id AS probe_id, s.j, k.cent_id,
+         |         ${Det.sqlQi4(
+               "list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, k.cv)" +
+               " + list_dot_product(k.cv, k.cv)")} AS pd2
+         |  FROM sv s JOIN pq k ON s.j = k.j
+         |  WHERE s.vec_id < 10),
+         |ad AS (
+         |  SELECT l.probe_id, cd.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adist
+         |  FROM cd JOIN lut l ON cd.j = l.j AND cd.code = l.cent_id
+         |  WHERE cd.vec_id <> l.probe_id
+         |  GROUP BY l.probe_id, cd.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
+         |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+         |FROM r WHERE rn <= 5
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
     "q_dedup_embedding" -> {
       val db0 = (1 to 12)
         .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")

@@ -825,6 +825,117 @@ class OperatorSpec extends AnyFunSuite {
       "stored-table incremental diverges from the self-contained query")
   }
 
+  test("sequence packing: two-level prefix exact, chunk accounting closes") {
+    // The decomposed (bucketed) exclusive prefix sum must be bit-equal
+    // to the textbook single-window form it replaces at scale.
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.ops.Pack.packed(spark, sf)
+      .select("doc_id", "n_tokens", "tok_offset")
+    val w = Window
+      .partitionBy(substring(col("doc_id").cast("string"), 1, 0))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+      "two-level packing prefix diverged from the single-window form")
+    // Chunk view closes the books: every concatenated token lands in
+    // exactly one chunk, every chunk but the last is exactly full, and
+    // chunk ids are gapless from 0.
+    val chunks = SparkEntry.queries("q_pack_chunks")(spark, sf).cache()
+    try {
+      val totTok = got.agg(sum("n_tokens")).head.getLong(0)
+      val chTok = chunks.agg(sum("chunk_tokens")).head.getLong(0)
+      assert(chTok == totTok, s"chunk tokens $chTok != corpus tokens $totTok")
+      val ids = chunks.select("chunk").collect().map(_.getLong(0))
+      assert(ids.head == 0L && ids.sameElements(ids.indices.map(_.toLong)),
+        "chunk ids not gapless from 0")
+      val notFull = chunks.filter(col("chunk") < ids.last &&
+        col("chunk_tokens") =!= graft.ops.Pack.ChunkLen).count()
+      assert(notFull == 0, s"$notFull interior chunks not exactly full")
+    } finally chunks.unpersist()
+  }
+
+  test("product quantization: codes well-formed, Lloyd improves, ADC ranks") {
+    import graft.ops.Vectors.{corpus, pqCodebook, pqCodes, PqM, PqK}
+    val pq = SparkEntry.queries("q_embed_pq")(spark, sf).cache()
+    try {
+      // one row per vector; codes parse as exactly M ints in [0, K)
+      val c = corpus(spark, sf)
+      assert(pq.count() == c.count())
+      val bad = pq.withColumn("parts", split(col("codes"), "-"))
+        .filter(size(col("parts")) =!= PqM ||
+          exists(col("parts"), p => p.cast("int") < 0 ||
+            p.cast("int") >= PqK || p.cast("int").isNull))
+        .count()
+      assert(bad == 0, s"$bad malformed PQ code strings")
+      // training monotonicity: 2 Lloyd rounds reconstruct no worse in
+      // total than the raw first-K init the rounds started from
+      def totalErr(rounds: Int): Long =
+        pqCodes(c, pqCodebook(c, rounds))
+          .agg(sum(graft.Det.qi4(col("dd")))).head.getLong(0)
+      val (e0, e2) = (totalErr(0), totalErr(2))
+      assert(e2 <= e0, s"Lloyd rounds increased total error: $e0 -> $e2")
+      // ADC identity: the summed per-subspace LUT distance IS the full
+      // 64-dim squared distance to the PQ-RECONSTRUCTED vector (squared
+      // L2 decomposes over disjoint subspaces). Recompute it through an
+      // independent path — concatenate each vector's codebook entries
+      // and take one 64-dim distance — and demand agreement within the
+      // per-term 1e-4 quantization slack (M terms → ≤ M units).
+      val cents = pqCodebook(c, 2)
+      val recon = pqCodes(c, cents).select(col("vec_id"), col("j"), col("code"))
+        .join(cents.withColumnRenamed("cent_id", "code"), Seq("j", "code"))
+        .select(col("vec_id"), col("j"), col("cv"))
+        .groupBy(col("vec_id"))
+        .agg(expr("flatten(transform(sort_array(collect_list(struct(j, cv))), " +
+          "e -> e.cv))").as("rv"))
+      val probes = c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val full = recon.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("fd", graft.Det.qi4(expr(
+          "aggregate(zip_with(rv, p_emb, (x, y) -> (x-y)*(x-y)), 0D, (a, b) -> a + b)")))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("fd"))
+      val adc = SparkEntry.queries("q_sim_ann_pq")(spark, sf)
+        .select(col("probe_id"), col("neighbor_id"), col("adist"))
+      val drift = adc.join(full, Seq("probe_id", "neighbor_id"))
+        .filter(abs(col("adist") - col("fd")) > PqM).count()
+      assert(drift == 0, s"$drift ADC distances off the reconstruction identity")
+      // Recall floor: an isotropic-Gaussian corpus is PQ's adversarial
+      // case (pairwise distances concentrate), so exact-top-5 overlap
+      // is structurally low here — still, the compressed scan must beat
+      // noise (random top-5 of ~n would hit ≈ 5·5/n ≈ 0.5 per probe).
+      val exact = {
+        val d = c.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("dd", expr(
+            "aggregate(zip_with(emb, p_emb, (x, y) -> (x-y)*(x-y)), 0D, (a, b) -> a + b)"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("dd").asc, col("vec_id").asc)
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      }
+      val hits = adc.join(exact, Seq("probe_id", "neighbor_id")).count()
+      assert(hits >= 5, s"ADC recall@5 below noise floor: $hits hits / 10 probes")
+    } finally pq.unpersist()
+  }
+
+  test("temperature mixing: weights normalize and rebalance toward rare") {
+    val m = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+    val wSum = m.map(_.getAs[Double]("temp_weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    val nTotal = m.map(_.getAs[Long]("n_docs")).sum
+    val tSum = m.map(_.getAs[Long]("target_docs")).sum
+    assert(math.abs(tSum - nTotal) <= m.length,
+      s"targets $tSum drifted from corpus $nTotal")
+    val byN = m.sortBy(_.getAs[Long]("n_docs"))
+    assert(byN.head.getAs[Double]("boost") >= byN.last.getAs[Double]("boost"),
+      "α=1/2 mixing must boost the rarest language at least as much as the most common")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
