@@ -58,9 +58,19 @@ object Multimodal {
   private[graft] val SqlGenW = "CAST(n_chars % 64 + 8 AS INT)"
   private[graft] val SqlGenH = "CAST(n_chars % 48 + 8 AS INT)"
 
+  /** ImageIO's default stream cache is a TEMP FILE per encode/decode
+    * call — one disk round-trip per image. Flip it to the in-memory
+    * cache once per executor JVM before any codec work; idempotent and
+    * thread-safe (a plain static flag write in the JDK). Measured at
+    * sf0.1 this is most of the difference between a ~1 ms/image and a
+    * ~0.1 ms/image pipeline. */
+  private lazy val memCachedIO: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** One real image: PNG (even doc_id) or JPEG (odd), genW×genH,
     * pixels a deterministic integer hash of (doc_id, x, y). */
   private[graft] def renderImage(docId: Long, nChars: Long): Array[Byte] = {
+    memCachedIO
     val (w, h) = (genW(nChars), genH(nChars))
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -86,6 +96,13 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      // The one-file fixture arrives as ONE input split, which would
+      // run every codec invocation on a single core (the docTokens
+      // precedent); key by doc_id so downstream per-doc joins reuse
+      // the clustering. On a real multi-file media lake the input
+      // splits already provide the fan-out and this pin is a no-op
+      // cost: one shuffle of (id, n_chars) pairs, never payload bytes.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map {
         case (id, nc) => (id, renderImage(id, nc))
@@ -99,6 +116,7 @@ object Multimodal {
     * undecodable bytes degrade to ("unknown", -1, -1) instead of
     * failing the partition. */
   def imageDecoder(payload: Array[Byte]): MediaMeta = {
+    memCachedIO
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -154,6 +172,7 @@ object Multimodal {
     * can predict the output dims from `n_chars` alone. */
   def imageResizer(payload: Array[Byte],
       boxW: Int = ResizeBoxW, boxH: Int = ResizeBoxH): Array[Byte] = {
+    memCachedIO
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     val scale = math.min(

@@ -457,6 +457,86 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  /** IVF-PQ: the two ANN economies composed — the coarse quantizer
+    * bounds WHAT is scanned (only the probed cells' inverted lists),
+    * PQ codes bound the BYTES per scanned entry (8 code ints, no
+    * vector payload). This is the canonical billion-scale layout
+    * (inverted lists of codes); at 100 TB the index is a parquet
+    * table laid out by cell, so probing N cells is a partition-pruned
+    * read, and the scan side of the search join still carries no
+    * floats.
+    *
+    * Plan shape: ONE corpus lineage (cell argmax over the broadcast
+    * coarse codebook, THEN per-subspace code argmin over the
+    * broadcast PQ codebook — the 64-dim vector is dropped the moment
+    * both are known), then a single broadcast join against the
+    * pre-joined probe table (probe cells × per-probe LUT: nprobe·M·K
+    * rows) keyed (cell, j, code), a partial-aggregated (probe, vec)
+    * sum of quantized partials, and a per-probe top-3. The corpus is
+    * never shuffled with its vectors and never self-joined.
+    *
+    * Uses raw-vector PQ (shared codebook with [[embedPq]]) rather
+    * than per-cell residual PQ — the production refinement that
+    * re-centers each cell before coding; same plan shape, one more
+    * broadcast subtraction. */
+  private val annIvfPq: Q = (s, d) => {
+    val c = corpus(s, d)
+    val coarse = kmeansCentroids(c, rounds = 3)
+    val book = pqCodebook(c, PqRounds)
+    def centCos(emb: Column, nrm: Column): Column =
+      dot(emb, col("c_emb")) / nullif(nrm * col("c_nrm"), lit(0.0))
+    // corpus → (vec_id, cell) + per-subspace codes, one lineage
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val withCell = c.crossJoin(broadcast(coarse))
+      .withColumn("ccos", centCos(col("emb"), col("nrm")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd").asc, col("cent_id").asc)
+    val codes = withCell
+      .select(col("vec_id"), col("cell"),
+        posexplode(array((0 until PqM).map(j =>
+          slice(col("emb"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+      .join(broadcast(book), Seq("j"))
+      .withColumn("dd", d2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("j"), col("cent_id").as("code"))
+    // probes: nprobe=2 cells each, pre-joined with their ADC LUT
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probeCells = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("ccos", centCos(col("p_emb"), col("p_nrm")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select(col("probe_id"), col("p_emb"), col("cent_id").as("cell"))
+    val probeLut = probeCells
+      .select(col("probe_id"), col("cell"),
+        posexplode(array((0 until PqM).map(j =>
+          slice(col("p_emb"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+      .join(broadcast(book), Seq("j"))
+      .select(col("probe_id"), col("cell").as("lcell"), col("j").as("lj"),
+        col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(broadcast(probeLut),
+        col("cell") === col("lcell") && col("j") === col("lj") &&
+          col("code") === col("lc"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** Multimodal join: text features ⊕ vector features per document. */
   private val multimodalJoin: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -478,6 +558,7 @@ object Vectors {
     "q_sim_kmeans"        -> simKmeans,
     "q_embed_pq"          -> embedPq,
     "q_sim_ann_pq"        -> annPq,
+    "q_sim_ann_ivfpq"     -> annIvfPq,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -733,6 +814,51 @@ object Vectors {
          |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
          |SELECT probe_id, rn, vec_id AS neighbor_id, adist
          |FROM r WHERE rn <= 5
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_ivfpq" ->
+      s"""WITH c AS ($sqlCorpus),
+         |${sqlKmeansCents(3)},
+         |${sqlPqCodes(2)},
+         |cell0 AS (
+         |  SELECT c.vec_id, cents.cent_id,
+         |         list_dot_product(c.emb, cents.c_emb)
+         |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+         |  FROM c CROSS JOIN cents),
+         |cellasg AS (
+         |  SELECT vec_id, cent_id AS cell
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM cell0)
+         |  WHERE crn = 1),
+         |ccd AS (
+         |  SELECT cd.vec_id, cellasg.cell, cd.j, cd.code
+         |  FROM cd JOIN cellasg USING (vec_id)),
+         |pc0 AS (
+         |  SELECT p.vec_id AS probe_id, cents.cent_id,
+         |         list_dot_product(p.emb, cents.c_emb)
+         |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
+         |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
+         |pc AS (
+         |  SELECT probe_id, cent_id AS cell
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
+         |  WHERE crn <= 2),
+         |plut AS (
+         |  SELECT pc.probe_id, pc.cell, s.j, k.cent_id,
+         |         ${Det.sqlQi4(
+               "list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, k.cv)" +
+               " + list_dot_product(k.cv, k.cv)")} AS pd2
+         |  FROM pc JOIN sv s ON s.vec_id = pc.probe_id
+         |          JOIN pq k ON k.j = s.j),
+         |ad AS (
+         |  SELECT plut.probe_id, ccd.vec_id, CAST(SUM(plut.pd2) AS BIGINT) AS adist
+         |  FROM ccd JOIN plut ON ccd.cell = plut.cell AND ccd.j = plut.j
+         |                    AND ccd.code = plut.cent_id
+         |  WHERE ccd.vec_id <> plut.probe_id
+         |  GROUP BY plut.probe_id, ccd.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
+         |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+         |FROM r WHERE rn <= 3
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
     "q_dedup_embedding" -> {
       val db0 = (1 to 12)

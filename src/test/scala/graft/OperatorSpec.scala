@@ -923,6 +923,46 @@ class OperatorSpec extends AnyFunSuite {
     } finally pq.unpersist()
   }
 
+  test("ivfpq: cell containment holds and ADC distances match ann_pq") {
+    import graft.ops.Vectors.{corpus, kmeansCentroids}
+    // Every IVFPQ neighbor must come from one of its probe's nprobe=2
+    // coarse cells (the inverted-list contract)…
+    val c = corpus(spark, sf)
+    val cents = kmeansCentroids(c, rounds = 3)
+    def cellOf(keyed: org.apache.spark.sql.DataFrame, idCol: String, k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id").asc)
+      keyed.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr(
+          "aggregate(zip_with(emb, c_emb, (x, y) -> x * y), 0D, (a, b) -> a + b)")
+          / nullif(col("nrm") * col("c_nrm"), lit(0.0)))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= k)
+        .select(col(idCol), col("cent_id").as("cell"))
+    }
+    val ivfpq = SparkEntry.queries("q_sim_ann_ivfpq")(spark, sf).cache()
+    try {
+      val probeCells = cellOf(c.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "probe_id"), "probe_id", 2)
+      val nbrCells = cellOf(c.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id", 1)
+      val outside = ivfpq.join(nbrCells, "neighbor_id")
+        .join(probeCells, Seq("probe_id", "cell"), "left_semi")
+      assert(outside.count() == ivfpq.count(),
+        "an IVFPQ neighbor came from an unprobed cell")
+      // …and wherever IVFPQ and the cell-free ADC scan rank the same
+      // pair, their distances must be the SAME number (shared codebook
+      // + shared LUT arithmetic — a cross-query identity the two
+      // independent lineages can only satisfy by computing the same
+      // quantized sums).
+      val adc = SparkEntry.queries("q_sim_ann_pq")(spark, sf)
+        .select(col("probe_id"), col("neighbor_id"), col("adist").as("a2"))
+      val drift = ivfpq.join(adc, Seq("probe_id", "neighbor_id"))
+        .filter(col("adist") =!= col("a2")).count()
+      assert(drift == 0, s"$drift shared pairs disagree between IVFPQ and ADC")
+    } finally ivfpq.unpersist()
+  }
+
   test("temperature mixing: weights normalize and rebalance toward rare") {
     val m = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
     val wSum = m.map(_.getAs[Double]("temp_weight")).sum
