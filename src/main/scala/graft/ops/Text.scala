@@ -491,7 +491,81 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-document token-distribution signals: Shannon entropy of the
+    * unigram distribution and type-token ratio — the information-density
+    * axis of quality filtering (near-zero entropy = one token repeated;
+    * log(n_types) = all tokens distinct). Uses the algebraic form
+    * H = ln(n) − (Σ c·ln c)/n so ONE (doc, word)-keyed agg + ONE
+    * doc-keyed agg computes everything — same shuffle class as
+    * wordcount. Each c·ln(c) term is qi4-quantized BEFORE the per-doc
+    * sum, so the cross-word accumulation is exact long arithmetic
+    * (order-free, engine-identical) and only the final two-operand
+    * expression touches floats. */
+  private val entropy: Q = (s, d) => {
+    val tc = docTokens(s, d)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(Det.qi4(col("c") * log(col("c")))).as("sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        Det.r4(log(col("n_tokens"))
+          - (col("sq") / lit(10000.0)) / col("n_tokens")).as("entropy"),
+        Det.r4(col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Document-frequency cap for [[containment]] candidate grams. A
+    * gram in df docs emits O(df²) candidate pairs through the
+    * inverted-index join, so ubiquitous grams (boilerplate, stop
+    * phrases) would make the pair stream quadratic in the corpus; the
+    * cap drops them from EVIDENCE (both engines identically — the
+    * semantics is "containment over rare-gram sets", not an
+    * approximation of something else). At 100 TB the cap is the knob
+    * that keeps candidate volume df-bounded, the same role the LSH
+    * band-size cap plays for minhash. */
+  private[graft] val ContainDfCap = 64
+  private[graft] val ContainMinShared = 4
+  private[graft] val ContainThreshold = 0.5
+
+  /** Asymmetric containment dedup: C(a,b) = |G_a ∩ G_b| / min(|G_a|,
+    * |G_b|) over rare word-3-gram SETS — the signal that catches a
+    * small document quoted INSIDE a large one, where symmetric Jaccard
+    * (shared/union) stays low and q_dedup_* would miss the pair. Plan:
+    * distinct per-doc gram sets → df-capped inverted index →
+    * gram-keyed self-join (a < b) → (a, b)-keyed shared count → join
+    * the two doc-size rows → ratio filter. Every join is equi-keyed,
+    * the pair stream is df²-bounded per gram, and no vector/text
+    * payload crosses a shuffle after the first distinct. */
+  private val containment: Q = (s, d) => {
+    val g = docWordGrams(s, d, 3).distinct()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val rare = g.join(
+      g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainDfCap),
+      Seq("gram"))
+    val pairs = rare.select(col("gram"), col("doc_id").as("a_id"))
+      .join(rare.select(col("gram"), col("doc_id").as("b_id")), Seq("gram"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContainMinShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("na")),
+        Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("nb")),
+        Seq("b_id"))
+      .withColumn("containment",
+        Det.r4(col("shared").cast("double") / least(col("na"), col("nb"))))
+      .filter(col("containment") >= ContainThreshold)
+      .select(col("a_id"), col("b_id"), col("shared"),
+        col("na"), col("nb"), col("containment"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_entropy"     -> entropy,
+    "q_dedup_containment" -> containment,
     "q_text_wordcount"   -> wordcount,
     "q_text_lm_score"    -> lmScore,
     "q_text_tfidf"       -> tfidf,
@@ -634,6 +708,56 @@ object Text {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_text_entropy" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),
+         |tc AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM t GROUP BY doc_id, word),
+         |d AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         CAST(SUM(${Det.sqlQi4("c * LN(c)")}) AS BIGINT) AS sq
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         |       ${Det.sqlR4("LN(n_tokens) - (sq / 10000.0) / n_tokens")}
+         |         AS entropy,
+         |       ${Det.sqlR4("CAST(n_types AS DOUBLE) / n_tokens")} AS ttr
+         |FROM d
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+         |           || ' ' || toks[CAST(i + 2 AS INT)] AS gram
+         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) AS r(i)),
+         |sz AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |  FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT sh.doc_id, sh.gram
+         |  FROM sh JOIN (SELECT gram FROM sh GROUP BY gram
+         |                HAVING COUNT(*) <= $ContainDfCap) rg USING (gram)),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM rare a JOIN rare b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING COUNT(*) >= $ContainMinShared),
+         |j AS (
+         |  SELECT p.a_id, p.b_id, p.shared,
+         |         sa.n_grams AS na, sb.n_grams AS nb,
+         |         ${Det.sqlR4(
+               "CAST(p.shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams)")}
+         |           AS containment
+         |  FROM p JOIN sz sa ON sa.doc_id = p.a_id
+         |         JOIN sz sb ON sb.doc_id = p.b_id)
+         |SELECT a_id, b_id, shared, na, nb, containment
+         |FROM j WHERE containment >= $ContainThreshold
+         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_text_wordcount" ->
       s"""SELECT word, COUNT(*) AS n
          |FROM (SELECT UNNEST($sqlToks) AS word FROM documents)

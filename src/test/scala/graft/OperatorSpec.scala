@@ -976,6 +976,41 @@ class OperatorSpec extends AnyFunSuite {
       "α=1/2 mixing must boost the rarest language at least as much as the most common")
   }
 
+  test("entropy: bounded by ln(types), degenerate cases at the edges") {
+    val e = SparkEntry.queries("q_text_entropy")(spark, sf).cache()
+    try {
+      assert(e.count() > 0)
+      // 0 ≤ H ≤ ln(n_types) + quantization slack; ttr ∈ (0, 1]
+      val bad = e.filter(col("entropy") < -1e-4 ||
+        col("entropy") > log(col("n_types")) + lit(1e-3) ||
+        col("ttr") <= 0 || col("ttr") > 1).count()
+      assert(bad == 0, s"$bad rows violate entropy/ttr bounds")
+      // all-distinct docs must sit AT the ln(n_types) ceiling
+      val atCeil = e.filter(col("n_types") === col("n_tokens"))
+        .filter(abs(col("entropy") - log(col("n_types"))) > 1e-3).count()
+      assert(atCeil == 0, "an all-distinct doc is off the entropy ceiling")
+    } finally e.unpersist()
+  }
+
+  test("containment: dominates jaccard, exact dups at 1, canonical pairs") {
+    val cdf = SparkEntry.queries("q_dedup_containment")(spark, sf).cache()
+    try {
+      assert(cdf.count() > 0, "fixture dup families must produce containment pairs")
+      // canonical orientation and ratio sanity
+      assert(cdf.filter(col("a_id") >= col("b_id") ||
+        col("containment") > 1.0001 ||
+        col("shared") > least(col("na"), col("nb"))).count() == 0)
+      // shared/min(na,nb) ≥ shared/union == jaccard, by construction;
+      // and the fixture's EXACT dup pairs (identical text ⇒ identical
+      // gram sets) must surface with containment == 1 when their rare
+      // grams clear the evidence floor — check via the exact-dup query
+      val exact = SparkEntry.queries("q_dedup_exact")(spark, sf)
+      val cols = exact.columns
+      assert(cdf.filter(col("containment") === 1.0).count() > 0,
+        s"no containment-1 pair despite exact dups (exact cols: ${cols.mkString(",")})")
+    } finally cdf.unpersist()
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
