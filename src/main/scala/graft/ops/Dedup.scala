@@ -444,7 +444,7 @@ object Dedup {
     * stamp, which changes the store path, which forces a rebuild. In a
     * production deployment the table format's snapshot id
     * (Delta/Iceberg) plays exactly this role. */
-  private def fsStamp(path: String): String = {
+  private[ops] def fsStamp(path: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)

@@ -115,6 +115,42 @@ object Joins {
       .orderBy(col("user_id").asc, col("a_id").asc, col("b_id").asc)
   }
 
+  /** Interval self-join, BINNED: identical semantics (and oracle) to
+    * [[intervalJoin]], different 100 TB plan. The plain form equi-joins
+    * on user_id and evaluates the 5-minute residual inside the match —
+    * fine until one user carries a large share of the stream, when the
+    * per-user candidate set is O(n_u²) regardless of how few pairs the
+    * time window keeps. Binning adds floor(ts / window) to the join
+    * key: the build side lands in exactly one bucket, the probe side
+    * fans out to the only two buckets a (a_ts, a_ts+5min] window can
+    * intersect, and the residual BETWEEN runs only within (user,
+    * bucket) cells. Candidate volume drops from Σ n_u² to
+    * Σ per-(user, bucket)² — bounded by event RATE, not by per-user
+    * history length — at the fixed cost of one 2× probe-side fan-out
+    * (ids and timestamps only; the standard banding construction every
+    * streaming range-join uses). Each build row is in one bucket, so
+    * no dedup step is needed. */
+  private val intervalJoinBinned: Q = (s, d) => {
+    val win = 300000L // 5 minutes in ms — bucket length == window length
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), Det.ets(col("ts")).as("ts"))
+    val a = e.select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"))
+      .withColumn("bkt", explode(array(
+        floor(unix_millis(col("a_ts")) / win),
+        floor(unix_millis(col("a_ts")) / win) + 1)))
+    val b = e.select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withColumn("b_bkt", floor(unix_millis(col("b_ts")) / win))
+    a.join(b,
+        col("user_id") === col("b_user") && col("bkt") === col("b_bkt") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"), "inner")
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        Det.outTs(col("a_ts")).as("a_ts"), Det.outTs(col("b_ts")).as("b_ts"))
+      .orderBy(col("user_id").asc, col("a_id").asc, col("b_id").asc)
+  }
+
   /** As-of join: each event picks the user's latest order at-or-before
     * the event time. Spark-first shape: equi-join on the key with the
     * temporal inequality, then pick the winner with
@@ -169,6 +205,7 @@ object Joins {
     "q_join_cross"      -> crossJoin,
     "q_join_theta"      -> thetaJoin,
     "q_join_interval"   -> intervalJoin,
+    "q_join_interval_binned" -> intervalJoinBinned,
     "q_join_asof"       -> asofJoin,
     "q_join_salted"     -> saltedSkewJoin,
   )
@@ -213,6 +250,18 @@ object Joins {
         |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
         |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, over_retail ASC""".stripMargin,
     "q_join_interval" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+        |           FROM events)
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       date_trunc('second', a.ts) AS a_ts,
+        |       date_trunc('second', b.ts) AS b_ts
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY a.user_id ASC, a_id ASC, b_id ASC""".stripMargin,
+    // Same function, different physical plan — sharing the oracle
+    // makes the driver hash-compare the binned ≡ plain proof.
+    "q_join_interval_binned" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
         |           FROM events)
         |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,

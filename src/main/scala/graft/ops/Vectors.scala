@@ -457,6 +457,59 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  /** The STORED PQ index behind [[annPqStored]]: codebook + code
+    * tables built ONCE per (fixture path, content stamp) — the Lloyd
+    * training and corpus coding that [[annPq]] honestly charges to
+    * every query are an OFFLINE INDEX BUILD in production (FAISS's
+    * train/add vs search split), so the stored twin measures what a
+    * search actually costs once the index exists. Same freshness
+    * mechanism as [[Dedup.storedCorpusSigs]]: the filesystem stamp
+    * keys the store path (regenerating the fixture forces a rebuild
+    * with no data read), `_SUCCESS` of the LAST-written table gates
+    * readability. Override the root with SPARK_GRAFT_PQ_STORE. */
+  private[graft] def storedPqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")
+    val dir = s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
+      Dedup.fsStamp(s"$d/embeddings.parquet")
+    if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
+      val c = corpus(s, d)
+      pqCodebook(c, PqRounds)
+        .write.mode("overwrite").parquet(s"$dir/codebook")
+      // codes derive from the READ-BACK codebook so the two stored
+      // tables cannot drift even across a concurrent rebuild
+      pqCodes(c, s.read.parquet(s"$dir/codebook"))
+        .select(col("vec_id"), col("j"), col("code"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+    }
+    (s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/codes"))
+  }
+
+  /** ADC search against the stored index: identical output to
+    * [[annPq]] by construction (shared oracle = the driver
+    * hash-compare proves stored ≡ trained-in-query), but the query
+    * itself only reads two small parquet tables, signs the 10 probes,
+    * and runs the code-keyed join — the search-only cost profile. */
+  private val annPqStored: Q = (s, d) => {
+    val (cents, codes) = storedPqIndex(s, d)
+    val lut = subvecs(corpus(s, d).filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(cents), Seq("j"))
+      .select(col("probe_id"), col("j").as("lj"),
+        col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(broadcast(lut),
+        col("j") === col("lj") && col("code") === col("lc"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** IVF-PQ: the two ANN economies composed — the coarse quantizer
     * bounds WHAT is scanned (only the probed cells' inverted lists),
     * PQ codes bound the BYTES per scanned entry (8 code ints, no
@@ -558,6 +611,7 @@ object Vectors {
     "q_sim_kmeans"        -> simKmeans,
     "q_embed_pq"          -> embedPq,
     "q_sim_ann_pq"        -> annPq,
+    "q_sim_ann_pq_stored" -> annPqStored,
     "q_sim_ann_ivfpq"     -> annIvfPq,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
@@ -666,6 +720,31 @@ object Vectors {
          |  WHERE rn = 1)""".stripMargin
     ((init +: rs) :+ fin).mkString(",\n")
   }
+
+  /** Shared oracle for [[annPq]] and [[annPqStored]] — the stored
+    * index is value-identical to the in-query-trained one, so one SQL
+    * serves both and the driver compare doubles as the identity
+    * proof. */
+  private lazy val sqlAnnPq: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlPqCodes(2)},
+       |lut AS (
+       |  SELECT s.vec_id AS probe_id, s.j, k.cent_id,
+       |         ${Det.sqlQi4(
+             "list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, k.cv)" +
+             " + list_dot_product(k.cv, k.cv)")} AS pd2
+       |  FROM sv s JOIN pq k ON s.j = k.j
+       |  WHERE s.vec_id < 10),
+       |ad AS (
+       |  SELECT l.probe_id, cd.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adist
+       |  FROM cd JOIN lut l ON cd.j = l.j AND cd.code = l.cent_id
+       |  WHERE cd.vec_id <> l.probe_id
+       |  GROUP BY l.probe_id, cd.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+       |FROM r WHERE rn <= 5
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
   private val sqlBucket = (1 to 8)
     .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
@@ -795,26 +874,10 @@ object Vectors {
          |FROM cd
          |GROUP BY vec_id
          |ORDER BY vec_id ASC""".stripMargin,
-    "q_sim_ann_pq" ->
-      s"""WITH c AS ($sqlCorpus),
-         |${sqlPqCodes(2)},
-         |lut AS (
-         |  SELECT s.vec_id AS probe_id, s.j, k.cent_id,
-         |         ${Det.sqlQi4(
-               "list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, k.cv)" +
-               " + list_dot_product(k.cv, k.cv)")} AS pd2
-         |  FROM sv s JOIN pq k ON s.j = k.j
-         |  WHERE s.vec_id < 10),
-         |ad AS (
-         |  SELECT l.probe_id, cd.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adist
-         |  FROM cd JOIN lut l ON cd.j = l.j AND cd.code = l.cent_id
-         |  WHERE cd.vec_id <> l.probe_id
-         |  GROUP BY l.probe_id, cd.vec_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
-         |SELECT probe_id, rn, vec_id AS neighbor_id, adist
-         |FROM r WHERE rn <= 5
-         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    // stored twin shares the oracle verbatim: identical output by
+    // construction, so the hash-compare proves stored ≡ in-query.
+    "q_sim_ann_pq_stored" -> sqlAnnPq,
+    "q_sim_ann_pq" -> sqlAnnPq,
     "q_sim_ann_ivfpq" ->
       s"""WITH c AS ($sqlCorpus),
          |${sqlKmeansCents(3)},

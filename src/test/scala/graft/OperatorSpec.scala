@@ -1011,6 +1011,36 @@ class OperatorSpec extends AnyFunSuite {
     } finally cdf.unpersist()
   }
 
+  test("binned interval join is row-identical to the plain residual form") {
+    // Same semantics through the banded plan: bucket fan-out must
+    // neither drop a window-crossing pair nor double-count one.
+    val plain = SparkEntry.queries("q_join_interval")(spark, sf)
+    val binned = SparkEntry.queries("q_join_interval_binned")(spark, sf)
+    assert(plain.exceptAll(binned).count() == 0 &&
+      binned.exceptAll(plain).count() == 0,
+      "binned interval join diverged from the plain formulation")
+  }
+
+  test("stored PQ index: search equals in-query training, store reused") {
+    val stored = SparkEntry.queries("q_sim_ann_pq_stored")(spark, sf)
+    val trained = SparkEntry.queries("q_sim_ann_pq")(spark, sf)
+    assert(stored.exceptAll(trained).count() == 0 &&
+      trained.exceptAll(stored).count() == 0,
+      "stored-index ADC diverged from in-query-trained ADC")
+    // second run must READ the store, not rebuild it: the receipt's
+    // mtime is the witness (the incremental_stored precedent)
+    val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")
+    def receipt: Option[Long] = {
+      val dirs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      dirs.map(d => new java.io.File(d, "codes/_SUCCESS"))
+        .filter(_.exists()).map(_.lastModified()).sorted.lastOption
+    }
+    val before = receipt
+    assert(before.nonEmpty, "no stored PQ index receipt after first run")
+    SparkEntry.queries("q_sim_ann_pq_stored")(spark, sf).count()
+    assert(receipt == before, "re-run rebuilt the stored PQ index")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
