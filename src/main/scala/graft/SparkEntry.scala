@@ -21,6 +21,7 @@ object SparkEntry {
     (Cdc.queries, Cdc.oracle),
     (Scalars.queries, Scalars.oracle),
     (StreamingOps.queries, StreamingOps.oracle),
+    (Events.queries, Events.oracle),
     (Text.queries, Text.oracle),
     (Dedup.queries, Dedup.oracle),
     (Vectors.queries, Vectors.oracle),

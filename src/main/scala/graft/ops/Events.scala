@@ -1,0 +1,294 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det
+import graft.io.Tables
+
+/** Event-analytics operators over the `events` stream — the product
+  * analytics a CDC/event pipeline feeds downstream: ordered funnels,
+  * cohort retention, time-spine resampling with gap-fill, and value
+  * histograms.
+  *
+  * All four are single-pass-per-stage relational plans: the only
+  * corpus-sized shuffles are keyed by `user_id` (funnel steps,
+  * cohort assignment) or by the grouping key (day, bin); everything
+  * derived (day spine, funnel summary, bin bounds) is a tiny
+  * time-/spec-bounded table that composes via `broadcast` joins — a
+  * decade of days is 3 652 rows no matter how many trillion events
+  * flow through them, so the plan shape is identical at 100 TB.
+  *
+  * Cross-engine determinism follows the house rules ([[graft.Det]]):
+  * event times are millisecond-truncated before any comparison, every
+  * float crossing an accumulation boundary is qi4-quantized first
+  * (exact long sums, order-free), and emitted doubles are r4-rounded
+  * IEEE-pure forms.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events with engine-neutral millisecond event times. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts", Det.ets(col("ts")))
+
+  /** Funnel step window: each step must follow the previous within
+    * this bound (strictly later — an equal ms-truncated timestamp does
+    * NOT advance the funnel; both engines apply the identical rule). */
+  private[graft] val FunnelWindowHours = 24
+
+  /** Ordered 3-step funnel signup → view → purchase, each step within
+    * [[FunnelWindowHours]] of the previous step's completion time.
+    *
+    * The classic formulation sorts each user's events and runs a state
+    * machine; the relational decomposition is three chained
+    * filter→join→min aggregations: step k's table is (user, t_k) with
+    * t_k = min event time of step k strictly inside (t_{k-1},
+    * t_{k-1} + window]. Each stage is one fact-side filter (pushed to
+    * the scan — only that step's event type is read), one user-keyed
+    * join against the previous step's users-sized table, and one
+    * user-keyed min — all partial-aggregated, no window function, no
+    * per-user event sort. The summary is a cross join of three 1-row
+    * counts unpivoted to step rows, so nothing bigger than a scalar
+    * crosses the final stage. */
+  private val funnel: Q = (s, d) => {
+    val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val w = expr(s"INTERVAL $FunnelWindowHours HOURS")
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + w)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + w)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val one = s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+    one.selectExpr(
+        "stack(3, 1, 'signup', n1, n1," +
+          " 2, 'view', n2, n1," +
+          " 3, 'purchase', n3, n2)" +
+          " AS (step, step_name, n_users, n_prev)")
+      .select(col("step").cast("int").as("step"), col("step_name"),
+        col("n_users"),
+        Det.r4(col("n_users").cast("double") / col("n_prev"))
+          .as("conv_prev"))
+      .orderBy(col("step").asc)
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of a user's FIRST
+    * event (any type), activity = a purchase in a given later week;
+    * retention(cohort, offset) = active users / cohort size.
+    *
+    * Plan: one user-keyed min (first event) → cohort week map-side;
+    * activity joins the purchase slice back on user_id (fact ⊗
+    * users-sized — shuffles once on the key), distincts per
+    * (user, cohort, offset), then aggregates to the tiny
+    * weeks × offsets grid; cohort sizes are a weeks-sized table
+    * broadcast into the rate division. */
+  private val retention: Q = (s, d) => {
+    val e = ev(s, d)
+    val f = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val act = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .join(f, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        expr("CAST(datediff(wk, cohort_week) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .distinct()
+    val grid = act.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = f.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    grid.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_users"),
+        Det.r4(col("n_active").cast("double") / col("cohort_users"))
+          .as("retention"))
+      .orderBy(col("cohort_week").asc, col("week_offset").asc)
+  }
+
+  /** Daily resample with gap-fill and a 7-day trailing moving average.
+    *
+    * Per-day totals are one keyed agg (the only corpus-sized shuffle);
+    * the day spine is `sequence(min_day, max_day)` exploded from a
+    * 1-row bound agg, left-joined to zero-fill missing days. The
+    * trailing window is a spine ⊗ spine band join (g.day ∈
+    * [day−6, day]) instead of a global range-frame window — the spine
+    * is time-bounded (3 652 rows per decade), so the self-join is a
+    * broadcast with NO single-partition WindowExec at any data scale.
+    * Daily sums are qi4-quantized longs BEFORE the window sum, so the
+    * 7-term accumulation is exact integer arithmetic in both engines. */
+  private val resample: Q = (s, d) => {
+    val e = ev(s, d)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("value"))
+    val daily = e.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.qi4(Det.dsum(col("value"))).as("sv_q"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(
+      explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+        .as("day"))
+    val filled = spine.join(broadcast(daily), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sv_q"), lit(0L)).as("sv_q"))
+    val g = filled.select(col("day").as("g_day"), col("sv_q").as("g_sv_q"))
+    filled.join(broadcast(g),
+        col("g_day") >= date_sub(col("day"), 6) && col("g_day") <= col("day"))
+      .groupBy(col("day"), col("n_events"), col("sv_q"))
+      .agg(sum(col("g_sv_q")).as("win_q"), count(lit(1)).as("win_days"))
+      .select(col("day"), col("n_events"),
+        Det.r4(col("sv_q") / lit(10000.0)).as("sum_value"),
+        Det.r4(col("win_q") / lit(10000.0) / col("win_days")).as("ma7"))
+      .orderBy(col("day").asc)
+  }
+
+  /** Histogram bin count over `events.value`. */
+  private[graft] val HistBins = 20
+
+  /** Equal-width histogram of `events.value`: 20 bins over the
+    * observed [min, max], top edge clamped into the last bin.
+    *
+    * Two passes over the fact by necessity (exact global bounds, then
+    * binning — a fixed-spec or approx-quantile variant would be one);
+    * the bounds row broadcasts into a map-side bin assignment, so the
+    * only shuffle is the 20-row bin aggregation. Bin math is pure IEEE
+    * double arithmetic in the identical textual form in both engines
+    * (subtract, scale, divide, floor) — bit-identical results with no
+    * rounding hazard. */
+  private val histogram: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("value"))
+    val b = e.agg(min(col("value")).as("v0"), max(col("value")).as("v1"),
+      count(lit(1)).as("n_total"))
+    e.crossJoin(broadcast(b))
+      .select(least(lit(HistBins - 1),
+          floor(((col("value") - col("v0")) * HistBins) / (col("v1") - col("v0"))))
+          .cast("long").as("bin"),
+        col("v0"), col("v1"), col("n_total"))
+      .groupBy(col("bin"), col("v0"), col("v1"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        Det.r4(col("v0") + (col("bin") * (col("v1") - col("v0"))) / HistBins)
+          .as("bin_lo"),
+        Det.r4(col("v0") + ((col("bin") + 1) * (col("v1") - col("v0"))) / HistBins)
+          .as("bin_hi"),
+        col("n"),
+        Det.r4(col("n").cast("double") / col("n_total")).as("share"))
+      .orderBy(col("bin").asc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_events_funnel" -> funnel,
+    "q_events_retention" -> retention,
+    "q_events_resample" -> resample,
+    "q_agg_histogram" -> histogram,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_events_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         ${Det.sqlEts("ts")} AS ts
+         |  FROM events),
+         |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+         |       JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+         |         AND e.ts <= s1.t1 + INTERVAL $FunnelWindowHours HOUR
+         |       GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+         |       JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         |         AND e.ts <= s2.t2 + INTERVAL $FunnelWindowHours HOUR
+         |       GROUP BY 1),
+         |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3),
+         |u AS (
+         |  SELECT 1 AS step, 'signup' AS step_name, n1 AS n_users, n1 AS n_prev FROM c
+         |  UNION ALL
+         |  SELECT 2, 'view', n2, n1 FROM c
+         |  UNION ALL
+         |  SELECT 3, 'purchase', n3, n2 FROM c)
+         |SELECT step, step_name, n_users,
+         |       ${Det.sqlR4("CAST(n_users AS DOUBLE) / n_prev")} AS conv_prev
+         |FROM u ORDER BY step ASC""".stripMargin,
+    "q_events_retention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ${Det.sqlEts("ts")} AS ts
+         |  FROM events),
+         |f AS (SELECT user_id,
+         |             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+         |      FROM e GROUP BY 1),
+         |act AS (
+         |  SELECT DISTINCT e.user_id, f.cohort_week,
+         |         CAST(date_diff('day', f.cohort_week,
+         |             CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+         |           AS week_offset
+         |  FROM e JOIN f USING (user_id)
+         |  WHERE e.event_type = 'purchase'),
+         |grid AS (SELECT cohort_week, week_offset,
+         |                CAST(COUNT(*) AS BIGINT) AS n_active
+         |         FROM act GROUP BY 1, 2),
+         |sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+         |          FROM f GROUP BY 1)
+         |SELECT cohort_week, week_offset, n_active, cohort_users,
+         |       ${Det.sqlR4("CAST(n_active AS DOUBLE) / cohort_users")}
+         |         AS retention
+         |FROM grid JOIN sizes USING (cohort_week)
+         |ORDER BY cohort_week ASC, week_offset ASC""".stripMargin,
+    "q_events_resample" ->
+      s"""WITH e AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+         |  FROM events),
+         |daily AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |         ${Det.sqlQi4(Det.sqlDsum("value"))} AS sv_q
+         |  FROM e GROUP BY 1),
+         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+         |spine AS (
+         |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |           AS day
+         |  FROM b),
+         |filled AS (
+         |  SELECT s.day, COALESCE(daily.n_events, 0) AS n_events,
+         |         COALESCE(daily.sv_q, 0) AS sv_q
+         |  FROM spine s LEFT JOIN daily USING (day)),
+         |m AS (
+         |  SELECT f.day, f.n_events, f.sv_q,
+         |         CAST(SUM(g.sv_q) AS BIGINT) AS win_q,
+         |         CAST(COUNT(*) AS BIGINT) AS win_days
+         |  FROM filled f JOIN filled g
+         |    ON g.day >= f.day - 6 AND g.day <= f.day
+         |  GROUP BY 1, 2, 3)
+         |SELECT day, n_events,
+         |       ${Det.sqlR4("sv_q / 10000.0")} AS sum_value,
+         |       ${Det.sqlR4("win_q / 10000.0 / win_days")} AS ma7
+         |FROM m ORDER BY day ASC""".stripMargin,
+    "q_agg_histogram" ->
+      s"""WITH b AS (
+         |  SELECT MIN(value) AS v0, MAX(value) AS v1,
+         |         CAST(COUNT(*) AS BIGINT) AS n_total
+         |  FROM events),
+         |h AS (
+         |  SELECT CAST(LEAST(${HistBins - 1},
+         |           FLOOR(((value - v0) * $HistBins) / (v1 - v0))) AS BIGINT)
+         |           AS bin,
+         |         v0, v1, n_total
+         |  FROM events CROSS JOIN b)
+         |SELECT bin,
+         |       ${Det.sqlR4(s"v0 + (bin * (v1 - v0)) / $HistBins")} AS bin_lo,
+         |       ${Det.sqlR4(s"v0 + ((bin + 1) * (v1 - v0)) / $HistBins")} AS bin_hi,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${Det.sqlR4("CAST(COUNT(*) AS DOUBLE) / n_total")} AS share
+         |FROM h GROUP BY bin, v0, v1, n_total
+         |ORDER BY bin ASC""".stripMargin,
+  )
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-analytics operators ([[graft.ops.Events]]): structural
+  * invariants plus independent driver-side recomputations over the
+  * sf0.001 fixture (1 000 events — trivially collectable in a test;
+  * the declared queries themselves never collect). */
+class EventsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("funnel: monotone steps, bounded conversions, FSM-replay identity") {
+    val rows = SparkEntry.queries("q_events_funnel")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 3)
+    val n = rows.map(_.getAs[Long]("n_users"))
+    assert(n(0) >= n(1) && n(1) >= n(2), s"funnel widened: ${n.toSeq}")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("conv_prev")
+      assert(c >= 0.0 && c <= 1.0, s"conv_prev $c out of [0,1]")
+    }
+    assert(rows(0).getAs[Double]("conv_prev") == 1.0)
+
+    // Independent replay: per-user sequential state machine over the
+    // raw events, same strictly-later-within-24h rule.
+    val winMs = graft.ops.Events.FunnelWindowHours * 3600L * 1000L
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(Det.ets(col("ts"))).as("ms"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("ms")))
+    val byUser = ev.groupBy(_._1)
+    def minAfter(es: Array[(Long, String, Long)], t: String,
+        lo: Long, hi: Long): Option[Long] = {
+      val c = es.collect { case (_, et, ms) if et == t && ms > lo && ms <= hi => ms }
+      if (c.isEmpty) None else Some(c.min)
+    }
+    var (c1, c2, c3) = (0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val sign = es.collect { case (_, "signup", ms) => ms }
+      if (sign.nonEmpty) {
+        c1 += 1
+        val t1 = sign.min
+        minAfter(es, "view", t1, t1 + winMs).foreach { t2 =>
+          c2 += 1
+          if (minAfter(es, "purchase", t2, t2 + winMs).nonEmpty) c3 += 1
+        }
+      }
+    }
+    assert(n.toSeq == Seq(c1, c2, c3),
+      s"relational funnel ${n.toSeq} != FSM replay ${Seq(c1, c2, c3)}")
+  }
+
+  test("retention: rates bounded, cohorts partition the user base") {
+    val r = SparkEntry.queries("q_events_retention")(spark, sf).cache()
+    try {
+      assert(r.count() > 0)
+      assert(r.filter(col("n_active") > col("cohort_users") ||
+        col("week_offset") < 0 || col("retention") > 1.0 ||
+        col("retention") <= 0.0).count() == 0)
+      // cohort sizes count every user exactly once
+      val users = graft.io.Tables.events(spark, sf)
+        .select(col("user_id")).distinct().count()
+      val cohortSum = r.select(col("cohort_week"), col("cohort_users"))
+        .distinct().agg(sum("cohort_users")).head().getLong(0)
+      assert(cohortSum == users,
+        s"cohort sizes $cohortSum != distinct users $users")
+    } finally r.unpersist()
+  }
+
+  test("resample: gapless spine, mass conservation, exact trailing window") {
+    val rows = SparkEntry.queries("q_events_resample")(spark, sf)
+      .collect()
+    val days = rows.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    // gapless: consecutive calendar days from min to max
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a.plusDays(1), s"spine gap between $a and $b")
+    case _ => }
+    val total = graft.io.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    // trailing 7-day mean recomputed sequentially from the daily sums
+    val sums = rows.map(_.getAs[Double]("sum_value"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val w = sums.slice(math.max(0, i - 6), i + 1)
+      val expect = math.floor(w.sum / w.length * 10000 + 0.5) / 10000
+      val got = r.getAs[Double]("ma7")
+      assert(math.abs(got - expect) < 2e-4,
+        s"day ${days(i)}: ma7 $got != rolling $expect")
+    }
+  }
+
+  test("histogram: total mass, bin bounds, every value inside its bin") {
+    val h = SparkEntry.queries("q_agg_histogram")(spark, sf).collect()
+    val total = graft.io.Tables.events(spark, sf).count()
+    assert(h.map(_.getAs[Long]("n")).sum == total)
+    val bins = h.map(_.getAs[Long]("bin"))
+    assert(bins.forall(b => b >= 0 && b < graft.ops.Events.HistBins))
+    assert(bins.distinct.length == bins.length)
+    h.foreach { r =>
+      assert(r.getAs[Double]("bin_lo") < r.getAs[Double]("bin_hi"))
+      val s = r.getAs[Double]("share")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+}
