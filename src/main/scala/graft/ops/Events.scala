@@ -124,7 +124,11 @@ object Events {
     * broadcast with NO single-partition WindowExec at any data scale.
     * Daily sums are qi4-quantized longs BEFORE the window sum, so the
     * 7-term accumulation is exact integer arithmetic in both engines. */
-  private val resample: Q = (s, d) => {
+  /** Gap-filled day spine with per-day counts and qi4-quantized value
+    * sums — the shared base of [[resample]] and [[anomaly]]. One
+    * corpus-sized keyed agg; the spine itself is `sequence()` exploded
+    * from a 1-row bounds agg (time-bounded at any data scale). */
+  private def filledSpine(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
       .select(to_date(date_trunc("day", col("ts"))).as("day"), col("value"))
     val daily = e.groupBy(col("day"))
@@ -134,10 +138,14 @@ object Events {
     val spine = bounds.select(
       explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
         .as("day"))
-    val filled = spine.join(broadcast(daily), Seq("day"), "left")
+    spine.join(broadcast(daily), Seq("day"), "left")
       .select(col("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sv_q"), lit(0L)).as("sv_q"))
+  }
+
+  private val resample: Q = (s, d) => {
+    val filled = filledSpine(s, d)
     val g = filled.select(col("day").as("g_day"), col("sv_q").as("g_sv_q"))
     filled.join(broadcast(g),
         col("g_day") >= date_sub(col("day"), 6) && col("g_day") <= col("day"))
@@ -146,6 +154,50 @@ object Events {
       .select(col("day"), col("n_events"),
         Det.r4(col("sv_q") / lit(10000.0)).as("sum_value"),
         Det.r4(col("win_q") / lit(10000.0) / col("win_days")).as("ma7"))
+      .orderBy(col("day").asc)
+  }
+
+  /** Anomaly flag threshold: |z| > 2 trailing standard deviations. */
+  private[graft] val AnomalyZ = 2.0
+
+  /** Daily-volume anomaly detection: each day's value total scored
+    * against the 7 PRECEDING days (current day excluded — the
+    * baseline must not contain the observation it judges):
+    * z = (x − mean7) / sd7, flagged at |z| > [[AnomalyZ]].
+    *
+    * Exact-arithmetic windowed variance, two spine-sized band joins:
+    * pass 1 sums the trailing qi4 day totals (exact longs) into the
+    * baseline mean; pass 2 re-joins the trailing days and sums each
+    * day's SQUARED deviation, itself qi4-quantized before the
+    * cross-day sum — so both moments cross their accumulation
+    * boundaries as order-free integers, and z is a final two-operand
+    * IEEE expression on engine-identical values. The deviation square
+    * is an explicit multiplication, NOT `pow(x, 2)` — libm pow is not
+    * guaranteed exactly-rounded, multiplication is. Days with zero
+    * trailing variance (or no trailing baseline at all) emit z = NULL,
+    * never a division blow-up. */
+  private val anomaly: Q = (s, d) => {
+    val filled = filledSpine(s, d)
+    val g = filled.select(col("day").as("g_day"), col("sv_q").as("g_sv_q"))
+    val trailing = col("g_day") >= date_sub(col("day"), 7) &&
+      col("g_day") < col("day")
+    val m = filled.join(broadcast(g), trailing)
+      .groupBy(col("day"), col("sv_q"))
+      .agg(sum(col("g_sv_q")).as("wq"), count(lit(1)).as("wn"))
+      .withColumn("mean7", col("wq") / lit(10000.0) / col("wn"))
+    val dev = col("g_sv_q") / lit(10000.0) - col("mean7")
+    val v = m.join(broadcast(g), trailing)
+      .groupBy(col("day"), col("sv_q"), col("mean7"), col("wn"))
+      .agg(sum(Det.qi4(dev * dev)).as("ssd_q"))
+    val z = when(col("ssd_q") > 0,
+      (col("sv_q") / lit(10000.0) - col("mean7"))
+        / sqrt(col("ssd_q") / lit(10000.0) / col("wn")))
+    v.select(col("day"),
+        Det.r4(col("sv_q") / lit(10000.0)).as("sum_value"),
+        Det.r4(col("mean7")).as("mean7"),
+        Det.r4(sqrt(col("ssd_q") / lit(10000.0) / col("wn"))).as("sd7"),
+        Det.r4(z).as("z"),
+        coalesce(abs(z) > AnomalyZ, lit(false)).as("is_anomaly"))
       .orderBy(col("day").asc)
   }
 
@@ -187,6 +239,7 @@ object Events {
     "q_events_funnel" -> funnel,
     "q_events_retention" -> retention,
     "q_events_resample" -> resample,
+    "q_events_anomaly" -> anomaly,
     "q_agg_histogram" -> histogram,
   )
 
@@ -272,6 +325,48 @@ object Events {
          |       ${Det.sqlR4("sv_q / 10000.0")} AS sum_value,
          |       ${Det.sqlR4("win_q / 10000.0 / win_days")} AS ma7
          |FROM m ORDER BY day ASC""".stripMargin,
+    "q_events_anomaly" ->
+      s"""WITH e AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+         |  FROM events),
+         |daily AS (
+         |  SELECT day, ${Det.sqlQi4(Det.sqlDsum("value"))} AS sv_q
+         |  FROM e GROUP BY 1),
+         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+         |spine AS (
+         |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |           AS day
+         |  FROM b),
+         |f AS (
+         |  SELECT s.day, COALESCE(daily.sv_q, 0) AS sv_q
+         |  FROM spine s LEFT JOIN daily USING (day)),
+         |m AS (
+         |  SELECT f.day, f.sv_q,
+         |         CAST(SUM(g.sv_q) AS BIGINT) AS wq,
+         |         CAST(COUNT(*) AS BIGINT) AS wn
+         |  FROM f JOIN f g ON g.day >= f.day - 7 AND g.day < f.day
+         |  GROUP BY 1, 2),
+         |mm AS (SELECT day, sv_q, wq / 10000.0 / wn AS mean7, wn FROM m),
+         |v AS (
+         |  SELECT mm.day, mm.sv_q, mm.mean7, mm.wn,
+         |         CAST(SUM(${Det.sqlQi4(
+               "(g.sv_q / 10000.0 - mm.mean7) * (g.sv_q / 10000.0 - mm.mean7)")})
+         |           AS BIGINT) AS ssd_q
+         |  FROM mm JOIN f g ON g.day >= mm.day - 7 AND g.day < mm.day
+         |  GROUP BY 1, 2, 3, 4),
+         |zz AS (
+         |  SELECT day, sv_q, mean7, wn, ssd_q,
+         |         CASE WHEN ssd_q > 0 THEN
+         |           (sv_q / 10000.0 - mean7) / SQRT(ssd_q / 10000.0 / wn)
+         |         END AS z
+         |  FROM v)
+         |SELECT day,
+         |       ${Det.sqlR4("sv_q / 10000.0")} AS sum_value,
+         |       ${Det.sqlR4("mean7")} AS mean7,
+         |       ${Det.sqlR4("SQRT(ssd_q / 10000.0 / wn)")} AS sd7,
+         |       ${Det.sqlR4("z")} AS z,
+         |       COALESCE(ABS(z) > $AnomalyZ, FALSE) AS is_anomaly
+         |FROM zz ORDER BY day ASC""".stripMargin,
     "q_agg_histogram" ->
       s"""WITH b AS (
          |  SELECT MIN(value) AS v0, MAX(value) AS v1,

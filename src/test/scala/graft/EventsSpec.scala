@@ -92,6 +92,37 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly: trailing baseline excludes the observation it judges") {
+    val a = SparkEntry.queries("q_events_anomaly")(spark, sf).collect()
+    assert(a.nonEmpty)
+    // z agrees with a sequential recomputation from the emitted series
+    val xs = a.map(_.getAs[Double]("sum_value"))
+    // Row i is spine day i+1 (day 0 has no trailing baseline and is
+    // dropped), so its baseline is xs[max(0, i-7) .. i) plus, while the
+    // window still reaches back to it (i < 7), the dropped day-0 total —
+    // recovered from the resample series.
+    val r0 = SparkEntry.queries("q_events_resample")(spark, sf)
+      .orderBy(col("day")).select(col("sum_value")).head().getDouble(0)
+    a.zipWithIndex.foreach { case (r, i) =>
+      val base = (if (i < 7) Seq(r0) else Nil) ++
+        xs.slice(math.max(0, i - 7), i)
+      val mean = base.sum / base.length
+      val sd = math.sqrt(base.map(x => (x - mean) * (x - mean)).sum / base.length)
+      val z = r.getAs[java.lang.Double]("z")
+      if (sd > 1e-9) {
+        assert(z != null, s"row $i: null z with positive trailing sd")
+        val expect = (xs(i) - mean) / sd
+        assert(math.abs(z - expect) < 0.02,
+          s"row $i: z $z != sequential $expect")
+        assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
+      } else assert(z == null && !r.getAs[Boolean]("is_anomaly"))
+    }
+    // the emitted series must itself skip the first spine day
+    val resample = SparkEntry.queries("q_events_resample")(spark, sf).count()
+    assert(a.length == resample - 1,
+      "anomaly must emit exactly the spine minus the baseline-less first day")
+  }
+
   test("histogram: total mass, bin bounds, every value inside its bin") {
     val h = SparkEntry.queries("q_agg_histogram")(spark, sf).collect()
     val total = graft.io.Tables.events(spark, sf).count()
