@@ -201,6 +201,138 @@ object Events {
       .orderBy(col("day").asc)
   }
 
+  /** Last-touch attribution: each purchase credited to the user's most
+    * recent click in the preceding 2 hours (the argmax refinement of
+    * [[StreamingOps.streamStreamJoin]]'s all-matches form).
+    *
+    * The candidate join is the same user-keyed equi-join with the time
+    * band as residual; the argmax then runs as max(click_ts) per
+    * purchase + an equality join back for the click id (with a max
+    * tie-break on id for same-millisecond clicks) — all keyed by
+    * purchase_id, partial-aggregated, no per-user window sort. */
+  private val attribution: Q = (s, d) => {
+    val e = ev(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val cand = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 2 HOURS"))
+    val best = cand.groupBy(col("purchase_id"))
+      .agg(max(col("click_ts")).as("click_ts"))
+    cand.join(best, Seq("purchase_id", "click_ts"))
+      .groupBy(col("purchase_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"))
+      .agg(max(col("click_id")).as("click_id"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("delay_ms"))
+      .orderBy(col("purchase_id").asc)
+  }
+
+  /** Rolling active-user counts: daily actives (DAU), trailing-7-day
+    * actives (WAU), and the DAU/WAU stickiness ratio.
+    *
+    * A sliding distinct count does NOT partial-aggregate (distinct
+    * sets don't merge by addition), so the scale plan materializes the
+    * (user, day) activity grid once — one corpus-sized distinct — and
+    * fans each activity row out to the ≤7 spine days whose trailing
+    * window contains it (map-side date arithmetic against a broadcast
+    * time-bounded spine), then distinct-counts per day. Volume is
+    * bounded by 7 × |activity grid|, keyed end to end. */
+  private val dauWau: Q = (s, d) => {
+    val ud = ev(s, d)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(
+      explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+        .as("day"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("user_id"), col("day").as("a_day"))
+      .join(broadcast(spine),
+        col("a_day") >= date_sub(col("day"), 6) && col("a_day") <= col("day"))
+      .select(col("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    spine.join(broadcast(dau), Seq("day"), "left")
+      .join(broadcast(wau), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness",
+        when(col("wau") > 0,
+          Det.r4(col("dau").cast("double") / col("wau"))))
+      .orderBy(col("day").asc)
+  }
+
+  /** CUSUM drift allowance and decision threshold, in global-sd units. */
+  private[graft] val CusumK = 0.25
+  private[graft] val CusumH = 2.5
+
+  /** CUSUM changepoint detection over daily value totals — the
+    * sequential drift monitor (Page 1954) that flags a sustained level
+    * shift long before any single day trips a z-score:
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − k)), S⁻ mirrored, alarm at h·σ.
+    *
+    * The recurrence looks inherently sequential, but the clamped form
+    * has a closed prefix identity: Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)
+    * where P is the plain prefix sum of the drift-adjusted deviations.
+    * So the whole statistic is two prefix aggregates over the day
+    * spine — computed here as spine triangle joins (days² pairs is
+    * time-bounded: a decade is ~6.7 M — data-scale-invariant), while
+    * the ORACLE states the textbook running window form, making the
+    * driver hash-compare the identity's proof. All deviations are qi4
+    * longs (μ and k quantized once), so prefix sums and the min/clamp
+    * are exact integer arithmetic in both engines. */
+  private val cusum: Q = (s, d) => {
+    val filled = filledSpine(s, d)
+    // global mean and sd of the daily totals (exact two-pass moments)
+    val g1 = filled.agg(sum(col("sv_q")).as("tq"), count(lit(1)).as("nd"))
+      .withColumn("mu", col("tq") / lit(10000.0) / col("nd"))
+    val dev = col("sv_q") / lit(10000.0) - col("mu")
+    val g2 = filled.crossJoin(broadcast(g1))
+      .agg(sum(Det.qi4(dev * dev)).as("ssd_q"),
+        first(col("mu")).as("mu"), first(col("nd")).as("nd"))
+      .withColumn("sd", sqrt(col("ssd_q") / lit(10000.0) / col("nd")))
+      .withColumn("mu_q", Det.qi4(col("mu")))
+      .withColumn("k_q", Det.qi4(col("sd") * CusumK))
+      .withColumn("h_q", Det.qi4(col("sd") * CusumH))
+      .select(col("mu_q"), col("k_q"), col("h_q"))
+    val z = filled.crossJoin(broadcast(g2))
+      .select(col("day"), col("sv_q"),
+        (col("sv_q") - col("mu_q") - col("k_q")).as("z_hi_q"),
+        (col("mu_q") - col("sv_q") - col("k_q")).as("z_lo_q"),
+        col("h_q"))
+    // prefix sums via spine triangle join (g.day <= day)
+    val zg = z.select(col("day").as("g_day"),
+      col("z_hi_q").as("g_hi"), col("z_lo_q").as("g_lo"))
+    val p = z.join(broadcast(zg), col("g_day") <= col("day"))
+      .groupBy(col("day"), col("sv_q"), col("h_q"))
+      .agg(sum(col("g_hi")).as("p_hi"), sum(col("g_lo")).as("p_lo"))
+    // prefix mins of P via a second triangle pass
+    val pg = p.select(col("day").as("g_day"),
+      col("p_hi").as("g_phi"), col("p_lo").as("g_plo"))
+    p.join(broadcast(pg), col("g_day") <= col("day"))
+      .groupBy(col("day"), col("sv_q"), col("h_q"),
+        col("p_hi"), col("p_lo"))
+      .agg(min(col("g_phi")).as("m_hi"), min(col("g_plo")).as("m_lo"))
+      .select(col("day"),
+        Det.r4(col("sv_q") / lit(10000.0)).as("sum_value"),
+        (col("p_hi") - least(lit(0L), col("m_hi"))).as("s_hi_q"),
+        (col("p_lo") - least(lit(0L), col("m_lo"))).as("s_lo_q"),
+        col("h_q"))
+      .select(col("day"), col("sum_value"),
+        Det.r4(col("s_hi_q") / lit(10000.0)).as("s_hi"),
+        Det.r4(col("s_lo_q") / lit(10000.0)).as("s_lo"),
+        (col("s_hi_q") > col("h_q")).as("shift_up"),
+        (col("s_lo_q") > col("h_q")).as("shift_down"))
+      .orderBy(col("day").asc)
+  }
+
   /** Histogram bin count over `events.value`. */
   private[graft] val HistBins = 20
 
@@ -240,6 +372,9 @@ object Events {
     "q_events_retention" -> retention,
     "q_events_resample" -> resample,
     "q_events_anomaly" -> anomaly,
+    "q_events_attribution" -> attribution,
+    "q_events_dau_wau" -> dauWau,
+    "q_events_cusum" -> cusum,
     "q_agg_histogram" -> histogram,
   )
 
@@ -367,6 +502,114 @@ object Events {
          |       ${Det.sqlR4("z")} AS z,
          |       COALESCE(ABS(z) > $AnomalyZ, FALSE) AS is_anomaly
          |FROM zz ORDER BY day ASC""".stripMargin,
+    "q_events_attribution" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, ${Det.sqlEts("ts")} AS ts
+         |  FROM events),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+         |      FROM e WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+         |      FROM e WHERE event_type = 'purchase'),
+         |cand AS (
+         |  SELECT p.purchase_id, p.user_id, p.purchase_ts,
+         |         c.click_id, c.click_ts
+         |  FROM c JOIN p ON c.user_id = p.user_id
+         |    AND p.purchase_ts >= c.click_ts
+         |    AND p.purchase_ts < c.click_ts + INTERVAL 2 HOUR),
+         |best AS (
+         |  SELECT purchase_id, MAX(click_ts) AS click_ts
+         |  FROM cand GROUP BY 1)
+         |SELECT cand.purchase_id, cand.user_id,
+         |       CAST(MAX(cand.click_id) AS BIGINT) AS click_id,
+         |       CAST(epoch_ms(cand.purchase_ts) - epoch_ms(cand.click_ts)
+         |         AS BIGINT) AS delay_ms
+         |FROM cand JOIN best
+         |  ON cand.purchase_id = best.purchase_id
+         | AND cand.click_ts = best.click_ts
+         |GROUP BY cand.purchase_id, cand.user_id,
+         |         cand.purchase_ts, cand.click_ts
+         |ORDER BY cand.purchase_id ASC""".stripMargin,
+    "q_events_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM b),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT s.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |  FROM spine s JOIN ud
+        |    ON ud.day >= s.day - 6 AND ud.day <= s.day
+        |  GROUP BY 1)
+        |SELECT s.day, COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau, 0) AS wau,
+        |       CASE WHEN COALESCE(wau.wau, 0) > 0 THEN
+        |         FLOOR(CAST(dau.dau AS DOUBLE) / wau.wau * 10000 + 0.5) / 10000
+        |       END AS stickiness
+        |FROM spine s LEFT JOIN dau ON dau.day = s.day
+        |LEFT JOIN wau ON wau.day = s.day
+        |ORDER BY s.day ASC""".stripMargin,
+    "q_events_cusum" ->
+      s"""WITH e AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+         |  FROM events),
+         |daily AS (
+         |  SELECT day, ${Det.sqlQi4(Det.sqlDsum("value"))} AS sv_q
+         |  FROM e GROUP BY 1),
+         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+         |spine AS (
+         |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |           AS day
+         |  FROM b),
+         |f AS (
+         |  SELECT s.day, COALESCE(daily.sv_q, 0) AS sv_q
+         |  FROM spine s LEFT JOIN daily USING (day)),
+         |g1 AS (
+         |  SELECT CAST(SUM(sv_q) AS BIGINT) AS tq,
+         |         CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM f),
+         |g1m AS (SELECT tq, nd, tq / 10000.0 / nd AS mu FROM g1),
+         |g2 AS (
+         |  SELECT ${Det.sqlQi4("mu")} AS mu_q,
+         |         ${Det.sqlQi4(
+               "SQRT(CAST(SUM(" + Det.sqlQi4(
+                 "(sv_q / 10000.0 - mu) * (sv_q / 10000.0 - mu)") +
+               ") AS BIGINT) / 10000.0 / nd) * " + CusumK)} AS k_q,
+         |         ${Det.sqlQi4(
+               "SQRT(CAST(SUM(" + Det.sqlQi4(
+                 "(sv_q / 10000.0 - mu) * (sv_q / 10000.0 - mu)") +
+               ") AS BIGINT) / 10000.0 / nd) * " + CusumH)} AS h_q
+         |  FROM f CROSS JOIN g1m
+         |  GROUP BY mu, nd),
+         |z AS (
+         |  SELECT f.day, f.sv_q,
+         |         f.sv_q - g2.mu_q - g2.k_q AS z_hi_q,
+         |         g2.mu_q - f.sv_q - g2.k_q AS z_lo_q,
+         |         g2.h_q
+         |  FROM f CROSS JOIN g2),
+         |p AS (
+         |  SELECT day, sv_q, h_q,
+         |         CAST(SUM(z_hi_q) OVER w AS BIGINT) AS p_hi,
+         |         CAST(SUM(z_lo_q) OVER w AS BIGINT) AS p_lo
+         |  FROM z
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |m AS (
+         |  SELECT day, sv_q, h_q, p_hi, p_lo,
+         |         CAST(MIN(p_hi) OVER w AS BIGINT) AS m_hi,
+         |         CAST(MIN(p_lo) OVER w AS BIGINT) AS m_lo
+         |  FROM p
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT day,
+         |       ${Det.sqlR4("sv_q / 10000.0")} AS sum_value,
+         |       ${Det.sqlR4("(p_hi - LEAST(0, m_hi)) / 10000.0")} AS s_hi,
+         |       ${Det.sqlR4("(p_lo - LEAST(0, m_lo)) / 10000.0")} AS s_lo,
+         |       (p_hi - LEAST(0, m_hi)) > h_q AS shift_up,
+         |       (p_lo - LEAST(0, m_lo)) > h_q AS shift_down
+         |FROM m ORDER BY day ASC""".stripMargin,
     "q_agg_histogram" ->
       s"""WITH b AS (
          |  SELECT MIN(value) AS v0, MAX(value) AS v1,

@@ -36,6 +36,45 @@ object Text {
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
 
+  /** Distribution drift per source: KL(source ‖ corpus) over token
+    * unigram distributions — the domain-shift monitor a training-data
+    * pipeline runs per ingest slice (a source whose language model
+    * diverges from the corpus mix gets a curation decision, not silent
+    * inclusion).
+    *
+    * KL = Σ_w (c_sw/n_s)·ln((c_sw/n_s)/(c_w/N)) computed in the
+    * n_s-scaled form Σ c_sw·ln(ratio) / n_s so each term is a
+    * count-scaled double qi4-quantized BEFORE the cross-word sum
+    * (exact longs, order-free); the ratio is two explicit divisions
+    * then a multiply — identical textual IEEE form in both engines,
+    * no integer-product overflow at any corpus size. Plan: one
+    * (source, word) partial agg over the token stream, word marginals
+    * re-aggregated from it (vocab-sized, keyed — NOT broadcast: real
+    * vocabularies are millions of rows), source totals and the corpus
+    * total broadcast. */
+  private val klDrift: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+    val sw = tok.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val st = sw.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val wt = sw.groupBy(col("word")).agg(sum(col("c")).as("cw"))
+    val big = sw.agg(sum(col("c")).as("big"))
+    val ratio = (col("c").cast("double") / col("n")) *
+      (col("big").cast("double") / col("cw"))
+    sw.join(wt, Seq("word"))
+      .join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(big))
+      .select(col("source"), col("n"),
+        Det.qi4(col("c") * log(ratio)).as("term_q"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("term_q")).as("kl_q"))
+      .select(col("source"), col("n").as("n_tokens"),
+        Det.r4(col("kl_q") / lit(10000.0) / col("n")).as("kl"))
+      .orderBy(col("source").asc)
+  }
+
   /** Corpus-wide top-20 tokens. */
   private val wordcount: Q = (s, d) =>
     docTokens(s, d)
@@ -565,6 +604,7 @@ object Text {
 
   val queries: Map[String, Q] = Map(
     "q_text_entropy"     -> entropy,
+    "q_text_kl_drift"    -> klDrift,
     "q_dedup_containment" -> containment,
     "q_text_wordcount"   -> wordcount,
     "q_text_lm_score"    -> lmScore,
@@ -708,6 +748,26 @@ object Text {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_text_kl_drift" ->
+      s"""WITH t AS (
+         |  SELECT source, UNNEST($sqlToks) AS word FROM documents),
+         |sw AS (
+         |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM t GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sw GROUP BY 1),
+         |wt AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+         |big AS (SELECT CAST(SUM(c) AS BIGINT) AS big FROM sw),
+         |terms AS (
+         |  SELECT sw.source, st.n,
+         |         ${Det.sqlQi4(
+               "sw.c * LN((CAST(sw.c AS DOUBLE) / st.n)" +
+               " * (CAST(big.big AS DOUBLE) / wt.cw))")} AS term_q
+         |  FROM sw JOIN wt USING (word) JOIN st USING (source)
+         |  CROSS JOIN big)
+         |SELECT source, n AS n_tokens,
+         |       ${Det.sqlR4("CAST(SUM(term_q) AS BIGINT) / 10000.0 / n")} AS kl
+         |FROM terms GROUP BY source, n
+         |ORDER BY source ASC""".stripMargin,
     "q_text_entropy" ->
       s"""WITH t AS (
          |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),

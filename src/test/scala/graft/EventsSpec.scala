@@ -123,6 +123,82 @@ class EventsSpec extends AnyFunSuite {
       "anomaly must emit exactly the spine minus the baseline-less first day")
   }
 
+  test("attribution: one credit per purchase, argmax of the all-matches join") {
+    val a = SparkEntry.queries("q_events_attribution")(spark, sf).collect()
+    assert(a.nonEmpty)
+    val ids = a.map(_.getAs[Long]("purchase_id"))
+    assert(ids.distinct.length == ids.length, "a purchase credited twice")
+    a.foreach { r =>
+      val ms = r.getAs[Long]("delay_ms")
+      assert(ms >= 0 && ms < 2 * 3600 * 1000L)
+    }
+    // must be exactly the per-purchase argmax (latest click, max id on
+    // ties) of the declared all-matches join
+    val all = SparkEntry.queries("q_stream_stream_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        (r.getAs[Long]("delay_ms"), r.getAs[Long]("click_id"))))
+    val expect = all.groupBy(_._1).view.mapValues { g =>
+      val minDelay = g.map(_._2._1).min    // latest click = smallest delay
+      g.collect { case (_, (d, c)) if d == minDelay => c }.max
+    }.toMap
+    assert(a.length == expect.size)
+    a.foreach { r =>
+      val p = r.getAs[Long]("purchase_id")
+      assert(r.getAs[Long]("click_id") == expect(p),
+        s"purchase $p credited to ${r.getAs[Long]("click_id")}, expected ${expect(p)}")
+    }
+  }
+
+  test("dau/wau: window dominance and set-union identity") {
+    val r = SparkEntry.queries("q_events_dau_wau")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("dau") <= row.getAs[Long]("wau"))
+      val st = row.getAs[java.lang.Double]("stickiness")
+      if (st != null) assert(st > 0.0 && st <= 1.0)
+    }
+    // wau(day) must equal |∪ trailing-7 daily active sets| — recompute
+    // from the raw (user, day) grid
+    val grid = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct().collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[java.sql.Date]("day").toLocalDate))
+    r.foreach { row =>
+      val day = row.getAs[java.sql.Date]("day").toLocalDate
+      val win = grid.collect {
+        case (u, d0) if !d0.isAfter(day) && d0.isAfter(day.minusDays(7)) => u
+      }.toSet
+      assert(row.getAs[Long]("wau") == win.size,
+        s"$day: wau ${row.getAs[Long]("wau")} != union ${win.size}")
+    }
+  }
+
+  test("cusum: triangle-join prefix form equals the clamped recurrence") {
+    val r = SparkEntry.queries("q_events_cusum")(spark, sf).collect()
+    assert(r.nonEmpty)
+    def qi4(x: Double): Long = math.floor(x * 10000 + 0.5).toLong
+    // exact integer replay of S⁺/S⁻ with the SAME quantized μ, k
+    val svq = r.map(row => qi4(row.getAs[Double]("sum_value")))
+    val nd = svq.length
+    val mu = svq.sum.toDouble / 10000.0 / nd
+    val ssdQ = svq.map { q =>
+      val dev = q / 10000.0 - mu; qi4(dev * dev)
+    }.sum
+    val sd = math.sqrt(ssdQ / 10000.0 / nd)
+    val (muQ, kQ, hQ) =
+      (qi4(mu), qi4(sd * graft.ops.Events.CusumK), qi4(sd * graft.ops.Events.CusumH))
+    var (sHi, sLo) = (0L, 0L)
+    r.zipWithIndex.foreach { case (row, i) =>
+      sHi = math.max(0L, sHi + (svq(i) - muQ - kQ))
+      sLo = math.max(0L, sLo + (muQ - svq(i) - kQ))
+      assert(qi4(row.getAs[Double]("s_hi")) == sHi,
+        s"day $i: s_hi ${row.getAs[Double]("s_hi")} != recurrence ${sHi / 10000.0}")
+      assert(qi4(row.getAs[Double]("s_lo")) == sLo)
+      assert(row.getAs[Boolean]("shift_up") == (sHi > hQ))
+      assert(row.getAs[Boolean]("shift_down") == (sLo > hQ))
+    }
+  }
+
   test("histogram: total mass, bin bounds, every value inside its bin") {
     val h = SparkEntry.queries("q_agg_histogram")(spark, sf).collect()
     val total = graft.io.Tables.events(spark, sf).count()

@@ -992,6 +992,29 @@ class OperatorSpec extends AnyFunSuite {
     } finally e.unpersist()
   }
 
+  test("kl drift: nonnegative, zero on the corpus itself, exact per-source") {
+    val k = SparkEntry.queries("q_text_kl_drift")(spark, sf).collect()
+    assert(k.nonEmpty)
+    // Gibbs' inequality modulo qi4 slack (±1e-4 per vocab term / n)
+    k.foreach(r => assert(r.getAs[Double]("kl") >= -1e-3,
+      s"${r.getAs[String]("source")}: negative KL ${r.getAs[Double]("kl")}"))
+    // independent recompute for one source from raw token counts
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), explode(graft.ops.Text.tokens(col("text"))).as("word"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val src = k.head.getAs[String]("source")
+    val cw = toks.groupBy(_._2).view.mapValues(_.length).toMap
+    val big = toks.length.toDouble
+    val mine = toks.filter(_._1 == src).groupBy(_._2).view.mapValues(_.length)
+    val n = mine.values.sum.toDouble
+    val kl = mine.map { case (w, c) =>
+      math.floor(c * math.log((c / n) * (big / cw(w))) * 10000 + 0.5)
+    }.sum / 10000.0 / n
+    val got = k.head.getAs[Double]("kl")
+    assert(math.abs(got - kl) < 1e-3, s"$src: kl $got != recomputed $kl")
+    assert(k.head.getAs[Long]("n_tokens") == n.toLong)
+  }
+
   test("containment: dominates jaccard, exact dups at 1, canonical pairs") {
     val cdf = SparkEntry.queries("q_dedup_containment")(spark, sf).cache()
     try {
