@@ -602,7 +602,53 @@ object Vectors {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Mean pairwise cosine similarity per label group WITHOUT
+    * enumerating pairs — the embedding-diversity monitor a curation
+    * pipeline runs per source/cluster before sampling decisions (a
+    * collapsing group signals over-duplication; a too-diffuse one,
+    * noise).
+    *
+    * The trick is algebraic, not approximate: for unit vectors,
+    * ‖Σᵢ v̂ᵢ‖² = Σᵢ Σⱼ v̂ᵢ·v̂ⱼ = Σᵢ‖v̂ᵢ‖² + Σ_{i≠j} cos(i,j), so
+    * mean cos = (‖S‖² − Σᵢ‖v̂ᵢ‖²) / (n(n−1)) with S the plain vector
+    * sum — the O(n²) pairwise statistic collapses to one O(n·d) keyed
+    * partial aggregate. At 100 TB the corpus moves once as ≤d partial
+    * rows per group and no self-join ever forms; contrast
+    * [[embDedup]], which needs the actual argmax pairs and so pays for
+    * bucketed candidate generation.
+    *
+    * Components are qi4-quantized BEFORE any cross-row sum, so the
+    * per-dimension sums, their squares, and the per-vector self terms
+    * are exact longs in both engines and the identity holds bit-for-
+    * bit (head-room: |S_d| ≤ n·10⁴, so S_d² fits a long up to
+    * n ≈ 3·10⁵ per group; beyond that coarsen the quantum — same
+    * plan). Groups of one vector emit NULL (no pairs to average). */
+  private val simDiversity: Q = (s, d) => {
+    val c = corpus(s, d).filter(col("nrm") > 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("emb"), x => Det.qi4(x / col("nrm"))).as("uq"))
+    // ONE corpus pass: the (label, pos) partial agg carries the dim sum
+    // (→ ‖S‖²), the dim square-sum (→ Σ‖v̂ᵢ‖², since the self terms
+    // re-associate freely across rows), and the per-dim row count
+    // (= n_vectors at every pos — all vectors share the dim width).
+    c.select(col("label"), posexplode(col("uq")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s_d"), sum(col("q") * col("q")).as("ss_d"),
+        count(lit(1)).as("n_d"))
+      .groupBy(col("label"))
+      .agg(max(col("n_d")).as("n_vectors"),
+        sum(col("s_d") * col("s_d")).as("sum_sq"),
+        sum(col("ss_d")).as("self_sum"))
+      .select(col("label"), col("n_vectors"),
+        when(col("n_vectors") > 1, Det.r4(
+          (col("sum_sq") - col("self_sum")).cast("double") /
+            (lit(1e8) * col("n_vectors") * (col("n_vectors") - 1))))
+          .as("mean_pairwise_cos"))
+      .orderBy(col("label").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_diversity"     -> simDiversity,
     "q_sim_cosine_topk"   -> cosineTopk,
     "q_sim_cosine_native" -> cosineNative,
     "q_sim_ann_lsh"       -> annLsh,
@@ -767,6 +813,33 @@ object Vectors {
          |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sim_diversity" ->
+      s"""WITH c0 AS ($sqlCorpus),
+         |u AS (
+         |  SELECT vec_id, label,
+         |         list_transform(emb,
+         |           x -> ${Det.sqlQi4("x / nrm")}) AS uq
+         |  FROM c0 WHERE nrm > 0),
+         |slf AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |         CAST(SUM(list_sum(list_transform(uq, x -> x * x)))
+         |           AS BIGINT) AS self_sum
+         |  FROM u GROUP BY 1),
+         |dims AS (
+         |  SELECT label, i AS pos, CAST(SUM(uq[i]) AS BIGINT) AS s_d
+         |  FROM u, UNNEST(generate_series(1, len(uq))) AS t(i)
+         |  GROUP BY 1, 2),
+         |ss AS (
+         |  SELECT label, CAST(SUM(s_d * s_d) AS BIGINT) AS sum_sq
+         |  FROM dims GROUP BY 1)
+         |SELECT slf.label, slf.n_vectors,
+         |       CASE WHEN slf.n_vectors > 1 THEN
+         |         ${Det.sqlR4(
+               "CAST(sum_sq - self_sum AS DOUBLE) / " +
+               "(1e8 * slf.n_vectors * (slf.n_vectors - 1))")}
+         |       END AS mean_pairwise_cos
+         |FROM slf JOIN ss ON slf.label = ss.label
+         |ORDER BY slf.label ASC""".stripMargin,
     "q_sim_cosine_topk" -> sqlCosineTopk,
     "q_sim_cosine_native" -> sqlCosineTopk,
     "q_sim_ann_lsh" ->

@@ -211,6 +211,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.select("a_id", "b_id").except(two).count() == 0)
   }
 
+  test("diversity: sum-vector identity equals brute-force pairwise mean") {
+    val r = SparkEntry.queries("q_sim_diversity")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val m = row.getAs[java.lang.Double]("mean_pairwise_cos")
+      if (m != null) assert(m >= -1.0001 && m <= 1.0001, s"cos out of range: $m")
+    }
+    // brute-force recompute for the largest label group from the SAME
+    // quantized unit vectors: the identity is exact in integers, so the
+    // r4-rounded means must be bit-equal
+    val uq = graft.ops.Vectors.corpus(spark, sf).filter(col("nrm") > 0)
+      .select(col("label"),
+        transform(col("emb"), x => graft.Det.qi4(x / col("nrm"))).as("uq"))
+      .collect()
+      .map(x => (x.getAs[Int]("label"), x.getSeq[Long](1).toArray))
+    val (lbl, vecs) = uq.groupBy(_._1).maxBy(_._2.length) match {
+      case (l, g) => (l, g.map(_._2))
+    }
+    assert(vecs.length > 1, "fixture must have a multi-vector label group")
+    var sumQ8 = 0L; var pairs = 0L
+    for (i <- vecs.indices; j <- vecs.indices if i != j) {
+      sumQ8 += vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum
+      pairs += 1
+    }
+    val expect = math.floor(sumQ8.toDouble / (1e8 * pairs) * 10000 + 0.5) / 10000
+    val got = r.find(_.getAs[Int]("label") == lbl).get
+      .getAs[Double]("mean_pairwise_cos")
+    assert(got == expect, s"$lbl: identity mean $got != brute-force $expect")
+  }
+
   test("salted signatures equal the dictionary-precompute twin") {
     // the dictionary-free 100 TB path and the small-vocab precompute
     // must produce bit-identical signature tables on the toy vocab
