@@ -771,6 +771,33 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Leakage-safe train/test split: the hash-split key is the near-dup
+    * CLUSTER label, not the document id, so an entire duplicate family
+    * lands on one side of the split. A doc-keyed split (the plain
+    * [[Sampling.splitCol]] on doc_id, q_split_train_test) leaks: two
+    * near-identical documents hash independently and ~2·r·(1−r) of
+    * every dup pair straddles the train/test boundary — the eval set
+    * then contains near-copies of training documents and overstates
+    * generalization. Splitting on cluster_id makes crossing pairs
+    * structurally impossible for every verified pair (same cluster ⇒
+    * same hash ⇒ same side; asserted pair-by-pair in-spec).
+    *
+    * Plan = [[clustersSig]]'s label lineage (the scale path: banded
+    * candidates → signature verification → O(log n) star rounds) plus
+    * ONE map-side hash per doc — the split adds no shuffle beyond the
+    * clustering it reuses. */
+  private val splitLeakageSafe: Q = (s, d) => {
+    val labels = connectedComponentsStar(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashEstimates(s, d)
+        .filter(col("n_match") >= lit(VerifyMatchMin))
+        .select(col("a_id"), col("b_id")))
+    labels
+      .withColumn("split", Sampling.splitCol(col("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Delta-iteration min-label propagation — the O(diameter)-round
     * alternative kept as a differential twin for the spec (near-dup
     * components are dense, so on THIS corpus it converges in O(few)
@@ -1132,6 +1159,7 @@ object Dedup {
     "q_dedup_incremental_stored" -> incrementalStored,
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
+    "q_split_leakage_safe" -> splitLeakageSafe,
   )
 
   private def sqlToks = Text.sqlToks
@@ -1477,6 +1505,20 @@ object Dedup {
          |SELECT doc_id, cluster_id,
          |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |       doc_id = cluster_id AS is_keeper
+         |FROM lab
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_split_leakage_safe" ->
+      s"""${sqlMinhashEstCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ed AS (SELECT a_id AS u, b_id AS w FROM v WHERE n_match >= $VerifyMatchMin
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM v WHERE n_match >= $VerifyMatchMin),
+         |cc(w, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.w, cc.l FROM cc JOIN ed ON ed.u = cc.w),
+         |lab AS (SELECT w AS doc_id, MIN(l) AS cluster_id FROM cc GROUP BY w)
+         |SELECT doc_id, cluster_id,
+         |       ${Sampling.sqlSplit("cluster_id")} AS split
          |FROM lab
          |ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_simhash" ->

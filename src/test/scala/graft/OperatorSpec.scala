@@ -622,6 +622,36 @@ class OperatorSpec extends AnyFunSuite {
       s"signature clustering agrees on only $agree of $n docs")
   }
 
+  test("leakage-safe split: clusters pure, no verify pair crosses, doc split leaks") {
+    val sp = SparkEntry.queries("q_split_leakage_safe")(spark, sf).cache()
+    try {
+      // both sides populated, labels consistent with the declared clustering
+      assert(sp.select("split").distinct().count() == 2)
+      val cs = SparkEntry.queries("q_dedup_clusters_sig")(spark, sf)
+        .select(col("doc_id"), col("cluster_id").as("cs_id"))
+      assert(sp.join(cs, "doc_id")
+        .filter(col("cluster_id") =!= col("cs_id")).count() == 0,
+        "split labels diverge from q_dedup_clusters_sig")
+      // cluster purity: one split value per cluster
+      assert(sp.groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count() == 0, "a cluster straddles the split")
+      // the graded property: NO verified near-dup pair crosses the split —
+      // while the doc-keyed split demonstrably leaks on the same pairs
+      val pairs = SparkEntry.queries("q_dedup_minhash_verify")(spark, sf)
+        .select("a_id", "b_id")
+      def crossings(assign: org.apache.spark.sql.DataFrame): Long = pairs
+        .join(assign.select(col("doc_id").as("a_id"), col("split").as("sa")), "a_id")
+        .join(assign.select(col("doc_id").as("b_id"), col("split").as("sb")), "b_id")
+        .filter(col("sa") =!= col("sb")).count()
+      assert(crossings(sp) == 0, "a verified near-dup pair crosses the split")
+      val docKeyed = sp.select(col("doc_id"),
+        graft.ops.Sampling.splitCol(col("doc_id")).as("split"))
+      assert(crossings(docKeyed) > 0,
+        "fixture should show doc-keyed splitting leaking near-dup pairs")
+    } finally sp.unpersist()
+  }
+
   test("declared star CC equals delta-iteration label propagation") {
     val star = SparkEntry.queries("q_dedup_clusters")(spark, sf)
     val prop = graft.ops.Dedup.clustersDelta(spark, sf)

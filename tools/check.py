@@ -127,6 +127,33 @@ def unionfind_main(sf_dir: str, out_dir: str) -> int:
             print(f"PASS {ckey} (union-find: {len(parent)} docs, "
                   f"{len(pairs)} pairs, {n_clusters} clusters, "
                   f"{time.time() - t0:.1f}s)")
+        # q_split_leakage_safe shares clusters_sig's label graph plus a
+        # deterministic md5 hash of cluster_id — close it with the same
+        # union-find labels when its recursive-CTE oracle is infeasible
+        if ckey == "q_dedup_clusters_sig" and not diffs:
+            import hashlib
+            ldir = f"{out_dir}/q_split_leakage_safe"
+            if os.path.isdir(ldir):
+                lgot = con.sql(
+                    f"SELECT doc_id, cluster_id, split "
+                    f"FROM read_parquet('{ldir}/*.parquet')").df()
+                ldiffs = 0
+                for d, cl, sp in zip(lgot["doc_id"].to_numpy(),
+                                     lgot["cluster_id"].to_numpy(),
+                                     lgot["split"].to_numpy()):
+                    d, cl = int(d), int(cl)
+                    want_sp = ("train" if hashlib.md5(
+                        str(want_label[d]).encode()).hexdigest()[:2] < "cc"
+                        else "test")
+                    if cl != want_label[d] or sp != want_sp:
+                        ldiffs += 1
+                if len(lgot) != len(parent) or ldiffs:
+                    print(f"FAIL q_split_leakage_safe: {ldiffs} diffs "
+                          f"({len(lgot)} rows vs {len(parent)} docs)")
+                    ok = False
+                else:
+                    print(f"PASS q_split_leakage_safe (union-find labels + "
+                          f"md5 split, {len(lgot)} docs)")
     return 0 if ok else 1
 
 
