@@ -42,36 +42,43 @@ object Text {
     * diverges from the corpus mix gets a curation decision, not silent
     * inclusion).
     *
-    * KL = Σ_w (c_sw/n_s)·ln((c_sw/n_s)/(c_w/N)) computed in the
-    * n_s-scaled form Σ c_sw·ln(ratio) / n_s so each term is a
-    * count-scaled double qi4-quantized BEFORE the cross-word sum
-    * (exact longs, order-free); the ratio is two explicit divisions
-    * then a multiply — identical textual IEEE form in both engines,
-    * no integer-product overflow at any corpus size. Plan: one
-    * (source, word) partial agg over the token stream, word marginals
-    * re-aggregated from it (vocab-sized, keyed — NOT broadcast: real
-    * vocabularies are millions of rows), source totals and the corpus
-    * total broadcast. */
+    * KL·n factors as Σ_w c·ln(c/c_w) + n·ln(N/n): the word-marginal
+    * part needs only c_w next to each (source, word) count — attached
+    * by a word-partitioned WINDOW on the single aggregated lineage —
+    * and the source total n falls out of the same final source agg, so
+    * the corpus is tokenized and exploded exactly ONCE (the original
+    * join-back formulation re-executed the explode lineage per
+    * marginal branch: column pruning made the branch subplans differ
+    * and defeated ReuseExchange — the same failure mode the
+    * q_dedup_minhash_capped window rewrite removed). The grand total N
+    * comes from one explode-free token-count scan, broadcast as 1 row.
+    * Each c·ln(c/c_w) term is qi4-quantized BEFORE the cross-word sum
+    * (exact longs, order-free); ln takes a single explicit division —
+    * identical textual IEEE form in both engines, no integer-product
+    * overflow at any corpus size. The word window is keyed by word
+    * (vocab-cardinality partitions — real vocabularies are millions of
+    * rows, never broadcast, never single-partition). */
   private val klDrift: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val grand = docs
+      .select(size(tokens(col("text"))).cast("long").as("nt"))
+      .agg(sum(col("nt")).as("big"))
+    val sw = docs
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("source"), explode(tokens(col("text"))).as("word"))
-    val sw = tok.groupBy(col("source"), col("word"))
+      .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("c"))
-    val st = sw.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val wt = sw.groupBy(col("word")).agg(sum(col("c")).as("cw"))
-    val big = sw.agg(sum(col("c")).as("big"))
-    val ratio = (col("c").cast("double") / col("n")) *
-      (col("big").cast("double") / col("cw"))
-    sw.join(wt, Seq("word"))
-      .join(broadcast(st), Seq("source"))
-      .crossJoin(broadcast(big))
-      .select(col("source"), col("n"),
-        Det.qi4(col("c") * log(ratio)).as("term_q"))
-      .groupBy(col("source"), col("n"))
-      .agg(sum(col("term_q")).as("kl_q"))
+    sw.withColumn("cw",
+        sum(col("c")).over(Window.partitionBy(col("word"))))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(Det.qi4(col("c") *
+          log(col("c").cast("double") / col("cw")))).as("a_q"))
+      .crossJoin(broadcast(grand))
       .select(col("source"), col("n").as("n_tokens"),
-        Det.r4(col("kl_q") / lit(10000.0) / col("n")).as("kl"))
+        Det.r4((col("a_q") +
+          Det.qi4(col("n") * log(col("big").cast("double") / col("n"))))
+          / lit(10000.0) / col("n")).as("kl"))
       .orderBy(col("source").asc)
   }
 
@@ -754,19 +761,23 @@ object Text {
          |sw AS (
          |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
          |  FROM t GROUP BY 1, 2),
-         |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sw GROUP BY 1),
-         |wt AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
-         |big AS (SELECT CAST(SUM(c) AS BIGINT) AS big FROM sw),
-         |terms AS (
-         |  SELECT sw.source, st.n,
-         |         ${Det.sqlQi4(
-               "sw.c * LN((CAST(sw.c AS DOUBLE) / st.n)" +
-               " * (CAST(big.big AS DOUBLE) / wt.cw))")} AS term_q
-         |  FROM sw JOIN wt USING (word) JOIN st USING (source)
-         |  CROSS JOIN big)
+         |wc AS (
+         |  SELECT source, c,
+         |         CAST(SUM(c) OVER (PARTITION BY word) AS BIGINT) AS cw
+         |  FROM sw),
+         |a AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         |         CAST(SUM(${Det.sqlQi4(
+               "c * LN(CAST(c AS DOUBLE) / cw)")}) AS BIGINT) AS a_q
+         |  FROM wc GROUP BY 1),
+         |big AS (
+         |  SELECT CAST(SUM(len($sqlToks)) AS BIGINT) AS big FROM documents)
          |SELECT source, n AS n_tokens,
-         |       ${Det.sqlR4("CAST(SUM(term_q) AS BIGINT) / 10000.0 / n")} AS kl
-         |FROM terms GROUP BY source, n
+         |       ${Det.sqlR4(
+               "(a_q + " + Det.sqlQi4(
+                 "n * LN(CAST(big.big AS DOUBLE) / n)") +
+               ") / 10000.0 / n")} AS kl
+         |FROM a CROSS JOIN big
          |ORDER BY source ASC""".stripMargin,
     "q_text_entropy" ->
       s"""WITH t AS (

@@ -1067,9 +1067,11 @@ class OperatorSpec extends AnyFunSuite {
     val big = toks.length.toDouble
     val mine = toks.filter(_._1 == src).groupBy(_._2).view.mapValues(_.length)
     val n = mine.values.sum.toDouble
-    val kl = mine.map { case (w, c) =>
-      math.floor(c * math.log((c / n) * (big / cw(w))) * 10000 + 0.5)
-    }.sum / 10000.0 / n
+    val aQ = mine.map { case (w, c) =>
+      math.floor(c * math.log(c.toDouble / cw(w)) * 10000 + 0.5)
+    }.sum
+    val kl = (aQ + math.floor(n * math.log(big / n) * 10000 + 0.5)) /
+      10000.0 / n
     val got = k.head.getAs[Double]("kl")
     assert(math.abs(got - kl) < 1e-3, s"$src: kl $got != recomputed $kl")
     assert(k.head.getAs[Long]("n_tokens") == n.toLong)
