@@ -231,6 +231,58 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-language quality calibration: assign each document its
+    * within-language quality quartile and a top-quartile keep flag —
+    * the "keep the best X% of each language" primitive quality-driven
+    * curation runs (a raw global threshold would mostly keep the
+    * highest-resource language; calibrating per group keeps the
+    * mixture).
+    *
+    * A `Window.partitionBy(lang)` ntile would be a scale-killer: lang
+    * cardinality is tiny, so each window partition is corpus-sized —
+    * exactly the shape the q_window_ntile rewrite removed. Instead the
+    * per-group twin of that two-pass plan: pass 1 aggregates exact
+    * interpolated quartile boundaries per language (lang-cardinality
+    * output), pass 2 broadcasts them and assigns buckets map-side by
+    * threshold comparison. Two corpus passes by necessity (exact
+    * boundaries, then assignment — same structure as q_agg_histogram);
+    * no corpus-sized shuffle at all, only the lang-keyed boundary agg.
+    * Scores are qi4 longs; boundaries stay UNROUNDED interpolated
+    * doubles (same order statistics + same IEEE interpolation in both
+    * engines ⇒ bit-identical), and only score/threshold comparisons
+    * cross engines. Token-free documents are excluded (no score).
+    * Quartiles are threshold-based, so heavy score ties can unbalance
+    * bucket sizes — the calibration contract is "same score ⇒ same
+    * bucket", not equal counts. */
+  private val qualityBands: Q = (s, d) => {
+    val stop = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), w => array_contains(stop, w))).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("lang"),
+        Det.qi4(
+          col("n_distinct").cast("double") / nullif(col("n_tokens"), lit(0L)) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0L))) * 0.3 +
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2)
+          .as("score_q"))
+    val bounds = scored.groupBy(col("lang"))
+      .agg(expr("percentile(score_q, 0.25)").as("b1"),
+        expr("percentile(score_q, 0.5)").as("b2"),
+        expr("percentile(score_q, 0.75)").as("b3"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        Det.r4(col("score_q") / lit(10000.0)).as("score"),
+        (lit(1) + (col("score_q") > col("b1")).cast("int")
+          + (col("score_q") > col("b2")).cast("int")
+          + (col("score_q") > col("b3")).cast("int")).as("quartile"),
+        (col("score_q") > col("b3")).as("keep_top"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Token counting: whitespace tokens, alpha-only tokens (regex), and
     * a BPE-rate proxy (ceil(len/4) subwords per token) per source. */
   private val tokenCounts: Q = (s, d) =>
@@ -619,6 +671,7 @@ object Text {
     "q_text_lang_stats"  -> langStats,
     "q_text_langid"      -> langId,
     "q_text_quality"     -> quality,
+    "q_text_quality_bands" -> qualityBands,
     "q_text_tokens"      -> tokenCounts,
     "q_text_fingerprint" -> fingerprint,
     "q_text_repetition"  -> repetition,
@@ -929,6 +982,36 @@ object Text {
                "LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2")} AS quality
          |FROM c
          |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_quality_bands" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         |         CAST(LEN(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |         CAST(LEN(list_filter(toks,
+         |           w -> list_contains(['the','a','of','to','and'], w))) AS BIGINT)
+         |           AS n_stop
+         |  FROM t),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |         ${Det.sqlQi4(
+               "CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0) * 0.5 + " +
+               "(1.0 - CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)) * 0.3 + " +
+               "LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2")} AS score_q
+         |  FROM c WHERE n_tokens >= 1),
+         |b AS (
+         |  SELECT lang, quantile_cont(score_q, 0.25) AS b1,
+         |         quantile_cont(score_q, 0.5) AS b2,
+         |         quantile_cont(score_q, 0.75) AS b3
+         |  FROM sc GROUP BY 1)
+         |SELECT sc.doc_id, sc.lang,
+         |       ${Det.sqlR4("score_q / 10000.0")} AS score,
+         |       1 + CAST(score_q > b1 AS INT) + CAST(score_q > b2 AS INT)
+         |         + CAST(score_q > b3 AS INT) AS quartile,
+         |       score_q > b3 AS keep_top
+         |FROM sc JOIN b USING (lang)
+         |ORDER BY sc.doc_id ASC""".stripMargin,
     "q_text_tokens" ->
       s"""WITH t AS (SELECT source, $sqlToks AS toks FROM documents)
          |SELECT source, COUNT(*) AS n_docs,

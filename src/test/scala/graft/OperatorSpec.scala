@@ -1077,6 +1077,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(k.head.getAs[Long]("n_tokens") == n.toLong)
   }
 
+  test("quality bands: quartiles replay from interpolated boundaries per lang") {
+    val r = SparkEntry.queries("q_text_quality_bands")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val q = row.getAs[Int]("quartile")
+      assert(q >= 1 && q <= 4)
+      assert(row.getAs[Boolean]("keep_top") == (q == 4))
+    }
+    // replay: same qi4 scores, same (n-1)p interpolation, same thresholds
+    def qi4(x: Double): Long = math.floor(x * 10000 + 0.5).toLong
+    val byLang = r.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val scores = rows.map(x => qi4(x.getAs[Double]("score"))).sorted
+      def interp(p: Double): Double = {
+        val h = (scores.length - 1) * p
+        val lo = scores(h.toInt).toDouble
+        val hi = scores(math.ceil(h).toInt).toDouble
+        lo + (h - h.toInt) * (hi - lo)
+      }
+      val (b1, b2, b3) = (interp(0.25), interp(0.5), interp(0.75))
+      rows.foreach { row =>
+        val sq = qi4(row.getAs[Double]("score"))
+        val want = 1 + (if (sq > b1) 1 else 0) + (if (sq > b2) 1 else 0) +
+          (if (sq > b3) 1 else 0)
+        assert(row.getAs[Int]("quartile") == want,
+          s"$lang doc ${row.getAs[Long]("doc_id")}: quartile " +
+            s"${row.getAs[Int]("quartile")} != replay $want")
+      }
+      // boundary sanity: at least a quarter of the group sits at or
+      // under b1, at least half at or under b2 (ties can push above)
+      val n = scores.length
+      assert(scores.count(_ <= b1) * 4 >= n, s"$lang: b1 too low")
+      assert(scores.count(_ <= b2) * 2 >= n, s"$lang: b2 too low")
+    }
+  }
+
   test("containment: dominates jaccard, exact dups at 1, canonical pairs") {
     val cdf = SparkEntry.queries("q_dedup_containment")(spark, sf).cache()
     try {
