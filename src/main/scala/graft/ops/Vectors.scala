@@ -647,7 +647,54 @@ object Vectors {
       .orderBy(col("label").asc)
   }
 
+  /** Embedding-space drift between the train and test splits, per
+    * label — the vector-space sibling of q_text_kl_drift's token-space
+    * monitor, and the balance check behind every hash split: on a
+    * healthy split both sides draw from the same distribution, so the
+    * per-label split centroids are near-parallel (cos ≈ 1); a skewed
+    * or contaminated split shows up as centroid divergence before any
+    * model is trained. The centroid NORMS ship alongside: when a
+    * label's population mean is ≈0 (this fixture's isotropic
+    * embeddings are exactly that case) both split centroids are pure
+    * sampling noise and their cosine is uninformative — the norms are
+    * how a reader tells signal from noise.
+    *
+    * ONE corpus pass: the (label, pos) partial agg carries BOTH split
+    * centroids as conditional means (a filter-then-branch formulation
+    * would push each split predicate into its own scan and read the
+    * corpus twice — the ReuseExchange failure mode the KL rewrite
+    * removed). Centroid components go through [[Det.davg]] (decimal
+    * mean — bit-identical across engines); the cross-centroid cosine
+    * then qi4-quantizes each per-dim product before the 64-term sums,
+    * so dot and norms are exact longs and only the final
+    * divide-by-sqrt is (deterministic two-operand) IEEE. */
+  private val centroidDrift: Q = (s, d) => {
+    val tr = col("split") === "train"
+    val te = col("split") === "test"
+    Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("emb"), col("label"),
+        Sampling.splitCol(col("vec_id")).as("split"))
+      .select(col("label"), col("split"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(when(tr, 1)).as("ntr"),
+        Det.davg(when(tr, col("v"))).as("a"),
+        count(when(te, 1)).as("nte"),
+        Det.davg(when(te, col("v"))).as("b"))
+      .groupBy(col("label"))
+      .agg(max(col("ntr")).as("n_train"), max(col("nte")).as("n_test"),
+        sum(Det.qi4(col("a") * col("b"))).as("dot_q"),
+        sum(Det.qi4(col("a") * col("a"))).as("na_q"),
+        sum(Det.qi4(col("b") * col("b"))).as("nb_q"))
+      .select(col("label"), col("n_train"), col("n_test"),
+        Det.r4(sqrt(col("na_q") / lit(10000.0))).as("norm_train"),
+        Det.r4(sqrt(col("nb_q") / lit(10000.0))).as("norm_test"),
+        Det.r4(col("dot_q") /
+          sqrt(col("na_q").cast("double") * col("nb_q"))).as("cos_drift"))
+      .orderBy(col("label").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_centroid_drift" -> centroidDrift,
     "q_sim_diversity"     -> simDiversity,
     "q_sim_cosine_topk"   -> cosineTopk,
     "q_sim_cosine_native" -> cosineNative,
@@ -813,6 +860,37 @@ object Vectors {
          |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sim_centroid_drift" ->
+      s"""WITH c AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS emb, label,
+         |         ${Sampling.sqlSplit("vec_id")} AS split
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT label, split, i AS pos, emb[i] AS v
+         |  FROM c, UNNEST(generate_series(1, len(emb))) AS t(i)),
+         |cent AS (
+         |  SELECT label, pos,
+         |         CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT)
+         |           AS ntr,
+         |         ${Det.sqlDavg("CASE WHEN split = 'train' THEN v END")} AS a,
+         |         CAST(COUNT(CASE WHEN split = 'test' THEN 1 END) AS BIGINT)
+         |           AS nte,
+         |         ${Det.sqlDavg("CASE WHEN split = 'test' THEN v END")} AS b
+         |  FROM e GROUP BY 1, 2)
+         |SELECT label, MAX(ntr) AS n_train, MAX(nte) AS n_test,
+         |       ${Det.sqlR4(
+               "SQRT(CAST(SUM(" + Det.sqlQi4("a * a") +
+               ") AS BIGINT) / 10000.0)")} AS norm_train,
+         |       ${Det.sqlR4(
+               "SQRT(CAST(SUM(" + Det.sqlQi4("b * b") +
+               ") AS BIGINT) / 10000.0)")} AS norm_test,
+         |       ${Det.sqlR4(
+               "CAST(SUM(" + Det.sqlQi4("a * b") + ") AS BIGINT) / " +
+               "SQRT(CAST(CAST(SUM(" + Det.sqlQi4("a * a") +
+               ") AS BIGINT) AS DOUBLE) * CAST(SUM(" + Det.sqlQi4("b * b") +
+               ") AS BIGINT))")} AS cos_drift
+         |FROM cent GROUP BY label
+         |ORDER BY label ASC""".stripMargin,
     "q_sim_diversity" ->
       s"""WITH c0 AS ($sqlCorpus),
          |u AS (

@@ -211,6 +211,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.select("a_id", "b_id").except(two).count() == 0)
   }
 
+  test("centroid drift: bounded cosine, counts partition, exact replay") {
+    val r = SparkEntry.queries("q_sim_centroid_drift")(spark, sf).collect()
+    assert(r.nonEmpty)
+    val total = graft.io.Tables.embeddings(spark, sf).count()
+    assert(r.map(x => x.getAs[Long]("n_train") + x.getAs[Long]("n_test")).sum
+      == total, "split counts must partition the corpus")
+    r.foreach { row =>
+      val cs = row.getAs[java.lang.Double]("cos_drift")
+      assert(cs != null && cs >= -1.0001 && cs <= 1.0001)
+      // this fixture's embeddings are isotropic: label means ≈ 0, so
+      // split centroids are sampling noise — the norms must say so
+      // (tiny relative to the ~1-per-dim component scale), which is
+      // exactly why the operator ships them next to the cosine
+      assert(row.getAs[Double]("norm_train") >= 0.0 &&
+        row.getAs[Double]("norm_train") < 1.0)
+      assert(row.getAs[Double]("norm_test") >= 0.0 &&
+        row.getAs[Double]("norm_test") < 1.0)
+    }
+    // exact replay for one label: same decimal means, same quantized sums
+    val rows = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .collect()
+      .map(x => (x.getAs[Int]("label"), x.getAs[Long]("vec_id"),
+        x.getSeq[Double](2).toArray))
+    val lbl = r.head.getAs[Int]("label")
+    def md5s(v: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes).map("%02x".format(_)).mkString
+    val mine = rows.filter(_._1 == lbl)
+      .map { case (_, id, emb) => (md5s(id).substring(0, 2) < "cc", emb) }
+    def cent(side: Boolean): Array[Double] = {
+      val vs = mine.filter(_._1 == side).map(_._2)
+      (0 until vs.head.length).map { i =>
+        val s = vs.map(v => BigDecimal(v(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / vs.length
+        math.floor(s * 10000 + 0.5) / 10000
+      }.toArray
+    }
+    def qs(xs: Array[Double]): Long =
+      xs.map(x => math.floor(x * 10000 + 0.5).toLong).sum
+    val (a, b) = (cent(true), cent(false))
+    val dotQ = qs(a.zip(b).map { case (x, y) => x * y })
+    val (naQ, nbQ) = (qs(a.map(x => x * x)), qs(b.map(x => x * x)))
+    val expect = math.floor(dotQ / math.sqrt(naQ.toDouble * nbQ) * 10000 + 0.5) / 10000
+    assert(r.head.getAs[Double]("cos_drift") == expect,
+      s"label $lbl: cos ${r.head.getAs[Double]("cos_drift")} != replay $expect")
+    val expectNa = math.floor(math.sqrt(naQ / 10000.0) * 10000 + 0.5) / 10000
+    assert(r.head.getAs[Double]("norm_train") == expectNa,
+      s"label $lbl: norm_train != replay $expectNa")
+  }
+
   test("diversity: sum-vector identity equals brute-force pairwise mean") {
     val r = SparkEntry.queries("q_sim_diversity")(spark, sf).collect()
     assert(r.nonEmpty)
