@@ -22,6 +22,43 @@ class ScaleSpec extends AnyFunSuite {
       s"explode runs on ${dw.rdd.getNumPartitions} partitions, want $expected")
   }
 
+  test("registry sweep: no corpus-sized single-partition shuffle anywhere") {
+    // Mechanizes the per-round plan audit's one disqualifying shape: a
+    // SinglePartition shuffle that funnels a data-sized stream through
+    // one task (the q_window_ntile defect class — fixed round 9; this
+    // guard keeps it fixed for every current and future registry key).
+    // Legitimate SinglePartition exchanges (global aggregates,
+    // dictionary collect_lists) carry only per-partition partials —
+    // ≤ shuffle.partitions records — so a generous cap separates them
+    // cleanly from anything corpus-shaped. ORDER BY output sorts use
+    // RangePartitioning and are exempt by construction: the contract's
+    // output sort is output-sized, and AQE sizes its partition count.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec        => p +: flatten(q.plan)
+      case r: ReusedExchangeExec    => p +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val cap = 4096L
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val qe = fn(spark, sf).queryExecution
+        qe.toRdd.count()
+        flatten(qe.executedPlan).collect {
+          case e: ShuffleExchangeLike
+            if e.outputPartitioning == SinglePartition &&
+              e.metrics.get("shuffleRecordsWritten").exists(_.value > cap) =>
+            s"$name: ${e.metrics("shuffleRecordsWritten").value} records " +
+              "through a single-partition shuffle"
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("bucketed co-located join plans with no shuffle exchange") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
