@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Det
 import graft.io.Tables
@@ -210,6 +211,32 @@ object Events {
     * purchase + an equality join back for the click id (with a max
     * tie-break on id for same-millisecond clicks) — all keyed by
     * purchase_id, partial-aggregated, no per-user window sort. */
+  /** Event-type transition matrix: P(next type | current type) over
+    * each user's time-ordered event sequence — the first-order Markov
+    * model behind behavioral segmentation and anomaly scoring on an
+    * event stream.
+    *
+    * Plan: one user-keyed window (`lead` over the user timeline — the
+    * high-cardinality partitioning that scales; never a global
+    * ordering), then the corpus collapses into a ≤|types|² transition
+    * agg; row totals attach to that tiny frame via a from-keyed window
+    * (spec-bounded rows, not corpus). Probabilities are exact-count
+    * ratios r4-rounded at the edge. */
+  private val markov: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("n_from",
+        sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        Det.r4(col("n_transitions").cast("double") / col("n_from")).as("p"))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
   private val attribution: Q = (s, d) => {
     val e = ev(s, d)
     val clicks = e.filter(col("event_type") === "click")
@@ -375,6 +402,7 @@ object Events {
     "q_events_attribution" -> attribution,
     "q_events_dau_wau" -> dauWau,
     "q_events_cusum" -> cusum,
+    "q_events_markov" -> markov,
     "q_agg_histogram" -> histogram,
   )
 
@@ -502,6 +530,26 @@ object Events {
          |       ${Det.sqlR4("z")} AS z,
          |       COALESCE(ABS(z) > $AnomalyZ, FALSE) AS is_anomaly
          |FROM zz ORDER BY day ASC""".stripMargin,
+    "q_events_markov" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, ${Det.sqlEts("ts")} AS ts
+         |  FROM events),
+         |p AS (
+         |  SELECT event_type AS from_type,
+         |         LEAD(event_type, 1) OVER (PARTITION BY user_id
+         |           ORDER BY ts ASC, event_id ASC) AS to_type
+         |  FROM e),
+         |t AS (
+         |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+         |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |f AS (
+         |  SELECT *, CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+         |           AS BIGINT) AS n_from
+         |  FROM t)
+         |SELECT from_type, to_type, n_transitions,
+         |       ${Det.sqlR4("CAST(n_transitions AS DOUBLE) / n_from")} AS p
+         |FROM f
+         |ORDER BY from_type ASC, to_type ASC""".stripMargin,
     "q_events_attribution" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, event_type, ${Det.sqlEts("ts")} AS ts

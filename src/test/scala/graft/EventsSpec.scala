@@ -199,6 +199,35 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov: rows sum to 1 per from-type, counts replay sequentially") {
+    val r = SparkEntry.queries("q_events_markov")(spark, sf).collect()
+    assert(r.nonEmpty)
+    // each row of the transition matrix is a probability distribution
+    r.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rows) =>
+      val mass = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-3 * rows.length,
+        s"$ft: row mass $mass")
+    }
+    // sequential replay: order every user's events on the driver and
+    // count adjacent pairs with the same (ts, event_id) tie order
+    val evs = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(graft.Det.ets(col("ts"))).as("tsm"))
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("event_id"),
+        x.getAs[String]("event_type"), x.getLong(3)))
+    val want = evs.groupBy(_._1).values.flatMap { g =>
+      val types = g.sortBy(e => (e._4, e._2)).map(_._3)
+      types.zip(types.drop(1))
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    assert(r.length == want.size)
+    r.foreach { row =>
+      val k = (row.getAs[String]("from_type"), row.getAs[String]("to_type"))
+      assert(row.getAs[Long]("n_transitions") == want(k),
+        s"$k: ${row.getAs[Long]("n_transitions")} != replay ${want(k)}")
+    }
+  }
+
   test("histogram: total mass, bin bounds, every value inside its bin") {
     val h = SparkEntry.queries("q_agg_histogram")(spark, sf).collect()
     val total = graft.io.Tables.events(spark, sf).count()
