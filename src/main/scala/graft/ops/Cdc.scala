@@ -129,6 +129,43 @@ object Cdc {
       .orderBy(col("user_id").asc)
   }
 
+  /** Snapshot reconciliation — the consistency check a CDC pipeline
+    * runs after a bootstrap or on suspected drift: diff the live
+    * compacted state against a point-in-time snapshot (the
+    * [[snapshotAt]] horizon plays the stale target) and emit the op
+    * stream (insert/update/delete) that would bring the target
+    * current. The op classification is the apply-side inverse of
+    * [[mergeUpsert]]: what merge folds in, reconcile detects as
+    * missing.
+    *
+    * Plan: both sides are the standard one-shuffle window compaction,
+    * diffed by ONE entity-keyed full outer join — at 100 TB this is
+    * two keyed compactions + one co-partitioned join, no broadcast of
+    * anything state-sized. On an append-only fixture 'delete' is
+    * structurally unreachable (live keys ⊇ snapshot keys — the spec
+    * asserts exactly that); it fires when a real target holds keys the
+    * source has since compacted away. */
+  private val reconcile: Q = (s, d) => {
+    val horizon = lit("2024-01-15 00:00:00").cast("timestamp")
+    def compact(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+    val tgt = compact(stream(s, d).filter(col("ts") <= horizon))
+      .select(col("user_id"), col("event_id").as("tgt_event_id"))
+    val src = compact(stream(s, d))
+      .select(col("user_id"), col("event_id").as("src_event_id"),
+        col("event_type").as("src_event_type"), col("value").as("src_value"))
+    src.join(tgt, Seq("user_id"), "full_outer")
+      .withColumn("op",
+        when(col("tgt_event_id").isNull, "insert")
+          .when(col("src_event_id").isNull, "delete")
+          .when(col("src_event_id") =!= col("tgt_event_id"), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("user_id"), col("op"), col("tgt_event_id"),
+        col("src_event_id"), col("src_event_type"), col("src_value"))
+      .orderBy(col("user_id").asc)
+  }
+
   /** Batch/transaction accounting: per (key, hour) — the relay's
     * Begin..Commit batch summary. min_by/max_by pick first/last payload
     * by sequence without a second window pass. */
@@ -252,6 +289,7 @@ object Cdc {
     "q_cdc_merge_upsert"  -> mergeUpsert,
     "q_cdc_snapshot_at"   -> snapshotAt,
     "q_cdc_txn_stats"     -> txnStats,
+    "q_cdc_reconcile"     -> reconcile,
   )
 
   private val sqlStream =
@@ -393,6 +431,29 @@ object Cdc {
          |SELECT user_id, event_id, event_type, value,
          |       ${Det.sqlOutTs("ts")} AS ts
          |FROM r WHERE rn = 1
+         |ORDER BY user_id ASC""".stripMargin,
+    "q_cdc_reconcile" ->
+      s"""WITH s AS ($sqlStream),
+         |tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                 ORDER BY ts DESC, event_id DESC) AS rn
+         |       FROM s WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+         |tgt AS (SELECT user_id, event_id AS tgt_event_id FROM tr WHERE rn = 1),
+         |sr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                 ORDER BY ts DESC, event_id DESC) AS rn FROM s),
+         |src AS (SELECT user_id, event_id AS src_event_id,
+         |               event_type AS src_event_type, value AS src_value
+         |        FROM sr WHERE rn = 1),
+         |j AS (
+         |  SELECT COALESCE(src.user_id, tgt.user_id) AS user_id,
+         |         tgt_event_id, src_event_id, src_event_type, src_value,
+         |         CASE WHEN tgt_event_id IS NULL THEN 'insert'
+         |              WHEN src_event_id IS NULL THEN 'delete'
+         |              WHEN src_event_id <> tgt_event_id THEN 'update'
+         |         END AS op
+         |  FROM src FULL OUTER JOIN tgt ON src.user_id = tgt.user_id)
+         |SELECT user_id, op, tgt_event_id, src_event_id,
+         |       src_event_type, src_value
+         |FROM j WHERE op IS NOT NULL
          |ORDER BY user_id ASC""".stripMargin,
     "q_cdc_txn_stats" ->
       s"""WITH s AS ($sqlStream)

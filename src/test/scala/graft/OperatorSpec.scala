@@ -57,6 +57,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(latest.count() - tomb.count() == dropped)
   }
 
+  test("reconcile: classifies against snapshot/latest, applying converges") {
+    val rec = SparkEntry.queries("q_cdc_reconcile")(spark, sf).cache()
+    try {
+      val latest = SparkEntry.queries("q_cdc_latest_state")(spark, sf)
+        .select(col("user_id"), col("event_id"))
+      val snap = SparkEntry.queries("q_cdc_snapshot_at")(spark, sf)
+        .select(col("user_id"), col("event_id"))
+      // append-only stream: live keys ⊇ snapshot keys → no deletes
+      assert(rec.filter(col("op") === "delete").count() == 0)
+      // inserts are exactly the keys absent from the snapshot
+      val wantIns = latest.select("user_id").except(snap.select("user_id"))
+      assert(rec.filter(col("op") === "insert").count() == wantIns.count())
+      // updates are keys present in both whose compacted head moved
+      val wantUpd = latest.join(
+          snap.withColumnRenamed("event_id", "snap_id"), "user_id")
+        .filter(col("event_id") =!= col("snap_id"))
+      assert(rec.filter(col("op") === "update").count() == wantUpd.count())
+      assert(rec.count() > 0, "horizon must leave drift to reconcile")
+      // convergence: snapshot + emitted ops = latest state, key for key
+      val applied = snap.withColumnRenamed("event_id", "eid")
+        .join(rec.select(col("user_id"), col("op"),
+          col("src_event_id")), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("src_event_id"), col("eid")).as("event_id"))
+      assert(applied.except(latest).count() == 0 &&
+        latest.except(applied).count() == 0,
+        "applying the reconcile ops does not converge to latest state")
+    } finally rec.unpersist()
+  }
+
   test("snapshot_at is a subset of latest_state keys and monotone") {
     val snap = SparkEntry.queries("q_cdc_snapshot_at")(spark, sf)
     val full = SparkEntry.queries("q_cdc_latest_state")(spark, sf)
