@@ -771,6 +771,70 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** PageRank iteration count and damping factor (damping enters the
+    * arithmetic only through exact quantized forms: 0.15 ≡ 1500 rank
+    * units, and one two-operand double multiply per node per round). */
+  private[graft] val PrRounds = 5
+  private[graft] val PrDamping = 0.85
+
+  /** PageRank over the verified near-dup graph — in-cluster centrality
+    * for keeper selection: the member most linked into its duplicate
+    * family is the canonical copy candidate, a signal min-id keeper
+    * choice ([[clustersSig]]) cannot see. Beyond CC's reachability this
+    * is the engine's iterative WEIGHTED propagation: per-round mass
+    * flows along edges instead of labels collapsing to a minimum.
+    *
+    * Determinism across engines is the whole trick: ranks live as
+    * exact integer 1e-4 units. Each round sends floor(rank/deg) per
+    * edge (IEEE double division of two longs, floored — identical in
+    * both engines), sums contributions as exact longs, then applies
+    * damping as 1500 + floor(0.85 · in) — ONE two-operand double
+    * multiply per node. Both engines therefore iterate on
+    * bit-identical integer states and even rank ties agree after five
+    * rounds. (Simplified formulation: dangling mass is not
+    * redistributed — isolated docs hold exactly 0.15, the
+    * uncollected-mass convention per-component ranking doesn't need.)
+    *
+    * Plan: the expensive pair lineage materializes ONCE
+    * (localCheckpoint, the CC engine's pattern), then each round is
+    * one keyed join + one keyed agg on edge-sized streams — no
+    * broadcast of anything graph-sized, no driver-side graph state.
+    * The oracle unrolls the same five rounds from one Scala loop into
+    * SQL CTEs (the z-order bit-interleave precedent). */
+  private val pagerank: Q = (s, d) => {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val pairs = minhashEstimates(s, d)
+      .filter(col("n_match") >= lit(VerifyMatchMin))
+      .select(col("a_id"), col("b_id"))
+    val both = pairs.select(col("a_id").as("u"), col("b_id").as("w"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
+      .localCheckpoint()
+    val deg = both.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("doc_id"), lit(10000L).as("rank_q"))
+    for (_ <- 1 to PrRounds) {
+      val inbound = ranks
+        .join(deg, col("doc_id") === col("u"))
+        .select(col("doc_id").as("src"),
+          floor(col("rank_q") / col("deg")).as("c_q"))
+        .join(both.select(col("u").as("src"), col("w")), "src")
+        .groupBy(col("w")).agg(sum(col("c_q")).as("in_q"))
+      ranks = nodes
+        .join(inbound.select(col("w").as("doc_id"), col("in_q")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(1500L) +
+            floor(coalesce(col("in_q"), lit(0L)) * lit(PrDamping)))
+            .as("rank_q"))
+        .localCheckpoint()
+    }
+    ranks
+      .join(deg.select(col("u").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+        Det.r4(col("rank_q") / lit(10000.0)).as("rank"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Leakage-safe train/test split: the hash-split key is the near-dup
     * CLUSTER label, not the document id, so an entire duplicate family
     * lands on one side of the split. A doc-keyed split (the plain
@@ -1160,6 +1224,7 @@ object Dedup {
     "q_dedup_clusters"    -> clusters,
     "q_dedup_clusters_sig" -> clustersSig,
     "q_split_leakage_safe" -> splitLeakageSafe,
+    "q_dedup_pagerank"    -> pagerank,
   )
 
   private def sqlToks = Text.sqlToks
@@ -1507,6 +1572,35 @@ object Dedup {
          |       doc_id = cluster_id AS is_keeper
          |FROM lab
          |ORDER BY doc_id ASC""".stripMargin,
+    "q_dedup_pagerank" -> {
+      // the same five integer rounds the Spark loop runs, unrolled
+      // into CTEs from one generator (z-order bit-interleave precedent)
+      val rounds = (1 to PrRounds).map { i =>
+        s"""r$i AS (
+           |  SELECT d.doc_id,
+           |         CAST(1500 + CAST(FLOOR(COALESCE(i$i.in_q, 0) * $PrDamping)
+           |           AS BIGINT) AS BIGINT) AS rank_q
+           |  FROM documents d LEFT JOIN (
+           |    SELECT pe.w,
+           |           CAST(SUM(CAST(FLOOR(r.rank_q / dg.deg) AS BIGINT))
+           |             AS BIGINT) AS in_q
+           |    FROM r${i - 1} r
+           |    JOIN dg ON dg.u = r.doc_id
+           |    JOIN pe ON pe.u = r.doc_id
+           |    GROUP BY pe.w) i$i ON i$i.w = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""$sqlMinhashEstCte,
+         |pe AS (SELECT a_id AS u, b_id AS w FROM v WHERE n_match >= $VerifyMatchMin
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM v WHERE n_match >= $VerifyMatchMin),
+         |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM pe GROUP BY 1),
+         |r0 AS (SELECT doc_id, CAST(10000 AS BIGINT) AS rank_q FROM documents),
+         |$rounds
+         |SELECT r$PrRounds.doc_id, COALESCE(dg.deg, 0) AS degree,
+         |       ${Det.sqlR4("rank_q / 10000.0")} AS rank
+         |FROM r$PrRounds LEFT JOIN dg ON dg.u = r$PrRounds.doc_id
+         |ORDER BY r$PrRounds.doc_id ASC""".stripMargin
+    },
     "q_split_leakage_safe" ->
       s"""${sqlMinhashEstCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |ed AS (SELECT a_id AS u, b_id AS w FROM v WHERE n_match >= $VerifyMatchMin

@@ -703,6 +703,40 @@ class OperatorSpec extends AnyFunSuite {
       s"signature clustering agrees on only $agree of $n docs")
   }
 
+  test("pagerank: integer iteration replays bit-exactly, isolated at 0.15") {
+    val r = SparkEntry.queries("q_dedup_pagerank")(spark, sf).collect()
+    assert(r.nonEmpty)
+    // driver replay with the SAME integer arithmetic over the declared
+    // verify pair graph
+    val pairs = SparkEntry.queries("q_dedup_minhash_verify")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val docs = r.map(_.getAs[Long]("doc_id"))
+    var rank = docs.map(_ -> 10000L).toMap
+    for (_ <- 1 to graft.ops.Dedup.PrRounds) {
+      val in = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (u, w) =>
+        val c = math.floor(rank(u).toDouble / deg(u)).toLong
+        in(w) = in.getOrElse(w, 0L) + c
+      }
+      rank = docs.map(dc => dc -> (1500L +
+        math.floor(in.getOrElse(dc, 0L) * graft.ops.Dedup.PrDamping).toLong)).toMap
+    }
+    r.foreach { row =>
+      val dId = row.getAs[Long]("doc_id")
+      val got = math.floor(row.getAs[Double]("rank") * 10000 + 0.5).toLong
+      assert(got == rank(dId), s"doc $dId: rank_q $got != replay ${rank(dId)}")
+      assert(row.getAs[Long]("degree") == deg.getOrElse(dId, 0L))
+      if (deg.getOrElse(dId, 0L) == 0)
+        assert(row.getAs[Double]("rank") == 0.15, s"isolated doc $dId")
+    }
+    // dup-family hubs must out-rank isolated docs
+    assert(r.filter(_.getAs[Long]("degree") > 0)
+      .exists(_.getAs[Double]("rank") > 0.15))
+  }
+
   test("leakage-safe split: clusters pure, no verify pair crosses, doc split leaks") {
     val sp = SparkEntry.queries("q_split_leakage_safe")(spark, sf).cache()
     try {
