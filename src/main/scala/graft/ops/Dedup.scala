@@ -806,9 +806,19 @@ object Dedup {
     val pairs = minhashEstimates(s, d)
       .filter(col("n_match") >= lit(VerifyMatchMin))
       .select(col("a_id"), col("b_id"))
+    // DISK_ONLY, not localCheckpoint, for the directed edge stream —
+    // the one corpus-scale intermediate here (75 M rows at sf1). A
+    // heap-backed checkpoint pins it in executor memory across all
+    // five rounds: measured at sf1 that old-gen pressure failed the
+    // query outright AND poisoned every later query in the same JVM
+    // (65 suite failures) — the identical failure mode
+    // [[connectedComponentsStar]] documents for its raw pair set. On
+    // disk each round pays one deserialize; the heap holds nothing.
     val both = pairs.select(col("a_id").as("u"), col("b_id").as("w"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // node-sized → heap checkpoint is right; materializing it also
+    // materializes `both` into the disk store
     val deg = both.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var ranks = nodes.select(col("doc_id"), lit(10000L).as("rank_q"))
@@ -828,6 +838,9 @@ object Dedup {
             .as("rank_q"))
         .localCheckpoint()
     }
+    // every round is materialized (eager checkpoints); the returned
+    // plan reads only the final ranks + deg — release the disk copy
+    both.unpersist(false)
     ranks
       .join(deg.select(col("u").as("doc_id"), col("deg")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
