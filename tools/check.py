@@ -154,6 +154,50 @@ def unionfind_main(sf_dir: str, out_dir: str) -> int:
                 else:
                     print(f"PASS q_split_leakage_safe (union-find labels + "
                           f"md5 split, {len(lgot)} docs)")
+    # q_dedup_pagerank: the 5-round CTE oracle is infeasible in DuckDB at
+    # volume; replay the same exact integer iteration over the declared
+    # verify-pair parquet (the graph source) and compare bit-for-bit.
+    pdir = f"{out_dir}/q_dedup_pagerank"
+    vdir = f"{out_dir}/q_dedup_minhash_verify"
+    if os.path.isdir(pdir) and os.path.isdir(vdir):
+        import math
+        pairs = con.sql(
+            f"SELECT a_id, b_id FROM read_parquet('{vdir}/*.parquet')").df()
+        got = con.sql(
+            f"SELECT doc_id, degree, rank "
+            f"FROM read_parquet('{pdir}/*.parquet')").df()
+        edges = []
+        for a, b in zip(pairs["a_id"].to_numpy(), pairs["b_id"].to_numpy()):
+            edges.append((int(a), int(b)))
+            edges.append((int(b), int(a)))
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        rank = {int(d): 10000 for d in docs}
+        for _ in range(5):
+            inb = {}
+            for u, w in edges:
+                inb[w] = inb.get(w, 0) + int(math.floor(rank[u] / deg[u]))
+            rank = {d: 1500 + int(math.floor(inb.get(d, 0) * 0.85))
+                    for d in rank}
+        pdiffs = 0
+        for d, dg, rk in zip(got["doc_id"].to_numpy(),
+                             got["degree"].to_numpy(), got["rank"].to_numpy()):
+            d = int(d)
+            want_q = rank[d]
+            got_q = int(math.floor(rk * 10000 + 0.5))
+            if got_q != want_q or int(dg) != deg.get(d, 0):
+                pdiffs += 1
+                if pdiffs == 1:
+                    print(f"  first diff doc_id={d}: spark=({got_q},{dg}) "
+                          f"replay=({want_q},{deg.get(d, 0)})")
+        if len(got) != len(rank) or pdiffs:
+            print(f"FAIL q_dedup_pagerank: {pdiffs} diffs "
+                  f"({len(got)} rows vs {len(rank)} docs)")
+            ok = False
+        else:
+            print(f"PASS q_dedup_pagerank (integer replay over "
+                  f"{len(pairs)} verify pairs, {len(rank)} docs)")
     return 0 if ok else 1
 
 
