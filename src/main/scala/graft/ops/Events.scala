@@ -74,7 +74,8 @@ object Events {
           " AS (step, step_name, n_users, n_prev)")
       .select(col("step").cast("int").as("step"), col("step_name"),
         col("n_users"),
-        Det.r4(col("n_users").cast("double") / col("n_prev"))
+        Det.r4(when(col("n_prev") > 0,
+          col("n_users").cast("double") / col("n_prev")))
           .as("conv_prev"))
       .orderBy(col("step").asc)
   }
@@ -175,8 +176,10 @@ object Events {
     * IEEE expression on engine-identical values. The deviation square
     * is an explicit multiplication, NOT `pow(x, 2)` — libm pow is not
     * guaranteed exactly-rounded, multiplication is. Days with zero
-    * trailing variance (or no trailing baseline at all) emit z = NULL,
-    * never a division blow-up. */
+    * trailing variance emit z = NULL, never a division blow-up; the
+    * first spine day has no trailing baseline at all, so the inner
+    * band join OMITS it from the result entirely (both engines —
+    * EventsSpec asserts rows == spine − 1). */
   private val anomaly: Q = (s, d) => {
     val filled = filledSpine(s, d)
     val g = filled.select(col("day").as("g_day"), col("sv_q").as("g_sv_q"))
@@ -434,7 +437,9 @@ object Events {
          |  UNION ALL
          |  SELECT 3, 'purchase', n3, n2 FROM c)
          |SELECT step, step_name, n_users,
-         |       ${Det.sqlR4("CAST(n_users AS DOUBLE) / n_prev")} AS conv_prev
+         |       CASE WHEN n_prev > 0 THEN
+         |         ${Det.sqlR4("CAST(n_users AS DOUBLE) / n_prev")}
+         |       END AS conv_prev
          |FROM u ORDER BY step ASC""".stripMargin,
     "q_events_retention" ->
       s"""WITH e AS (
@@ -594,7 +599,7 @@ object Events {
         |  GROUP BY 1)
         |SELECT s.day, COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau, 0) AS wau,
         |       CASE WHEN COALESCE(wau.wau, 0) > 0 THEN
-        |         FLOOR(CAST(dau.dau AS DOUBLE) / wau.wau * 10000 + 0.5) / 10000
+        |         FLOOR(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / wau.wau * 10000 + 0.5) / 10000
         |       END AS stickiness
         |FROM spine s LEFT JOIN dau ON dau.day = s.day
         |LEFT JOIN wau ON wau.day = s.day

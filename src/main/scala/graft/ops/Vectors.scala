@@ -688,8 +688,9 @@ object Vectors {
       .select(col("label"), col("n_train"), col("n_test"),
         Det.r4(sqrt(col("na_q") / lit(10000.0))).as("norm_train"),
         Det.r4(sqrt(col("nb_q") / lit(10000.0))).as("norm_test"),
-        Det.r4(col("dot_q") /
-          sqrt(col("na_q").cast("double") * col("nb_q"))).as("cos_drift"))
+        Det.r4(when(col("na_q") > 0 && col("nb_q") > 0,
+          col("dot_q") /
+            sqrt(col("na_q").cast("double") * col("nb_q")))).as("cos_drift"))
       .orderBy(col("label").asc)
   }
 
@@ -884,11 +885,13 @@ object Vectors {
          |       ${Det.sqlR4(
                "SQRT(CAST(SUM(" + Det.sqlQi4("b * b") +
                ") AS BIGINT) / 10000.0)")} AS norm_test,
+         |       CASE WHEN CAST(SUM(${Det.sqlQi4("a * a")}) AS BIGINT) > 0
+         |             AND CAST(SUM(${Det.sqlQi4("b * b")}) AS BIGINT) > 0 THEN
          |       ${Det.sqlR4(
                "CAST(SUM(" + Det.sqlQi4("a * b") + ") AS BIGINT) / " +
                "SQRT(CAST(CAST(SUM(" + Det.sqlQi4("a * a") +
                ") AS BIGINT) AS DOUBLE) * CAST(SUM(" + Det.sqlQi4("b * b") +
-               ") AS BIGINT))")} AS cos_drift
+               ") AS BIGINT))")} END AS cos_drift
          |FROM cent GROUP BY label
          |ORDER BY label ASC""".stripMargin,
     "q_sim_diversity" ->

@@ -155,7 +155,7 @@ class EventsSpec extends AnyFunSuite {
     r.foreach { row =>
       assert(row.getAs[Long]("dau") <= row.getAs[Long]("wau"))
       val st = row.getAs[java.lang.Double]("stickiness")
-      if (st != null) assert(st > 0.0 && st <= 1.0)
+      if (st != null) assert(st >= 0.0 && st <= 1.0)
     }
     // wau(day) must equal |∪ trailing-7 daily active sets| — recompute
     // from the raw (user, day) grid
