@@ -455,24 +455,72 @@ object Dedup {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Store directory for a derived artifact of `d`'s documents table:
+    * `<root>/<sanitized d>-<kind>-<content stamp>`. The stamp in the
+    * path keys freshness (fixture regeneration ⇒ new path ⇒ rebuild);
+    * the root defaults to /tmp/graft-sig-store and is overridable with
+    * SPARK_GRAFT_SIG_STORE. */
+  private[ops] def storeDir(d: String, kind: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
+    s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
+      fsStamp(s"$d/documents.parquet")
+  }
+
+  /** Build-once-read-forever parquet materialization: if `dir` lacks a
+    * `_SUCCESS` marker, run `build` and write it (the marker gates
+    * readability, so a crashed build never half-reads); then read the
+    * table back as plain parquet. The content stamp in `dir` (see
+    * [[storeDir]]) plays the table-format snapshot-id role a
+    * Delta/Iceberg deployment would use. */
+  private def storedTable(s: SparkSession, dir: String)
+                         (build: => DataFrame): DataFrame = {
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   /** The STORED corpus signature/band table behind
     * [[incrementalStored]]: built ONCE per (fixture path, content
     * stamp) — tokenize + 64 salted hashes + band agg over the old
-    * corpus — then read back as plain parquet forever after. The
-    * `_SUCCESS` marker gates readability (a crashed build never
-    * half-reads); the stamp in the path keys freshness. Override the
-    * store root with SPARK_GRAFT_SIG_STORE. */
-  private[graft] def storedCorpusSigs(s: SparkSession, d: String): DataFrame = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
-    val dir = s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
-      fsStamp(s"$d/documents.parquet")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    * corpus — then read back as plain parquet forever after. */
+  private[graft] def storedCorpusSigs(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "oldsigs")) {
       val isOld = pmod(col("doc_id"), lit(NewBatchMod)) =!= NewBatchMod - 1
       sigBands(docTokens(s, d).filter(isOld))
-        .write.mode("overwrite").parquet(dir)
     }
-    s.read.parquet(dir)
-  }
+
+  /** The STORED verified near-dup pair table — the materialization the
+    * round-9 audit asked for: the full signature→band→verify lineage
+    * ([[minhashEstimates]] thresholded at [[VerifyMatchMin]]) runs ONCE
+    * per (fixture path, content stamp) and every downstream graph
+    * consumer reads the resulting (a_id, b_id, n_match) parquet instead
+    * of re-deriving the SAME pair stream. Before this table existed,
+    * q_dedup_pagerank, q_split_leakage_safe and q_dedup_clusters_sig
+    * each recomputed the lineage in-query — ~45% of the sf1 suite spent
+    * re-verifying identical pairs three times. Signatures are content-
+    * derived and immutable, so the table is append-only under ingest;
+    * the stamp-keyed path is the freshness contract. */
+  private[graft] def storedVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "pairs")) {
+      minhashEstimates(s, d)
+        .filter(col("n_match") >= lit(VerifyMatchMin))
+        .select(col("a_id"), col("b_id"), col("n_match"))
+    }
+
+  /** The STORED cluster-label table: connected components over
+    * [[storedVerifiedPairs]], built once per content stamp. This is the
+    * artifact a production corpus keeps WARM — keeper selection, split
+    * assignment and incremental maintenance all read labels, none of
+    * them re-run star-CC. Building it reads the stored pair table (so a
+    * cold start pays pair-lineage + CC once, in sequence, each cached
+    * for the next consumer). Labels are component-minimum doc_ids —
+    * identical to [[clustersSig]]'s by construction. */
+  private[graft] def storedClusterLabels(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "labels")) {
+      connectedComponentsStar(
+        Tables.documents(s, d).select(col("doc_id")),
+        storedVerifiedPairs(s, d).select(col("a_id"), col("b_id")))
+    }
 
   /** Incremental near-dedup against the STORED signature table — the
     * formulation a daily-ingest pipeline actually runs, and the cost
