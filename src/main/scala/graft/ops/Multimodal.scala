@@ -232,31 +232,126 @@ object Multimodal {
         col("width").as("r_width"), col("height").as("r_height"))
       .orderBy(col("doc_id").asc)
 
-  private val FrameChars = 64
   private val SampleEvery = 4
 
-  /** Declared query: frame sampling over the payload treated as a
-    * fixed-frame "video" (64-char frames of the text stand-in; a real
-    * container parser replaces the framing, the sampling algebra stays).
-    * Every 4th frame is sampled; the checksum folds the first char code
-    * of each sampled frame — deterministic in both engines. */
-  private val framesQ: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("n_chars_t", length(col("text")).cast("long"))
-      .withColumn("n_frames",
-        ceil(col("n_chars_t").cast("double") / FrameChars).cast("long"))
-      // guard: sequence(0, -1) generates DESCENDING [0,-1], not empty —
-      // an empty doc must sample zero frames, like the oracle's range(0,0)
-      .withColumn("sampled",
-        expr(s"CASE WHEN n_frames > 0 THEN " +
-          s"filter(sequence(0, CAST(n_frames - 1 AS INT)), f -> f % $SampleEvery = 0) " +
-          "ELSE CAST(array() AS array<int>) END"))
-      .select(col("doc_id"), col("n_frames"),
-        size(col("sampled")).cast("long").as("n_sampled"),
-        expr(s"aggregate(transform(sampled, " +
-          s"f -> CAST(ascii(substring(text, f * $FrameChars + 1, 1)) AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("checksum"))
+  /** Animated-GIF generator constants: frame count is SQL-predictable
+    * arithmetic in `n_chars` (1..13 — never zero, so the sampled set
+    * always holds frame 0), frame dims are small fixed. */
+  private[graft] def genFrames(nChars: Long): Int = (nChars % 13).toInt + 1
+  private[graft] val SqlGenFrames = "CAST(n_chars % 13 + 1 AS BIGINT)"
+  private val FrameW = 8
+  private val FrameH = 6
+
+  /** Exact 24-bit solid color of frame `f` — modular arithmetic with
+    * an identical SQL form ([[sqlFrameColor]]); both factors keep
+    * doc_id·c well under 2^63 at any fixture scale. */
+  private[graft] def frameColor(docId: Long, f: Int): Int =
+    ((docId * 1315423911L + f * 2654435761L) % 16777216L).toInt
+  private val SqlFrameColor =
+    "(doc_id * 1315423911 + f * 2654435761) % 16777216"
+
+  /** One REAL animated GIF with [[genFrames]] frames via the JDK's own
+    * GIF sequence writer. Each frame is a SOLID color through an
+    * explicit 2-entry IndexColorModel — GIF is lossless for paletted
+    * images, so the decoded pixel equals [[frameColor]] EXACTLY and
+    * the checksum stays SQL-predictable while the container bytes are
+    * genuine multi-frame codec output. */
+  private[graft] def renderGif(docId: Long, nChars: Long): Array[Byte] = {
+    memCachedIO
+    val n = genFrames(nChars)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < n) {
+      val icm = new java.awt.image.IndexColorModel(8, 2,
+        Array(frameColor(docId, f), 0x000000), 0, false, -1,
+        java.awt.image.DataBuffer.TYPE_BYTE)
+      // raster defaults to index 0 ⇒ the whole frame is frameColor
+      val img = new java.awt.image.BufferedImage(FrameW, FrameH,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** `(doc_id, payload)` with REAL multi-frame GIF bytes — the video
+    * sibling of [[withImagePayload]], same partition pinning. */
+  def withGifPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, nc) => (id, renderGif(id, nc))
+      }))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL frame probe: ImageIO reader negotiation sniffs the GIF
+    * container, `getNumImages(true)` walks the frame directory for the
+    * TRUE frame count, and every [[SampleEvery]]-th frame's raster is
+    * actually decoded — the checksum folds decoded pixel (0,0) of each
+    * sampled frame. Undecodable bytes degrade to (-1, -1, -1). */
+  private[graft] def gifFrameProbe(payload: Array[Byte]): (Long, Long, Long) = {
+    memCachedIO
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) (-1L, -1L, -1L)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          var f = 0
+          var sampled = 0L
+          var sum = 0L
+          while (f < n) {
+            if (f % SampleEvery == 0) {
+              sum += (r.read(f).getRGB(0, 0) & 0xFFFFFF).toLong
+              sampled += 1
+            }
+            f += 1
+          }
+          (n.toLong, sampled, sum)
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => (-1L, -1L, -1L)
+    } finally iis.close()
+  }
+
+  /** Declared query: REAL multi-frame decode — render a genuine
+    * animated GIF per document, then parse the container back:
+    * n_frames from the reader's frame directory, every 4th frame's
+    * raster decoded, checksum folded from the decoded pixels. The
+    * oracle predicts frame counts and colors from the generator
+    * arithmetic, so the hash match certifies a real multi-frame
+    * encode→decode round-trip (the q_multimodal_meta pattern, extended
+    * from headers to rasters). Payloads never shuffle; the probe is
+    * partition-local and batched. */
+  private val framesQ: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    withGifPayload(Tables.documents(s, d))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        val (n, ns, ck) = gifFrameProbe(bytes)
+        (id, n, ns, ck)
+      }))
+      .toDF("doc_id", "n_frames", "n_sampled", "checksum")
       .orderBy(col("doc_id").asc)
+  }
 
   /** Declared query: feature extraction — decoded meta → a small
     * numeric feature vector (dims normalized by their generator-domain
@@ -304,22 +399,22 @@ object Multimodal {
          |       ${sqlResized("h")} AS r_height
          |FROM m
          |ORDER BY doc_id ASC""".stripMargin,
+    // predicts the REAL multi-frame decode from generator arithmetic:
+    // frame count and per-frame palette colors are exact (GIF is
+    // lossless for paletted frames), so the hash match proves the
+    // container round-trip frame by frame
     "q_multimodal_frames" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, text,
-         |         CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / $FrameChars) AS BIGINT)
-         |           AS n_frames
-         |  FROM documents),
+      s"""WITH fr AS (
+         |  SELECT doc_id, $SqlGenFrames AS n_frames FROM documents),
          |s AS (
-         |  SELECT doc_id, text, n_frames,
+         |  SELECT doc_id, n_frames,
          |         list_filter(range(0, CAST(n_frames AS INT)),
          |                     f -> f % $SampleEvery = 0) AS sampled
-         |  FROM f)
+         |  FROM fr)
          |SELECT doc_id, n_frames,
          |       CAST(LEN(sampled) AS BIGINT) AS n_sampled,
          |       CAST(list_aggregate(list_transform(sampled,
-         |         f -> CAST(ORD(SUBSTRING(text, CAST(f * $FrameChars + 1 AS INT), 1))
-         |                   AS BIGINT)), 'sum') AS BIGINT) AS checksum
+         |         f -> $SqlFrameColor), 'sum') AS BIGINT) AS checksum
          |FROM s
          |ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_features" ->

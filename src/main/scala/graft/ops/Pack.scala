@@ -52,10 +52,15 @@ object Pack {
 
   /** Per-doc token counts with the global exclusive prefix sum
     * (`tok_offset`) and the chunk span, in doc_id order. */
-  private[graft] def packed(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.documents(s, d)
+  private[graft] def packed(s: SparkSession, d: String): DataFrame =
+    packedFrom(Tables.documents(s, d)
       .select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")))
+
+  /** The prefix-sum/chunk-span pipeline over ANY `(doc_id, n_tokens)`
+    * counting — whitespace words ([[packed]]) or trained subword units
+    * ([[packedBpe]]); the unit changes, the decomposition doesn't. */
+  private[graft] def packedFrom(c: DataFrame): DataFrame = {
     val rng = c.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
     val b = c.crossJoin(broadcast(rng))
       .withColumn("bucket",
@@ -100,6 +105,28 @@ object Pack {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
       .orderBy(col("doc_id").asc)
 
+  /** [[packed]] with budgets counted in TRAINED SUBWORD units
+    * ([[Text.subwordPieces]]) instead of whitespace words — the number
+    * a real pretraining pipeline packs by, since the model consumes
+    * subword tokens, not words. Same two-level prefix decomposition;
+    * only the per-doc counting changes (empty docs keep their
+    * zero-count row so every doc still gets an offset). The oracle
+    * recomputes the subword counts AND the textbook single-window
+    * prefix, so the hash match proves decomposition-exactness over the
+    * segmentation. */
+  private[graft] def packedBpe(s: SparkSession, d: String): DataFrame =
+    packedFrom(Tables.documents(s, d).select(col("doc_id"))
+      .join(Text.subwordPieces(s, d)
+        .groupBy(col("doc_id"))
+        .agg(sum(size(col("pieces"))).cast("long").as("n_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens")))
+
+  private val packSequencesBpe: Q = (s, d) =>
+    packedBpe(s, d)
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy(col("doc_id").asc)
+
   /** Per-chunk occupancy: how many docs each training sequence draws
     * from, how many of those straddle a boundary, and its fill. */
   private val packChunks: Q = (s, d) =>
@@ -123,6 +150,7 @@ object Pack {
 
   val queries: Map[String, Q] = Map(
     "q_pack_sequences" -> packSequences,
+    "q_pack_sequences_bpe" -> packSequencesBpe,
     "q_pack_chunks"    -> packChunks,
   )
 
@@ -153,6 +181,28 @@ object Pack {
          |SELECT doc_id, n_tokens, tok_offset, first_chunk, last_chunk,
          |       last_chunk - first_chunk + 1 AS n_chunks
          |FROM sp
+         |ORDER BY doc_id ASC""".stripMargin,
+    // subword-unit packing: trained-vocab piece counts feed the SAME
+    // textbook window — one oracle lineage proves both the counting
+    // and the prefix decomposition
+    "q_pack_sequences_bpe" ->
+      s"""WITH ${Text.sqlSubwordCountCtes},
+         |t2 AS (
+         |  SELECT d.doc_id, COALESCE(swc.n_tokens, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN swc ON swc.doc_id = d.doc_id),
+         |p2 AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_offset
+         |  FROM t2)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |       tok_offset // $ChunkLen AS first_chunk,
+         |       (tok_offset + GREATEST(n_tokens, 1) - 1) // $ChunkLen
+         |         AS last_chunk,
+         |       (tok_offset + GREATEST(n_tokens, 1) - 1) // $ChunkLen
+         |         - tok_offset // $ChunkLen + 1 AS n_chunks
+         |FROM p2
          |ORDER BY doc_id ASC""".stripMargin,
     "q_pack_chunks" ->
       s"""WITH $sqlPacked,

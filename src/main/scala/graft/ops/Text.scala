@@ -661,7 +661,135 @@ object Text {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Subword vocabulary thresholds and piece geometry. Thresholds are
+    * RELATIVE frequencies (a piece is in the vocab iff its train-split
+    * count × Den ≥ the train token total — an exact integer predicate,
+    * no division), so the vocab bar scales with the corpus instead of
+    * saturating at larger scale factors; and thresholds (not top-K)
+    * keep training deterministic with NO ordering ties. */
+  private[graft] val SubwordWordDen = 512L
+  private[graft] val SubwordPrefDen = 128L
+  private[graft] val SubwordPrefLen = 4
+  private[graft] val SubwordChunk = 2
+
+  /** Deterministic subword tokenization — greedy longest-match over a
+    * two-tier trained vocabulary with character-chunk fallback (the
+    * WordPiece decode rule, specialized to a vocab family whose greedy
+    * scan is CLOSED-FORM, so both engines compute it without per-word
+    * iteration):
+    *
+    *  - tier 1: whole words whose train-split relative frequency ≥
+    *    1/[[SubwordWordDen]] → one piece;
+    *  - tier 2: [[SubwordPrefLen]]-char word-initial prefixes whose
+    *    train-split occurrence mass (over words long enough to carry
+    *    them) ≥ 1/[[SubwordPrefDen]] of the train total → the prefix
+    *    piece, then the remainder in [[SubwordChunk]]-char
+    *    continuation chunks;
+    *  - fallback: the whole word in chunks.
+    *
+    * Greedy longest-match holds because every trained piece is
+    * word-initial: at position 0 the longest candidate is the whole
+    * word, then the trained prefix, then a chunk; past position 0 only
+    * chunks exist — so the scan is a 3-way CASE, not a loop.
+    * Continuation pieces carry the `##` marker (word-initial pieces
+    * don't), making segmentation LOSSLESS: strip markers and
+    * concatenate to recover the word (spec-proven for every token).
+    *
+    * Training reads ONLY the train side of the stable hash split
+    * ([[Sampling.splitCol]] on doc_id) — the same leakage discipline
+    * as the quality/langid models. Returns (doc_id, word, pieces,
+    * hit_w, hit_p).
+    *
+    * Scale: the corpus is tokenized once; the vocab tables are
+    * threshold-bounded (|V| ≤ train tokens / threshold) and
+    * materialized, so Catalyst auto-broadcasts them while they fit and
+    * shuffle-joins at cluster scale; segmentation is map-side
+    * after the two membership joins; the only corpus-sized exchanges
+    * are the word-keyed membership join and the doc-keyed re-agg. */
+  private[graft] def subwordPieces(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(s, d)
+    val isTrain = Sampling.splitCol(col("doc_id")) === "train"
+    val trainCounts = toks.filter(isTrain)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = trainCounts.agg(sum(col("n")).as("tot"))
+    val vWord = trainCounts.crossJoin(broadcast(tot))
+      .filter(col("n") * SubwordWordDen >= col("tot"))
+      .select(col("word"), lit(1).as("in_w"))
+    val vPref = trainCounts
+      .filter(length(col("word")) >= SubwordPrefLen)
+      .groupBy(substring(col("word"), 1, SubwordPrefLen).as("pref"))
+      .agg(sum(col("n")).as("np"))
+      .crossJoin(broadcast(tot))
+      .filter(col("np") * SubwordPrefDen >= col("tot"))
+      .select(col("pref"), lit(1).as("in_p"))
+    val C = SubwordChunk
+    val P = SubwordPrefLen
+    toks
+      .join(vWord, Seq("word"), "left")
+      .join(vPref, substring(col("word"), 1, P) === vPref("pref"), "left")
+      .withColumn("hit_w", when(col("in_w") === 1, 1L).otherwise(0L))
+      .withColumn("hit_p",
+        when(col("in_w").isNull && col("in_p") === 1 &&
+          length(col("word")) >= P, 1L).otherwise(0L))
+      .withColumn("pieces",
+        when(col("hit_w") === 1, array(col("word")))
+          .when(col("hit_p") === 1,
+            concat(
+              array(substring(col("word"), 1, P)),
+              expr(s"""CASE WHEN length(word) > $P THEN
+                   |  transform(sequence(0, CAST(ceil((length(word) - $P) / $C.0) AS INT) - 1),
+                   |    i -> concat('##', substring(word, $P + i * $C + 1, $C)))
+                   |ELSE CAST(array() AS array<string>) END""".stripMargin)))
+          .otherwise(
+            expr(s"""transform(sequence(0, CAST(ceil(length(word) / $C.0) AS INT) - 1),
+                 |  i -> concat(CASE WHEN i = 0 THEN '' ELSE '##' END,
+                 |              substring(word, i * $C + 1, $C)))""".stripMargin)))
+      .select(col("doc_id"), col("word"), col("pieces"),
+        col("hit_w"), col("hit_p"))
+  }
+
+  /** Declared query: per-document subword accounting over
+    * [[subwordPieces]] — word/piece counts, per-tier hit counts, the
+    * fertility ratio, and an md5-integer checksum folded over the
+    * ACTUAL piece strings (the md5-prefix-integer trick of the minhash
+    * family, at 40 bits so per-doc sums stay exact longs — see the
+    * inline note), so the oracle hash match certifies the segmentation
+    * string-for-string, not just the counts. Empty docs keep a row
+    * (zero counts, NULL ratio — the r10 guard convention). */
+  private val subword: Q = (s, d) => {
+    val per = subwordPieces(s, d)
+      .withColumn("n_p", size(col("pieces")).cast("long"))
+      // 40-bit md5 prefixes (not the minhash family's 60): the
+      // checksum SUMS per-doc piece hashes, and 2^60-sized terms
+      // overflow the exact-long sum within a handful of pieces;
+      // 2^40 terms keep even a million-piece doc inside 2^63
+      .withColumn("ck",
+        expr("aggregate(transform(pieces, p -> " +
+          "CAST(conv(substring(md5(CAST(p AS BINARY)), 1, 10), 16, 10) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_p")).as("n_pieces"),
+        sum(col("hit_w")).as("n_word_hits"),
+        sum(col("hit_p")).as("n_pref_hits"),
+        sum(col("ck")).as("piece_checksum"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_word_hits"), lit(0L)).as("n_word_hits"),
+        coalesce(col("n_pref_hits"), lit(0L)).as("n_pref_hits"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          Det.r4(col("n_pieces").cast("double") / col("n_words")))
+          .as("fertility"),
+        coalesce(col("piece_checksum"), lit(0L)).as("piece_checksum"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_subword"     -> subword,
     "q_text_entropy"     -> entropy,
     "q_text_kl_drift"    -> klDrift,
     "q_dedup_containment" -> containment,
@@ -807,7 +935,100 @@ object Text {
        |  SELECT doc_id, lang, split, $sqlPred AS predicted FROM li_best)""".stripMargin
   }
 
+  /** CTE block `tok/tc/vw/vp/swc` — per-doc SUBWORD counts (piece
+    * counts by the closed-form arithmetic: 1 for a vocab word,
+    * 1 + ceil((len−P)/C) for a prefix hit, ceil(len/C) fallback —
+    * identically LEN(pieces) without building the lists). Shared by
+    * the q_pack_sequences_bpe oracle. */
+  private[graft] val sqlSubwordCountCtes: String = {
+    val P = SubwordPrefLen
+    val C = SubwordChunk
+    s"""tok AS (
+       |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),
+       |tc AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+       |  WHERE ${Sampling.sqlSplit("doc_id")} = 'train' GROUP BY word),
+       |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM tc),
+       |vw AS (SELECT word FROM tc CROSS JOIN tt
+       |       WHERE n * $SubwordWordDen >= tot),
+       |vp AS (
+       |  SELECT SUBSTRING(word, 1, $P) AS pref FROM tc CROSS JOIN tt
+       |  WHERE LENGTH(word) >= $P
+       |  GROUP BY 1, tot HAVING SUM(n) * $SubwordPrefDen >= tot),
+       |swc AS (
+       |  SELECT t.doc_id, CAST(SUM(CASE
+       |      WHEN vw.word IS NOT NULL THEN 1
+       |      WHEN vp.pref IS NOT NULL AND LENGTH(t.word) >= $P THEN
+       |        1 + CAST(CEIL((LENGTH(t.word) - $P) / $C.0) AS BIGINT)
+       |      ELSE CAST(CEIL(LENGTH(t.word) / $C.0) AS BIGINT)
+       |    END) AS BIGINT) AS n_tokens
+       |  FROM tok t
+       |  LEFT JOIN vw ON vw.word = t.word
+       |  LEFT JOIN vp ON vp.pref = SUBSTRING(t.word, 1, $P)
+       |  GROUP BY t.doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // twin of [[subword]]: same thresholds, same closed-form greedy
+    // scan, same md5-integer piece checksum — string-level equality of
+    // the segmentation is what the hash compare certifies
+    "q_text_subword" -> {
+      val P = SubwordPrefLen
+      val C = SubwordChunk
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),
+         |tc AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+         |  WHERE ${Sampling.sqlSplit("doc_id")} = 'train' GROUP BY word),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM tc),
+         |vw AS (SELECT word FROM tc CROSS JOIN tt
+         |       WHERE n * $SubwordWordDen >= tot),
+         |vp AS (
+         |  SELECT SUBSTRING(word, 1, $P) AS pref FROM tc CROSS JOIN tt
+         |  WHERE LENGTH(word) >= $P
+         |  GROUP BY 1, tot HAVING SUM(n) * $SubwordPrefDen >= tot),
+         |seg AS (
+         |  SELECT t.doc_id,
+         |         CASE
+         |           WHEN vw.word IS NOT NULL THEN [t.word]
+         |           WHEN vp.pref IS NOT NULL AND LENGTH(t.word) >= $P THEN
+         |             [SUBSTRING(t.word, 1, $P)] ||
+         |             list_transform(
+         |               range(0, CAST(CEIL((LENGTH(t.word) - $P) / $C.0) AS INT)),
+         |               i -> '##' || SUBSTRING(t.word, $P + i * $C + 1, $C))
+         |           ELSE
+         |             list_transform(
+         |               range(0, CAST(CEIL(LENGTH(t.word) / $C.0) AS INT)),
+         |               i -> (CASE WHEN i = 0 THEN '' ELSE '##' END)
+         |                    || SUBSTRING(t.word, i * $C + 1, $C))
+         |         END AS pieces,
+         |         CASE WHEN vw.word IS NOT NULL THEN 1 ELSE 0 END AS hit_w,
+         |         CASE WHEN vw.word IS NULL AND vp.pref IS NOT NULL
+         |              AND LENGTH(t.word) >= $P THEN 1 ELSE 0 END AS hit_p
+         |  FROM tok t
+         |  LEFT JOIN vw ON vw.word = t.word
+         |  LEFT JOIN vp ON vp.pref = SUBSTRING(t.word, 1, $P)),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(LEN(pieces)) AS BIGINT) AS n_pieces,
+         |         CAST(SUM(hit_w) AS BIGINT) AS n_word_hits,
+         |         CAST(SUM(hit_p) AS BIGINT) AS n_pref_hits,
+         |         CAST(SUM(list_aggregate(list_transform(pieces,
+         |           p -> CAST('0x' || SUBSTRING(md5(p), 1, 10) AS BIGINT)),
+         |           'sum')) AS BIGINT) AS piece_checksum
+         |  FROM seg GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(n_words, 0) AS n_words,
+         |       COALESCE(n_pieces, 0) AS n_pieces,
+         |       COALESCE(n_word_hits, 0) AS n_word_hits,
+         |       COALESCE(n_pref_hits, 0) AS n_pref_hits,
+         |       CASE WHEN COALESCE(n_words, 0) > 0 THEN
+         |         ${Det.sqlR4("n_pieces / CAST(n_words AS DOUBLE)")}
+         |       END AS fertility,
+         |       COALESCE(piece_checksum, 0) AS piece_checksum
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin
+    },
     "q_text_kl_drift" ->
       s"""WITH t AS (
          |  SELECT source, UNNEST($sqlToks) AS word FROM documents),

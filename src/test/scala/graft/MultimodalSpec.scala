@@ -73,14 +73,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(empty.format == "unknown" && empty.nBytes == 0L)
   }
 
-  test("frame sampling covers every doc and checksums are stable") {
+  test("multi-frame GIF decode: real container, exact frame round-trip") {
     val f = Multimodal.queries("q_multimodal_frames")(spark, SparkTestSession.sf)
     val docs = Tables.documents(spark, SparkTestSession.sf).count()
     assert(f.count() == docs)
+    // every payload decoded (no -1 degradations) with 1..13 frames
+    assert(f.filter(col("n_frames") < 1 || col("n_frames") > 13).count() == 0,
+      "frame count outside the generator domain (or a decode failed)")
     // ceil(n/4) sampled frames out of n
     assert(f.filter(col("n_sampled") =!=
       ceil(col("n_frames").cast("double") / 4).cast("long")).count() == 0)
-    assert(f.filter(col("checksum") <= 0).count() == 0)
+    // the rendered bytes are a REAL animated GIF: container magic, and
+    // the reader's frame directory agrees with the generator arithmetic
+    val gif = Multimodal.renderGif(7L, 29L) // 29 % 13 + 1 = 4 frames
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"),
+      "payload is not a GIF container")
+    val (n, ns, ck) = Multimodal.gifFrameProbe(gif)
+    assert(n == 4 && ns == 1, s"probe saw ($n, $ns) frames, wanted (4, 1)")
+    assert(ck == Multimodal.frameColor(7L, 0).toLong,
+      "decoded frame-0 pixel != exact palette color (GIF not lossless?)")
+    // undecodable bytes degrade, never throw
+    assert(Multimodal.gifFrameProbe("not a gif".getBytes("UTF-8")) ==
+      ((-1L, -1L, -1L)))
   }
 
   test("binary parquet round-trip drives the mapPartitions paths") {

@@ -547,6 +547,126 @@ class OperatorSpec extends AnyFunSuite {
     assert(marker.lastModified == t0, "store was rebuilt on re-run")
   }
 
+  test("stored pair/label lineage: clusters twin ≡ in-query, stores reused") {
+    // the stored-table twin must equal the full in-query lineage …
+    val sig = SparkEntry.queries("q_dedup_clusters_sig")(spark, sf)
+    val st = SparkEntry.queries("q_dedup_clusters_stored")(spark, sf)
+    assert(sig.exceptAll(st).count() == 0 && st.exceptAll(sig).count() == 0,
+      "stored-label clusters diverged from the in-query lineage")
+    // … and a re-run of every stored-lineage consumer must READ the
+    // pair/label stores, never rebuild them (_SUCCESS mtime receipts)
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store"))
+    val markers = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.contains("sf0.001") &&
+        (f.getName.contains("-pairs-") || f.getName.contains("-labels-") ||
+         f.getName.contains("-oldlabels-")))
+      .map(dd => new java.io.File(dd, "_SUCCESS")).filter(_.exists())
+    assert(markers.size >= 2, s"pair/label stores missing: ${markers.size}")
+    val receipts = markers.map(m => m.getPath -> m.lastModified).toMap
+    SparkEntry.queries("q_dedup_clusters_stored")(spark, sf).count()
+    SparkEntry.queries("q_dedup_pagerank")(spark, sf).count()
+    SparkEntry.queries("q_split_leakage_safe")(spark, sf).count()
+    markers.foreach(m => assert(receipts(m.getPath) == m.lastModified,
+      s"${m.getPath} was rebuilt on re-run"))
+  }
+
+  test("incremental cluster maintenance ≡ full recompute; untouched stable") {
+    import graft.ops.Dedup
+    val full = SparkEntry.queries("q_dedup_clusters_sig")(spark, sf)
+    val incr = SparkEntry.queries("q_dedup_clusters_incr")(spark, sf)
+    assert(full.exceptAll(incr).count() == 0 &&
+      incr.exceptAll(full).count() == 0,
+      "incrementally maintained labels diverged from full CC recompute")
+    // label stability: an old cluster none of whose members appears in
+    // a batch-touching pair must keep its stored label verbatim
+    val old = Dedup.storedOldClusterLabels(spark, sf)
+    val touchedPairDocs = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .select(col("a_id").as("doc_id"))
+      .unionAll(SparkEntry.queries("q_dedup_incremental")(spark, sf)
+        .select(col("b_id").as("doc_id"))).distinct()
+    val touchedClusters = old.join(touchedPairDocs, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val stable = old.join(touchedClusters, Seq("cluster_id"), "left_anti")
+    val drifted = stable
+      .join(incr.select(col("doc_id"), col("cluster_id").as("new_cl")), "doc_id")
+      .filter(col("cluster_id") =!= col("new_cl"))
+    assert(drifted.count() == 0,
+      "a cluster untouched by the batch changed its label")
+  }
+
+  test("subword segmentation: lossless round-trip, stable, hits partition") {
+    import graft.ops.Text
+    val p = Text.subwordPieces(spark, sf)
+    // losslessness: strip the ## continuation markers and concatenate
+    // — every token must rebuild exactly
+    val bad = p.withColumn("rebuilt",
+      expr("concat_ws('', transform(pieces, x -> " +
+        "CASE WHEN substring(x, 1, 2) = '##' THEN substring(x, 3) " +
+        "ELSE x END))"))
+      .filter(col("rebuilt") =!= col("word"))
+    assert(bad.count() == 0, "subword round-trip lost characters")
+    // trained-vocab determinism: re-running the whole train+segment
+    // lineage yields the identical segmentation string-for-string
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "word", "concat_ws(chr(1), pieces) AS ps")
+    val a = flat(p)
+    val b = flat(Text.subwordPieces(spark, sf))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "segmentation is not deterministic across invocations")
+    // query invariants: fertility ≥ 1 token-wise, tier hits disjoint
+    val q = SparkEntry.queries("q_text_subword")(spark, sf)
+    assert(q.filter(col("n_pieces") < col("n_words")).count() == 0,
+      "a word segmented into zero pieces")
+    assert(q.filter(col("n_word_hits") + col("n_pref_hits") >
+      col("n_words")).count() == 0, "tier hits exceed word count")
+    assert(q.filter(col("n_word_hits") > 0).count() > 0,
+      "vocabulary never hit — thresholds degenerate on this fixture")
+  }
+
+  test("bpe packing: exclusive prefix property in subword units") {
+    import org.apache.spark.sql.expressions.Window
+    val q = SparkEntry.queries("q_pack_sequences_bpe")(spark, sf)
+    val w = Window.orderBy(col("doc_id").asc)
+    val chained = q.select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("first_chunk"), col("last_chunk"))
+      .withColumn("prev_end",
+        coalesce(lag(col("tok_offset") + col("n_tokens"), 1).over(w), lit(0L)))
+    assert(chained.filter(col("tok_offset") =!= col("prev_end")).count() == 0,
+      "subword offsets are not the exclusive prefix sum")
+    assert(q.filter(col("last_chunk") < col("first_chunk")).count() == 0)
+    // subword budgets differ from word budgets (the unit is real):
+    val words = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .select(col("doc_id"), col("n_tokens").as("n_words_t"))
+    assert(q.join(words, "doc_id")
+      .filter(col("n_tokens") =!= col("n_words_t")).count() > 0,
+      "subword counts identical to word counts — segmentation inert")
+  }
+
+  test("rank keepers: keeper is in its cluster and rank-maximal") {
+    val keep = SparkEntry.queries("q_dedup_keepers_rank")(spark, sf)
+    val clusters = SparkEntry.queries("q_dedup_clusters_stored")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val ranks = SparkEntry.queries("q_dedup_pagerank")(spark, sf)
+      .select(col("doc_id"), col("rank"))
+    // exactly one keeper per cluster, and it is a member of the cluster
+    assert(keep.count() ==
+      clusters.select(col("cluster_id")).distinct().count(),
+      "keeper count != cluster count")
+    val notMember = keep.join(clusters,
+        keep("keeper_id") === clusters("doc_id") &&
+        keep("cluster_id") === clusters("cluster_id"), "left_anti")
+    assert(notMember.count() == 0, "keeper outside its own cluster")
+    // rank-maximality: no member of the cluster outranks its keeper
+    val outranked = keep
+      .join(clusters, Seq("cluster_id"))
+      .join(ranks, Seq("doc_id"))
+      .join(ranks.select(col("doc_id").as("keeper_id"),
+        col("rank").as("k_rank")), Seq("keeper_id"))
+      .filter(col("rank") > col("k_rank"))
+    assert(outranked.count() == 0, "a cluster member outranks its keeper")
+  }
+
   test("late-event accounting equals a sequential watermark replay") {
     // the declared query computes the watermark with a distributed
     // two-level prefix max; this replays the stream SEQUENTIALLY
