@@ -139,6 +139,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE skew split fires on a manufactured hot key; salted join agrees") {
+    // Closes the one scale mechanism previously exercised only by
+    // construction: manufacture a fact whose hottest key owns half the
+    // rows, force the sort-merge path (broadcast off), lower the skew
+    // thresholds to fixture scale, and demand the FINAL adaptive plan
+    // actually ran a skew-split join (isSkewJoin on the executed SMJ /
+    // SHJ node — the API flag, not a string match). Then demand the
+    // explicit salting fallback (Skew.saltedJoin — the non-AQE path
+    // q_join_salted declares) computes the identical multiset.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec        => p +: flatten(q.plan)
+      case r: ReusedExchangeExec    => p +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val s2 = SparkTestSession.spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    // half the fact lands on key 7; every other row keeps a unique key
+    val fact = s2.range(0, 200000).select(
+      when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+      (col("id") * 31).as("payload"))
+    val dim = s2.range(0, 100000).select(
+      col("id").as("k"), (col("id") % 97).as("dval"))
+    val skewJoined = fact.join(dim, "k")
+    val qe = skewJoined.queryExecution
+    qe.toRdd.count()
+    val skewNodes = flatten(qe.executedPlan).collect {
+      case j: SortMergeJoinExec if j.isSkewJoin    => j
+      case j: ShuffledHashJoinExec if j.isSkewJoin => j
+    }
+    assert(skewNodes.nonEmpty,
+      "AQE did not skew-split the hot partition:\n" +
+        qe.executedPlan.treeString.linesIterator.take(40).mkString("\n"))
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8)
+      .select(col("k"), col("payload"), col("dval"))
+    val plain = skewJoined.select(col("k"), col("payload"), col("dval"))
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0,
+      "salted join diverged from the AQE skew-split join")
+  }
+
   test("streaming aggregation runs on the RocksDB state store") {
     import java.sql.Timestamp
     val s = SparkTestSession.rocksSession
