@@ -462,7 +462,13 @@ object Dedup {
     * SPARK_GRAFT_SIG_STORE. */
   private[ops] def storeDir(d: String, kind: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
-    s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
+    // "t" prefix: the sanitized fixture path starts with "_" (absolute
+    // path → leading separator → underscore), and Hadoop's listing
+    // filter treats underscore-prefixed paths as hidden — reads work
+    // when the dir is the explicit root, but every access logs an
+    // "All paths were ignored" warning and any consumer that GLOBS the
+    // store root would silently skip the table
+    s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
       fsStamp(s"$d/documents.parquet")
   }
 
@@ -1521,7 +1527,7 @@ object Dedup {
     .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
     .mkString(" + ")
 
-  private val sqlMinhashEstCte: String = {
+  private[graft] val sqlMinhashEstCte: String = {
     val matchSum = sqlMatchSum
     s"""WITH $sqlSigBandsCte,
        |cand AS (
@@ -1561,7 +1567,7 @@ object Dedup {
     * the verified pair stream `v` (needs WITH RECURSIVE; the names
     * avoid `v`, which sqlMinhashEstCte owns). `lab(doc_id,
     * cluster_id)` is the per-doc component-minimum label. */
-  private val sqlCcCtes: String =
+  private[graft] val sqlCcCtes: String =
     s"""ed AS (SELECT a_id AS u, b_id AS w FROM v WHERE n_match >= $VerifyMatchMin
        |       UNION ALL
        |       SELECT b_id, a_id FROM v WHERE n_match >= $VerifyMatchMin),
@@ -1575,7 +1581,7 @@ object Dedup {
     * rounds the Spark loop runs, unrolled from one generator (the
     * z-order bit-interleave precedent). `r$PrRounds(doc_id, rank_q)`
     * is the final exact-integer rank state. */
-  private val sqlPagerankCtes: String = {
+  private[graft] val sqlPagerankCtes: String = {
     val rounds = (1 to PrRounds).map { i =>
       s"""r$i AS (
          |  SELECT d.doc_id,

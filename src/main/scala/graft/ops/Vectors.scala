@@ -469,7 +469,9 @@ object Vectors {
     * readability. Override the root with SPARK_GRAFT_PQ_STORE. */
   private[graft] def storedPqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")
-    val dir = s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
+    // "t" prefix: see Dedup.storeDir — a leading "_" marks the dir
+    // hidden to Hadoop's listing filter
+    val dir = s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
       Dedup.fsStamp(s"$d/embeddings.parquet")
     if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
       val c = corpus(s, d)

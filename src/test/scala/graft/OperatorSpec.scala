@@ -595,6 +595,26 @@ class OperatorSpec extends AnyFunSuite {
       "a cluster untouched by the batch changed its label")
   }
 
+  test("rank-keeper curation: report accounts for exactly the kept keepers") {
+    val rep = SparkEntry.queries("q_pipeline_curate_rank")(spark, sf)
+    val total = rep.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    // recompose the chain from its declared pieces: the report's doc
+    // accounting must equal the filtered keeper count
+    val keepers = SparkEntry.queries("q_dedup_keepers_rank")(spark, sf)
+      .select(col("keeper_id").as("doc_id"))
+    val kept = keepers
+      .join(SparkEntry.queries("q_text_quality")(spark, sf)
+        .select(col("doc_id"), col("n_tokens"), col("quality")), "doc_id")
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 10L)
+      .count()
+    assert(total == kept,
+      s"curation report accounts $total docs, keeper chain kept $kept")
+    // one keeper per cluster ⇒ the report can never exceed cluster count
+    val clusters = SparkEntry.queries("q_dedup_clusters_stored")(spark, sf)
+      .select(col("cluster_id")).distinct().count()
+    assert(total <= clusters)
+  }
+
   test("subword segmentation: lossless round-trip, stable, hits partition") {
     import graft.ops.Text
     val p = Text.subwordPieces(spark, sf)
