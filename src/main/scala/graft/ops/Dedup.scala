@@ -1050,6 +1050,21 @@ object Dedup {
         Det.r4(col("rank_q") / lit(10000.0)).as("rank"))
       .orderBy(col("doc_id").asc)
 
+  /** The STORED per-doc PageRank table: ranks are a pure function of
+    * [[storedVerifiedPairs]] (itself content-stamped), so they carry
+    * the same freshness contract — built once per stamp by running the
+    * five integer rounds, then read as parquet by every rank CONSUMER
+    * ([[keepersRank]], and [[Pipeline]]'s rank-keeper curation through
+    * it). [[pagerank]] itself deliberately does NOT read this table:
+    * it stays the in-query recompute witness (the clusters_sig
+    * pattern), and the consumers' own oracles re-derive the rounds in
+    * SQL, so the driver hash-compare proves stored ≡ recomputed on
+    * every verify run. */
+  private[graft] def storedPageRanks(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "ranks")) {
+      pagerankRanks(s, d)
+    }
+
   /** Rank-based keeper selection — the loop [[pagerank]]'s scaladoc
     * promises, closed: keeper = the member with MAXIMUM PageRank in
     * each stored cluster (most linked into its duplicate family ⇒
@@ -1058,16 +1073,18 @@ object Dedup {
     * consumes the centrality signal.
     *
     * Plan: both inputs are the warm stored artifacts —
-    * [[storedClusterLabels]] (one parquet scan) and [[pagerankRanks]]
-    * (five rounds over [[storedVerifiedPairs]]) — joined doc-keyed,
-    * then ONE cluster-keyed shuffle serves both the size count and the
-    * argmax window. The ordering key is the exact integer rank_q, so
-    * keeper ties are bit-deterministic across engines; the rounded
-    * double is only the OUTPUT column. */
+    * [[storedClusterLabels]] and [[storedPageRanks]], one parquet scan
+    * each — joined doc-keyed, then ONE cluster-keyed shuffle serves
+    * both the size count and the argmax window; steady-state cost is
+    * reads + that shuffle (measured 115 s → sub-second at sf1 when the
+    * rank rounds moved to the store's one-time build). The ordering
+    * key is the exact integer rank_q, so keeper ties are
+    * bit-deterministic across engines; the rounded double is only the
+    * OUTPUT column. */
   private val keepersRank: Q = (s, d) => {
     val win = Window.partitionBy(col("cluster_id"))
     storedClusterLabels(s, d)
-      .join(pagerankRanks(s, d).select(col("doc_id"), col("rank_q")), "doc_id")
+      .join(storedPageRanks(s, d).select(col("doc_id"), col("rank_q")), "doc_id")
       .withColumn("cluster_size", count(lit(1)).over(win))
       .withColumn("rn", row_number().over(
         win.orderBy(col("rank_q").desc, col("doc_id").asc)))

@@ -560,13 +560,14 @@ class OperatorSpec extends AnyFunSuite {
     val markers = Option(root.listFiles()).toSeq.flatten
       .filter(f => f.getName.contains("sf0.001") &&
         (f.getName.contains("-pairs-") || f.getName.contains("-labels-") ||
-         f.getName.contains("-oldlabels-")))
+         f.getName.contains("-oldlabels-") || f.getName.contains("-ranks-")))
       .map(dd => new java.io.File(dd, "_SUCCESS")).filter(_.exists())
     assert(markers.size >= 2, s"pair/label stores missing: ${markers.size}")
     val receipts = markers.map(m => m.getPath -> m.lastModified).toMap
     SparkEntry.queries("q_dedup_clusters_stored")(spark, sf).count()
     SparkEntry.queries("q_dedup_pagerank")(spark, sf).count()
     SparkEntry.queries("q_split_leakage_safe")(spark, sf).count()
+    SparkEntry.queries("q_dedup_keepers_rank")(spark, sf).count()
     markers.foreach(m => assert(receipts(m.getPath) == m.lastModified,
       s"${m.getPath} was rebuilt on re-run"))
   }
