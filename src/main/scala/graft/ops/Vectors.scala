@@ -296,6 +296,76 @@ object Vectors {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Banded-neighbor width and cosine threshold for [[dedupSemantic]].
+    * W bounds per-vector comparisons; τ=0.35 sits below the fixture's
+    * max pairwise cosine (≈0.51) so the prune is exercised (52/500
+    * pruned at sf0.01) while staying far above the ≈0.0 background. */
+  private[graft] val SemW   = 16
+  private[graft] val SemTau = 0.35
+
+  /** Shared by [[dedupSemantic]] and the spec's naive-twin check:
+    * every corpus vector with its trained-codebook cluster, its cosine
+    * to the centroid, and its closeness rank within the cluster. */
+  private[graft] def semClusterRanks(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val cents = kmeansCentroids(c, rounds = 3)
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("emb"), col("c_emb")) / nullif(col("nrm") * col("c_nrm"), lit(0.0)))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("cent_id").as("cluster_id"), col("ccos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ccos").desc, col("vec_id").asc)))
+  }
+
+  /** SemDeDup-style semantic prune (public method: Abbas et al.,
+    * "SemDeDup", arXiv 2303.09540): cluster the corpus with the same
+    * trained codebook [[annIvf]] searches, then WITHIN each cluster
+    * drop any vector whose cosine to a closer-to-centroid clustermate
+    * is ≥ τ — near-duplicate semantics collapse to the member nearest
+    * the centroid. Output: every vector with its cluster, its
+    * closeness rank, and the kept/pruned verdict.
+    *
+    * Scale shape: the paper's within-cluster all-pairs is quadratic in
+    * the cell size, which a skewed cell makes unbounded. Here each
+    * vector compares against only the [[SemW]] clustermates ranked
+    * immediately closer to the centroid — the banded window is
+    * realized as an equi-join on (cluster, rank-block) with each
+    * probe exploding into its own block and the previous one, so
+    * candidate volume is O(n·2W) by construction, never a cell cross
+    * product (the same block trick as the interval join). At 100 TB
+    * the codebook grows to thousands of cells (trained on a sample,
+    * still broadcast-small) and the band width is the knob trading
+    * recall for a hard per-vector cost bound. */
+  private val dedupSemantic: Q = (s, d) => {
+    val rk = semClusterRanks(s, d)
+    val b = rk.select(col("cluster_id"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("r").as("b_r"),
+      floor((col("r") - lit(1)) / lit(SemW)).as("blk"))
+    val a = rk.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"), col("r").as("a_r"),
+      floor((col("r") - lit(1)) / lit(SemW)).as("blk0"))
+      .withColumn("blk", explode(array(col("blk0") - lit(1), col("blk0"))))
+      .filter(col("blk") >= 0)
+      .drop("blk0")
+    val pruned = a.join(b, Seq("cluster_id", "blk"))
+      .filter(col("b_r") < col("a_r") && col("a_r") - col("b_r") <= lit(SemW))
+      .withColumn("cos",
+        dot(col("a_emb"), col("b_emb")) / nullif(col("a_nrm") * col("b_nrm"), lit(0.0)))
+      .filter(col("cos") >= lit(SemTau))
+      .select(col("a_id")).distinct()
+    rk.join(pruned, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("r").as("sem_rank"),
+        Det.r4(col("ccos")).as("cent_cos"),
+        col("a_id").isNull.as("kept"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Brute-force top-5 again, but through the native codegen'd
     * [[graft.functions.CosineSimilarity]] expression instead of the
     * higher-order zip_with/aggregate composition — one fused loop per
@@ -705,6 +775,7 @@ object Vectors {
     "q_sim_ann_multiprobe"-> annMultiprobe,
     "q_sim_ann_ivf"       -> annIvf,
     "q_sim_kmeans"        -> simKmeans,
+    "q_dedup_semantic"    -> dedupSemantic,
     "q_embed_pq"          -> embedPq,
     "q_sim_ann_pq"        -> annPq,
     "q_sim_ann_pq_stored" -> annPqStored,
@@ -1020,6 +1091,33 @@ object Vectors {
          |       ${Det.sqlR4("ccos")} AS cent_cos
          |FROM asg
          |ORDER BY vec_id ASC""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH c AS ($sqlCorpus),
+         |${sqlKmeansCents(3)},
+         |a0 AS (
+         |  SELECT c.vec_id, c.emb, c.nrm, cents.cent_id,
+         |         list_dot_product(c.emb, cents.c_emb)
+         |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+         |  FROM c CROSS JOIN cents),
+         |asg AS (
+         |  SELECT vec_id, emb, nrm, cent_id AS cluster_id, ccos
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM a0)
+         |  WHERE crn = 1),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |               ORDER BY ccos DESC, vec_id ASC) AS r FROM asg),
+         |pr AS (
+         |  SELECT a.vec_id AS a_id,
+         |         list_dot_product(a.emb, b.emb)
+         |           / NULLIF(a.nrm * b.nrm, 0.0) AS cos
+         |  FROM rk a JOIN rk b ON a.cluster_id = b.cluster_id
+         |   AND b.r < a.r AND a.r - b.r <= $SemW),
+         |dr AS (SELECT DISTINCT a_id FROM pr WHERE cos >= $SemTau)
+         |SELECT rk.vec_id, rk.cluster_id, rk.r AS sem_rank,
+         |       ${Det.sqlR4("rk.ccos")} AS cent_cos,
+         |       (dr.a_id IS NULL) AS kept
+         |FROM rk LEFT JOIN dr ON rk.vec_id = dr.a_id
+         |ORDER BY rk.vec_id ASC""".stripMargin,
     "q_embed_pq" ->
       s"""WITH c AS ($sqlCorpus),
          |${sqlPqCodes(2)}

@@ -418,6 +418,38 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("semantic dedup: banded prune equals naive twin, rank-1 kept") {
+    import graft.ops.Vectors
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, sf).cache()
+    val total = out.count()
+    val prunedN = out.filter(!col("kept")).count()
+    assert(prunedN > 0 && prunedN < total,
+      s"degenerate prune: $prunedN of $total")
+    // the closest-to-centroid member of each cluster has no closer
+    // clustermate to evict it — always kept
+    assert(out.filter(col("sem_rank") === 1 && !col("kept")).count() == 0)
+    // the block-keyed banded join must lose nothing vs the naive
+    // within-cluster theta join at the same (W, τ)
+    val rk = Vectors.semClusterRanks(spark, sf)
+    def dotE(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)")
+    val aa = rk.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"), col("r").as("a_r"))
+    val bb = rk.select(col("cluster_id"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("r").as("b_r"))
+    val naive = aa.join(bb, "cluster_id")
+      .filter(col("b_r") < col("a_r") &&
+        col("a_r") - col("b_r") <= lit(Vectors.SemW))
+      .withColumn("cos", dotE("a_emb", "b_emb") /
+        nullif(col("a_nrm") * col("b_nrm"), lit(0.0)))
+      .filter(col("cos") >= lit(Vectors.SemTau))
+      .select(col("a_id")).distinct()
+    val qPruned = out.filter(!col("kept")).select(col("vec_id").as("a_id"))
+    assert(naive.exceptAll(qPruned).count() == 0, "banded join missed prunes")
+    assert(qPruned.exceptAll(naive).count() == 0, "banded join over-pruned")
+    out.unpersist()
+  }
+
   test("lm score: per-doc bigram accounting and nonnegative nll") {
     val lm = SparkEntry.queries("q_text_lm_score")(spark, sf)
     val docs = graft.io.Tables.documents(spark, sf)
