@@ -277,8 +277,56 @@ object Cdc {
         col("n_inserts"), col("n_updates"), col("n_deletes"))
       .orderBy(col("user_id").asc)
 
+  /** CDC schema evolution — the reference's per-table configuration
+    * versioning surfaced in the consumer: the payload schema CHANGES
+    * mid-stream and the snapshot fold tolerates (and audits) it.
+    * The stream's own sequence defines three configuration versions —
+    * first third v1 (payload = {value}), middle third v2 (column
+    * `score` ADDED: score = length(event_type) + event_id % 100),
+    * last third v3 (column `value` DROPPED) — so the epoch history
+    * scales with the fixture and both engines derive it identically
+    * from MAX(event_id).
+    *
+    * Fold semantics (the Debezium→warehouse convention): a key's
+    * snapshot row carries the columns of the version it was LAST
+    * written under — `score` is NULL for keys last written before the
+    * addition (old-rows-null), `value` is NULL for keys last written
+    * after the drop (dropped-column masking); neither is ever
+    * back-filled or resurrected from older events. first_v/last_v
+    * audit the version span each key's history crossed.
+    *
+    * Plan: the version boundary is ONE broadcast scalar
+    * (crossJoin(broadcast(max))) — no corpus-sized exchange is added;
+    * the fold itself is the standard one-shuffle [[wLatest]] window,
+    * and the audit columns ride the same key partition. */
+  private val schemaEvolve: Q = (s, d) => {
+    val e = stream(s, d)
+    val bounds = e.agg(max(col("event_id")).as("mx"))
+    val withV = e.crossJoin(broadcast(bounds))
+      .withColumn("schema_v",
+        when(col("event_id") * 3 <= col("mx"), 1L)
+          .when(col("event_id") * 3 <= col("mx") * 2, 2L)
+          .otherwise(3L))
+    withV
+      .withColumn("score", when(col("schema_v") >= 2,
+        length(col("event_type")).cast("long") +
+          pmod(col("event_id"), lit(100L))))
+      .withColumn("pval", when(col("schema_v") <= 2, col("value")))
+      .withColumn("rn", row_number().over(wLatest))
+      .withColumn("first_v",
+        min(col("schema_v")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("last_v",
+        max(col("schema_v")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("schema_v"), col("event_type"), col("pval").as("value"),
+        col("score"), col("first_v"), col("last_v"))
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cdc_ops_stream"    -> opsStreamQ,
+    "q_cdc_schema_evolve" -> schemaEvolve,
     "q_cdc_apply_ops"     -> applyOps,
     "q_cdc_scd2"          -> scd2,
     "q_cdc_tombstone"     -> tombstone,
@@ -322,6 +370,29 @@ object Cdc {
        |      FROM o WHERE op IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_schema_evolve" ->
+      s"""WITH s AS ($sqlStream),
+         |mx AS (SELECT MAX(event_id) AS mx FROM s),
+         |v AS (SELECT s.*,
+         |        CAST(CASE WHEN event_id * 3 <= mx THEN 1
+         |                  WHEN event_id * 3 <= mx * 2 THEN 2
+         |                  ELSE 3 END AS BIGINT) AS schema_v
+         |      FROM s, mx),
+         |p AS (SELECT *,
+         |        CASE WHEN schema_v >= 2
+         |             THEN LENGTH(event_type) + event_id % 100 END AS score,
+         |        CASE WHEN schema_v <= 2 THEN value END AS pval
+         |      FROM v),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |               ORDER BY ts DESC, event_id DESC) AS rn,
+         |        MIN(schema_v) OVER (PARTITION BY user_id) AS first_v,
+         |        MAX(schema_v) OVER (PARTITION BY user_id) AS last_v
+         |      FROM p)
+         |SELECT user_id, event_id AS last_event_id, schema_v, event_type,
+         |       pval AS value, score, first_v, last_v
+         |FROM r WHERE rn = 1
+         |ORDER BY user_id ASC""".stripMargin,
     "q_cdc_ops_stream" ->
       s"""WITH $sqlOps
          |SELECT user_id, event_id, ${Det.sqlOutTs("ts")} AS ts, op,

@@ -455,53 +455,180 @@ object Dedup {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Bumped whenever a store BUILDER changes — persisted columns,
+    * thresholds ([[VerifyMatchMin]], [[PrRounds]]), band geometry, or
+    * the layout inside the dir. The token is folded into the store
+    * PATH ([[storeDir]]), so a code change deterministically
+    * invalidates every cached table instead of silently serving a
+    * stale schema from /tmp between runs (the content stamp keys DATA
+    * freshness only; it cannot see code changes). */
+  private[graft] val StoreFormatVersion = 2
+
+  private[ops] def storeRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
+
+  /** One-time (per JVM) sweep of legacy store dirs the current layout
+    * can never read: underscore-prefixed names (the pre-"t" sanitized
+    * form Hadoop's listing filter hides) and pre-versioned "t…-<stamp>"
+    * names (no `-vN-` token). Both are rebuilt under new names and
+    * would otherwise accumulate stale parquet on disk forever.
+    * Best-effort: a failure to delete is ignored, never fatal. */
+  private lazy val legacySwept: Unit = {
+    val versioned = """.*-v\d+-[0-9a-f]{12}$""".r
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmAll)
+      f.delete(); ()
+    }
+    try Option(new java.io.File(storeRoot).listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && !n.contains(".tmp-") &&
+          (n.startsWith("_") ||
+            (n.startsWith("t") && versioned.findFirstIn(n).isEmpty))
+      }.foreach(rmAll)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Store directory for a derived artifact of `d`'s documents table:
-    * `<root>/<sanitized d>-<kind>-<content stamp>`. The stamp in the
-    * path keys freshness (fixture regeneration ⇒ new path ⇒ rebuild);
-    * the root defaults to /tmp/graft-sig-store and is overridable with
+    * `<root>/<sanitized d>-<kind>-v<format>-<content stamp>`. The
+    * stamp keys DATA freshness (fixture regeneration ⇒ new path ⇒
+    * rebuild), the [[StoreFormatVersion]] token keys CODE freshness
+    * (builder change ⇒ new path ⇒ rebuild); the root defaults to
+    * /tmp/graft-sig-store and is overridable with
     * SPARK_GRAFT_SIG_STORE. */
   private[ops] def storeDir(d: String, kind: String): String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
+    legacySwept
     // "t" prefix: the sanitized fixture path starts with "_" (absolute
     // path → leading separator → underscore), and Hadoop's listing
     // filter treats underscore-prefixed paths as hidden — reads work
     // when the dir is the explicit root, but every access logs an
     // "All paths were ignored" warning and any consumer that GLOBS the
     // store root would silently skip the table
-    s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
+    s"$storeRoot/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-v$StoreFormatVersion-" +
       fsStamp(s"$d/documents.parquet")
   }
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+    f.delete(); ()
+  }
+
+  /** Name of the coherence marker a DERIVED store carries: a text file
+    * listing the basenames of the store(s) its build read. Read-side
+    * verification ([[checkUpstream]]) catches a store root whose
+    * entries went incoherent (half-cleared, re-stamped, or copied
+    * across fixtures) — normally impossible because every store path
+    * embeds the same content stamp, but cheap to verify and loud when
+    * it happens. */
+  private[graft] val UpstreamMarker = "_UPSTREAM"
+
+  private def checkUpstream(target: java.io.File, expected: Seq[String]): Unit = {
+    val m = new java.io.File(target, UpstreamMarker)
+    if (expected.nonEmpty && m.exists()) {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val want = expected.map(p => new java.io.File(p).getName)
+      require(recorded == want,
+        s"store ${target.getName} is INCOHERENT with its upstream: built " +
+          s"from ${recorded.mkString(",")} but the current upstream is " +
+          s"${want.mkString(",")} — wipe $storeRoot and rebuild")
+    }
+  }
+
+  /** Atomically publish the fully built dir `tmp` at `target` under a
+    * cross-process file lock. The lock closes the ADVICE-flagged
+    * check-then-delete race: without it, a loser could observe
+    * `!ready`, then delete a store the winner had JUST finished
+    * renaming into place. Under the lock the decision is serialized —
+    * a complete (`_SUCCESS`-bearing) target is never deleted, only a
+    * crashed earlier build (target present, no `_SUCCESS`) is cleared
+    * before the rename. Same-parent rename ⇒ same filesystem ⇒ atomic;
+    * cross-JVM exclusion via [[java.nio.channels.FileLock]] (released
+    * by the OS even on crash), same-JVM exclusion via the interned
+    * path monitor (overlapping FileLocks in one JVM throw instead of
+    * blocking). */
+  private def publish(tmp: java.io.File, target: java.io.File): Unit =
+    target.getPath.intern.synchronized {
+      def ready = new java.io.File(target, "_SUCCESS").exists()
+      val lockFile = new java.io.File(target.getParentFile, target.getName + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (ready) rm(tmp) // lost to a complete build — byte-equivalent
+          else {
+            if (target.exists()) rm(target) // crashed build, no _SUCCESS
+            require(tmp.renameTo(target),
+              s"stored-table publish failed for ${target.getPath}")
+          }
+        } finally lock.release()
+      } finally ch.close()
+      require(ready, s"stored-table publish failed for ${target.getPath}")
+    }
+
   /** Build-once-read-forever parquet materialization: if `dir` lacks a
     * `_SUCCESS` marker, run `build` into a session-unique temp sibling
-    * and atomically RENAME it into place (same parent ⇒ same
-    * filesystem ⇒ atomic publish); then read the table back as plain
-    * parquet. The rename closes the check-then-write race two
-    * concurrent sessions sharing one store root would otherwise hit —
-    * the loser of the race discards its copy and reads the winner's
-    * complete table; a reader never sees a half-written directory
-    * because nothing is ever written AT `dir` directly. The content
-    * stamp in `dir` (see [[storeDir]]) plays the table-format
-    * snapshot-id role a Delta/Iceberg deployment would use. */
-  private def storedTable(s: SparkSession, dir: String)
+    * and atomically [[publish]] it into place; then read the table
+    * back as plain parquet. Nothing is ever written AT `dir` directly,
+    * so a reader never sees a half-written directory. The content
+    * stamp + version token in `dir` (see [[storeDir]]) play the
+    * table-format snapshot-id role a Delta/Iceberg deployment would
+    * use. `upstream` lists the store dirs the build READS — recorded
+    * in the published dir ([[UpstreamMarker]]) and re-verified on
+    * every read, so an incoherent store root refuses loudly instead of
+    * pairing fresh tables with stale ones. */
+  private def storedTable(s: SparkSession, dir: String,
+                          upstream: Seq[String] = Nil)
                          (build: => DataFrame): DataFrame = {
     val target = new java.io.File(dir)
     def ready = new java.io.File(target, "_SUCCESS").exists()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
     if (!ready) {
       val tmp = new java.io.File(target.getParentFile,
         s"${target.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       build.write.mode("overwrite").parquet(tmp.getPath)
-      // a crashed earlier build (target present, no _SUCCESS) blocks
-      // the rename — clear it; losing the publish race to a concurrent
-      // COMPLETE build is fine, their table is byte-equivalent
-      if (!ready) rm(target)
-      if (!tmp.renameTo(target)) rm(tmp)
-      require(ready, s"stored-table publish failed for $dir")
+      if (upstream.nonEmpty)
+        java.nio.file.Files.write(tmp.toPath.resolve(UpstreamMarker),
+          upstream.map(p => new java.io.File(p).getName)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+      publish(tmp, target)
     }
+    checkUpstream(target, upstream)
+    s.read.parquet(dir)
+  }
+
+  /** Day-chain store builder — publish day N+1's table by APPENDING to
+    * day N's, without recomputing day N: every data file of `baseDir`
+    * is HARD-LINKED into the new dir (an O(#files) metadata operation
+    * and zero data movement — exactly the add-files append a
+    * Delta/Iceberg commit performs), then `batch` alone is written in
+    * append mode beside the linked files. The published dir is a
+    * self-contained plain-parquet table = base ∪ batch; the base table
+    * is never read, rewritten, or re-derived. Publication is the same
+    * locked atomic rename as [[storedTable]]. */
+  private def storedTableAppend(s: SparkSession, dir: String, baseDir: String)
+                               (batch: => DataFrame): DataFrame = {
+    val target = new java.io.File(dir)
+    def ready = new java.io.File(target, "_SUCCESS").exists()
+    if (!ready) {
+      val base = new java.io.File(baseDir)
+      require(new java.io.File(base, "_SUCCESS").exists(),
+        s"append base $baseDir is not published")
+      val tmp = new java.io.File(target.getParentFile,
+        s"${target.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      tmp.mkdirs()
+      Option(base.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach(f => java.nio.file.Files.createLink(
+          tmp.toPath.resolve(f.getName), f.toPath))
+      batch.write.mode("append").parquet(tmp.getPath)
+      java.nio.file.Files.write(tmp.toPath.resolve(UpstreamMarker),
+        (base.getName + "\n").getBytes("UTF-8"))
+      publish(tmp, target)
+    }
+    checkUpstream(target, Seq(baseDir))
     s.read.parquet(dir)
   }
 
@@ -546,7 +673,7 @@ object Dedup {
     * for the next consumer). Labels are component-minimum doc_ids —
     * identical to [[clustersSig]]'s by construction. */
   private[graft] def storedClusterLabels(s: SparkSession, d: String): DataFrame =
-    storedTable(s, storeDir(d, "labels")) {
+    storedTable(s, storeDir(d, "labels"), upstream = Seq(storeDir(d, "pairs"))) {
       connectedComponentsStar(
         Tables.documents(s, d).select(col("doc_id")),
         storedVerifiedPairs(s, d).select(col("a_id"), col("b_id")))
@@ -561,7 +688,7 @@ object Dedup {
     * would enumerate — band-key candidacy is pairwise, so the presence
     * of new docs in a bucket never adds or removes an old×old pair. */
   private[graft] def storedOldClusterLabels(s: SparkSession, d: String): DataFrame =
-    storedTable(s, storeDir(d, "oldlabels")) {
+    storedTable(s, storeDir(d, "oldlabels"), upstream = Seq(storeDir(d, "pairs"))) {
       val isOld = (c: Column) => pmod(c, lit(NewBatchMod)) =!= NewBatchMod - 1
       connectedComponentsStar(
         Tables.documents(s, d).select(col("doc_id"))
@@ -908,12 +1035,23 @@ object Dedup {
     * stored label table. Nothing corpus-sized is recomputed. Output ≡
     * [[clustersSig]] by construction — all three formulations share
     * one oracle, and the driver hash-compare is the proof. */
-  private val clustersIncr: Q = (s, d) => {
-    val isNew = pmod(col("doc_id"), lit(NewBatchMod)) === NewBatchMod - 1
-    val oldLabels = storedOldClusterLabels(s, d)
-    val batch = sigBands(docTokens(s, d).filter(isNew)).localCheckpoint()
-    val newPairs = incrementalPairs(storedCorpusSigs(s, d), batch)
-      .select(col("a_id"), col("b_id"))
+  /** The label-contraction FOLD at the heart of incremental cluster
+    * maintenance, shared by the one-shot [[clustersIncr]] and every
+    * generation of the day-chain ([[clustersDay2]]): fold `newPairs`
+    * (verified pairs with ≥1 endpoint in the batch) into `oldLabels`
+    * without re-running CC over the old corpus. Every old endpoint is
+    * contracted to its stored cluster label (sound — contracting a
+    * component to any single node preserves connectivity), star-CC
+    * runs over the CONTRACTED batch-sized graph only, and ONE
+    * label-keyed relabel join rewrites touched clusters; untouched
+    * clusters never enter the contracted graph and keep their labels
+    * verbatim. The merged component minimum equals the true corpus
+    * minimum because each stored label IS the minimum of its old
+    * members — the invariant is inductive, so folds CHAIN: day-2's
+    * fold over day-1's folded labels still yields exact min-id CC
+    * labels. Returns `(doc_id, cluster_id)` over oldLabels ∪ newDocs. */
+  private[graft] def foldBatchLabels(oldLabels: DataFrame, newDocs: DataFrame,
+                                     newPairs: DataFrame): DataFrame = {
     // contract old endpoints to their stored labels (new docs pass
     // through); the label map is node-sized and materialized on read,
     // so Catalyst auto-broadcasts while it fits
@@ -929,7 +1067,6 @@ object Dedup {
         greatest(col("u"), col("v")).as("b_id"))
       .distinct()
       .localCheckpoint()
-    val newDocs = Tables.documents(s, d).select(col("doc_id")).filter(isNew)
     val touched = contracted.select(col("a_id").as("doc_id"))
       .unionAll(contracted.select(col("b_id").as("doc_id")))
       .unionAll(newDocs).distinct()
@@ -952,11 +1089,123 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("new_l"), col("doc_id")).as("cluster_id"))
     oldRelab.unionByName(newRelab)
+  }
+
+  /** Decorate bare `(doc_id, cluster_id)` labels with the
+    * clusters-family output shape (size window + min-id keeper flag). */
+  private def clusterShape(labels: DataFrame): DataFrame =
+    labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy(col("doc_id").asc)
+
+  private val clustersIncr: Q = (s, d) => {
+    val isNew = pmod(col("doc_id"), lit(NewBatchMod)) === NewBatchMod - 1
+    val batch = sigBands(docTokens(s, d).filter(isNew)).localCheckpoint()
+    val newPairs = incrementalPairs(storedCorpusSigs(s, d), batch)
+      .select(col("a_id"), col("b_id"))
+    val newDocs = Tables.documents(s, d).select(col("doc_id")).filter(isNew)
+    clusterShape(
+      foldBatchLabels(storedOldClusterLabels(s, d), newDocs, newPairs))
+  }
+
+  // ───────────────────────── multi-day store evolution ─────────────
+  // The chain a daily-ingest corpus actually lives: day-0 stores are
+  // built ONCE (cold start), then each day's stores derive from the
+  // PREVIOUS day's stores plus that day's batch only — signatures by
+  // file-level APPEND (hard-linked base files + batch files, zero
+  // recompute of the base), labels by the label-contraction fold.
+  // Day-0 corpus = doc_id residues ∉ {Day1Res, Day2Res} (mod 10);
+  // day-1 ingests residue 8, day-2 ingests residue 9 (the same batch
+  // the one-shot incremental keys use). The declared day-2 query runs
+  // the day-2 fold against the day-1 stores and shares clustersSig's
+  // oracle VERBATIM — the driver hash-compare therefore proves
+  // chained-incremental ≡ full recompute through two chained store
+  // generations.
+
+  private[graft] val Day1Res = NewBatchMod - 2
+  private[graft] val Day2Res = NewBatchMod - 1
+
+  private def resIs(r: Int): Column =
+    pmod(col("doc_id"), lit(NewBatchMod)) === r
+
+  /** Day-0 signature/band store: the cold-start signing of the day-0
+    * corpus (residues ∉ {8,9}) — the only time day-0 documents are
+    * ever tokenized and hashed; every later generation reads or
+    * hard-links these files. */
+  private[graft] def storedDay0Sigs(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "d0sigs")) {
+      sigBands(docTokens(s, d).filter(!resIs(Day1Res) && !resIs(Day2Res)))
+    }
+
+  /** Day-0 label store: CC over the day-0 corpus. Pairs are
+    * enumerated from the day-0 signature STORE via
+    * [[incrementalPairs]] with an empty corpus side — "everything is
+    * today's batch" — which reduces to the full banded self-join over
+    * day-0 sigs, the price a cold start pays exactly once. */
+  private[graft] def storedDay0Labels(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "d0labels"),
+        upstream = Seq(storeDir(d, "d0sigs"))) {
+      val sigs = storedDay0Sigs(s, d)
+      connectedComponentsStar(
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(!resIs(Day1Res) && !resIs(Day2Res)),
+        incrementalPairs(sigs.limit(0), sigs)
+          .select(col("a_id"), col("b_id")))
+    }
+
+  /** Day-1 signature store = day-0 store APPEND batch-8 signatures:
+    * the day-0 part files are hard-linked (never read, never
+    * recomputed — OperatorSpec asserts inode identity), only the
+    * batch is signed. This is the append the scaladoc contract
+    * promises: signatures are content-derived and immutable, so a
+    * day's publish adds files and touches nothing else. */
+  private[graft] def storedDay1Sigs(s: SparkSession, d: String): DataFrame = {
+    storedDay0Sigs(s, d) // force the base build before linking it
+    storedTableAppend(s, storeDir(d, "d1sigs"), storeDir(d, "d0sigs")) {
+      sigBands(docTokens(s, d).filter(resIs(Day1Res)))
+    }
+  }
+
+  /** Day-1 label store: [[foldBatchLabels]] of batch-8's pair stream
+    * into the day-0 labels. Both inputs are STORES — the pairs come
+    * from [[incrementalPairs]] over the day-1 signature store (corpus
+    * side = the hard-linked day-0 files, batch side = the appended
+    * batch-8 files; neither is re-signed), the base labels from
+    * [[storedDay0Labels]]. Published with both upstream receipts. */
+  private[graft] def storedDay1Labels(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "d1labels"),
+        upstream = Seq(storeDir(d, "d0labels"), storeDir(d, "d1sigs"))) {
+      val d1 = storedDay1Sigs(s, d)
+      val pairs = incrementalPairs(
+          d1.filter(!resIs(Day1Res)), d1.filter(resIs(Day1Res)))
+        .select(col("a_id"), col("b_id"))
+      foldBatchLabels(storedDay0Labels(s, d),
+        Tables.documents(s, d).select(col("doc_id")).filter(resIs(Day1Res)),
+        pairs)
+    }
+
+  /** The declared day-2 ingest fold — the query a daily pipeline runs
+    * every morning: sign TODAY's batch (residue 9) in-query, discover
+    * its pairs against the day-1 signature store, fold them into the
+    * day-1 label store. Nothing corpus-sized is recomputed anywhere in
+    * the chain behind it: day-1 sigs hard-link day-0's files, day-1
+    * labels folded batch 8, and this fold touches batch 9 plus the
+    * contracted skeleton only. Output ≡ [[clustersSig]] over the full
+    * corpus by the inductive fold invariant — the oracle is shared
+    * verbatim, so the driver hash-compare proves the whole two-
+    * generation chain equals the one-shot full recompute. */
+  private val clustersDay2: Q = (s, d) => {
+    val batch = sigBands(docTokens(s, d).filter(resIs(Day2Res)))
+      .localCheckpoint()
+    val pairs = incrementalPairs(storedDay1Sigs(s, d), batch)
+      .select(col("a_id"), col("b_id"))
+    clusterShape(
+      foldBatchLabels(storedDay1Labels(s, d),
+        Tables.documents(s, d).select(col("doc_id")).filter(resIs(Day2Res)),
+        pairs))
   }
 
   /** PageRank iteration count and damping factor (damping enters the
@@ -1061,7 +1310,7 @@ object Dedup {
     * SQL, so the driver hash-compare proves stored ≡ recomputed on
     * every verify run. */
   private[graft] def storedPageRanks(s: SparkSession, d: String): DataFrame =
-    storedTable(s, storeDir(d, "ranks")) {
+    storedTable(s, storeDir(d, "ranks"), upstream = Seq(storeDir(d, "pairs"))) {
       pagerankRanks(s, d)
     }
 
@@ -1481,6 +1730,7 @@ object Dedup {
     "q_dedup_clusters_sig" -> clustersSig,
     "q_dedup_clusters_stored" -> clustersStored,
     "q_dedup_clusters_incr" -> clustersIncr,
+    "q_dedup_clusters_day2" -> clustersDay2,
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_dedup_pagerank"    -> pagerank,
     "q_dedup_keepers_rank" -> keepersRank,
@@ -1879,6 +2129,10 @@ object Dedup {
     "q_dedup_clusters_sig" -> sqlClustersSig,
     "q_dedup_clusters_stored" -> sqlClustersSig,
     "q_dedup_clusters_incr" -> sqlClustersSig,
+    // shared VERBATIM by the two-generation day chain: day-0 stores →
+    // append batch 8 → day-1 stores → fold batch 9. Hash-equality
+    // against the one-shot full recompute proves the chained folds.
+    "q_dedup_clusters_day2" -> sqlClustersSig,
     // the oracle recomputes the pair stream the Spark side reads from
     // the stored table — the hash compare proves stored ≡ recomputed
     "q_dedup_pagerank" ->

@@ -327,7 +327,11 @@ object Multimodal {
         } finally r.dispose()
       }
     } catch {
-      case _: java.io.IOException => (-1L, -1L, -1L)
+      // NonFatal, not just IOException: the JDK GIF reader throws
+      // RuntimeExceptions (e.g. ArrayIndexOutOfBounds) on
+      // malformed-but-sniffable bytes, and the contract is that
+      // undecodable bytes DEGRADE, never fail the task
+      case scala.util.control.NonFatal(_) => (-1L, -1L, -1L)
     } finally iis.close()
   }
 

@@ -540,8 +540,11 @@ object Vectors {
   private[graft] def storedPqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")
     // "t" prefix: see Dedup.storeDir — a leading "_" marks the dir
-    // hidden to Hadoop's listing filter
+    // hidden to Hadoop's listing filter. The -vN- token keys CODE
+    // freshness (codebook params / persisted columns), the stamp DATA
+    // freshness — same contract as Dedup.storeDir.
     val dir = s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
+      s"v${Dedup.StoreFormatVersion}-" +
       Dedup.fsStamp(s"$d/embeddings.parquet")
     if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
       val c = corpus(s, d)

@@ -26,11 +26,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  test("README/SURVEY registry counts match the code (no drift)") {
+    // The recurring-staleness fix: the docs carry their counts inside
+    // <!--COUNT:QUERIES-->N<!--/COUNT--> / <!--COUNT:ORACLE-->N<!--/COUNT-->
+    // markers, and this spec pins every marker to the registry — a new
+    // key without a doc update fails `sbt test`, so the counts can no
+    // longer drift (flagged stale in rounds 9, 10 and 11).
+    val nq = SparkEntry.queries.size
+    val no = SparkEntry.oracleSql.size
+    val qPat = """<!--COUNT:QUERIES-->(\d+)<!--/COUNT-->""".r
+    val oPat = """<!--COUNT:ORACLE-->(\d+)<!--/COUNT-->""".r
+    Seq("README.md", "SURVEY.md").foreach { fn =>
+      val txt = {
+        val src = scala.io.Source.fromFile(fn, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      val qs = qPat.findAllMatchIn(txt).map(_.group(1).toInt).toSeq
+      val os = oPat.findAllMatchIn(txt).map(_.group(1).toInt).toSeq
+      assert(qs.nonEmpty && os.nonEmpty,
+        s"$fn lost its COUNT markers — restore them, they are the " +
+          "mechanized staleness guard")
+      qs.foreach(v => assert(v == nq,
+        s"$fn declares $v query keys; SparkEntry.queries has $nq"))
+      os.foreach(v => assert(v == no,
+        s"$fn declares $v oracle keys; SparkEntry.oracleSql has $no"))
+    }
+  }
+
   test("every query key has oracle SQL or is a documented sketch") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
       Set("q_agg_approx_distinct", "q_agg_approx_percentile"),
       s"missing oracle: $noOracle")
+  }
+
+  test("cdc schema evolution: add-then-drop round trip") {
+    val df = SparkEntry.queries("q_cdc_schema_evolve")(spark, sf)
+    // old-rows-null: a key last written under v1 predates the score
+    // column and must not have one
+    assert(df.filter(col("schema_v") === 1 && col("score").isNotNull)
+      .count() == 0, "score leaked into a pre-addition row")
+    // every post-addition write carries the added column
+    assert(df.filter(col("schema_v") >= 2 && col("score").isNull)
+      .count() == 0, "score missing from a post-addition row")
+    // dropped-column masking: a key last written under v3 exposes no value
+    assert(df.filter(col("schema_v") === 3 && col("value").isNotNull)
+      .count() == 0, "value survived the column drop")
+    // the fixture's stream really spans the whole add-then-drop
+    // lifecycle (some key crossed all three configuration versions)
+    assert(df.filter(col("first_v") === 1 && col("last_v") === 3).count() > 0,
+      "no key crossed the full schema lifecycle")
+    assert(df.filter(col("first_v") > col("last_v")).count() == 0)
   }
 
   test("cdc latest_state: exactly one row per user") {
@@ -602,6 +648,73 @@ class OperatorSpec extends AnyFunSuite {
     SparkEntry.queries("q_dedup_keepers_rank")(spark, sf).count()
     markers.foreach(m => assert(receipts(m.getPath) == m.lastModified,
       s"${m.getPath} was rebuilt on re-run"))
+  }
+
+  test("day-chain: two chained store generations ≡ full recompute; " +
+      "day-2 reads day-1, day-1 appends day-0 by hardlink") {
+    import graft.ops.Dedup
+    val full = SparkEntry.queries("q_dedup_clusters_sig")(spark, sf)
+    val day2 = SparkEntry.queries("q_dedup_clusters_day2")(spark, sf)
+    assert(full.exceptAll(day2).count() == 0 &&
+      day2.exceptAll(full).count() == 0,
+      "chained day-2 labels diverged from the one-shot full recompute")
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store"))
+    def store(kind: String): java.io.File = {
+      val ds = Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.getName.contains("sf0.001") &&
+          f.getName.contains(s"-$kind-v") && !f.getName.contains(".tmp-") &&
+          !f.getName.endsWith(".lock"))
+      assert(ds.size == 1, s"expected one $kind store, got ${ds.map(_.getName)}")
+      ds.head
+    }
+    // append proof: every day-0 part file appears in the day-1 sig
+    // store as a HARD LINK (same file key/inode) — day-0 was never
+    // re-signed, the day-1 publish only added files
+    def fileKey(f: java.io.File) =
+      java.nio.file.Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val d0parts = store("d0sigs").listFiles().filter(_.getName.startsWith("part-"))
+    val d1keys = store("d1sigs").listFiles()
+      .filter(_.getName.startsWith("part-")).map(fileKey).toSet
+    assert(d0parts.nonEmpty)
+    d0parts.foreach(f => assert(d1keys.contains(fileKey(f)),
+      s"day-0 file ${f.getName} was not hard-linked into the day-1 store"))
+    assert(d1keys.size > d0parts.length,
+      "day-1 store holds no appended batch files")
+    // reuse proof: a re-run of the day-2 fold READS every chained
+    // store, rebuilding none (_SUCCESS mtime receipts)
+    val markers = Seq("d0sigs", "d0labels", "d1sigs", "d1labels")
+      .map(k => new java.io.File(store(k), "_SUCCESS"))
+    markers.foreach(m => assert(m.exists()))
+    val receipts = markers.map(m => m.getPath -> m.lastModified).toMap
+    SparkEntry.queries("q_dedup_clusters_day2")(spark, sf).count()
+    markers.foreach(m => assert(receipts(m.getPath) == m.lastModified,
+      s"${m.getPath} was rebuilt on re-run"))
+  }
+
+  test("store coherence guard: a corrupted upstream receipt refuses to read") {
+    import graft.ops.Dedup
+    Dedup.storedDay1Labels(spark, sf).count() // ensure published
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store"))
+    val dir = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.contains("sf0.001") &&
+        f.getName.contains("-d1labels-v") && !f.getName.contains(".tmp-") &&
+        !f.getName.endsWith(".lock")).head
+    val marker = new java.io.File(dir, graft.ops.Dedup.UpstreamMarker)
+    val orig = java.nio.file.Files.readAllBytes(marker.toPath)
+    try {
+      java.nio.file.Files.write(marker.toPath,
+        "t-somewhere-else-d0labels-v2-deadbeefdead\n".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        Dedup.storedDay1Labels(spark, sf).count()
+      }
+      assert(e.getMessage.contains("INCOHERENT"),
+        s"unexpected refusal message: ${e.getMessage}")
+    } finally java.nio.file.Files.write(marker.toPath, orig)
+    // restored marker reads again
+    assert(Dedup.storedDay1Labels(spark, sf).count() > 0)
   }
 
   test("incremental cluster maintenance ≡ full recompute; untouched stable") {

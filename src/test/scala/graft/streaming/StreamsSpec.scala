@@ -155,6 +155,62 @@ class StreamsSpec extends AnyFunSuite {
       "streamed incremental pairs diverge from the batch query")
   }
 
+  test("foreachBatch incremental label maintenance equals full CC, any batching") {
+    // The continuous version of q_dedup_clusters_incr: new documents
+    // stream in; each micro-batch is signed, its pairs discovered
+    // against the growing corpus signature table, and the
+    // label-contraction fold (Dedup.foldBatchLabels — the exact
+    // function the declared query runs) folds them into the running
+    // label table. Over ANY partitioning of the new docs into
+    // micro-batches the final labels must equal the one-shot full CC
+    // recompute, and per micro-batch every pre-existing doc's label
+    // may only DECREASE (min-id cluster labels are monotone
+    // non-increasing under edge insertion — a label that ever rose
+    // would mean a component split, which ingest cannot cause).
+    import graft.ops.{Dedup, Text}
+    val sfDir = SparkTestSession.sf
+    val docs = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def sb(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sigBands(df.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("word"))).localCheckpoint()
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .as[(Long, String)].collect().sortBy(_._1)
+    var corpus = sb(docs.filter(pmod(col("doc_id"), lit(10)) =!= 9))
+    var labels = Dedup.storedOldClusterLabels(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bsb = sb(batch)
+        val pairs = Dedup.incrementalPairs(corpus, bsb)
+          .select(col("a_id"), col("b_id"))
+        val before = labels
+        labels = Dedup.foldBatchLabels(labels,
+            batch.select(col("doc_id")), pairs)
+          .localCheckpoint()
+        // per-micro-batch stability: labels only merge downward
+        val rose = before.withColumnRenamed("cluster_id", "old_l")
+          .join(labels, "doc_id")
+          .filter(col("cluster_id") > col("old_l"))
+        assert(rose.count() == 0,
+          "a pre-existing doc's cluster label increased mid-stream")
+        corpus = corpus.unionByName(bsb).localCheckpoint()
+        ()
+      }
+      .outputMode("update").start()
+    val parts = newDocs.grouped(math.max(1, newDocs.length / 3)).toSeq
+    parts.foreach { p => mem.addData(p); q.processAllAvailable() }
+    q.stop()
+    val expected = graft.SparkEntry.queries("q_dedup_clusters_sig")(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val got = labels.as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expected,
+      "streamed incremental labels diverge from the full CC recompute")
+  }
+
   test("epoch parquet sink writes idempotent epoch directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-epoch-ck").toString
