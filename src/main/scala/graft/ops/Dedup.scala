@@ -462,7 +462,12 @@ object Dedup {
     * invalidates every cached table instead of silently serving a
     * stale schema from /tmp between runs (the content stamp keys DATA
     * freshness only; it cannot see code changes). */
-  private[graft] val StoreFormatVersion = 2
+  // v3: day-chain restructure (d1labels reads the appended d1pairs
+  // store instead of re-deriving pairs from d1sigs; d0pairs/d1ranks
+  // added) — the in-the-wild proof of this token's purpose: the v2
+  // d1labels store carried an _UPSTREAM receipt naming d1sigs, and the
+  // coherence guard REFUSED it the moment the builder changed.
+  private[graft] val StoreFormatVersion = 3
 
   private[ops] def storeRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
@@ -1140,20 +1145,29 @@ object Dedup {
       sigBands(docTokens(s, d).filter(!resIs(Day1Res) && !resIs(Day2Res)))
     }
 
-  /** Day-0 label store: CC over the day-0 corpus. Pairs are
-    * enumerated from the day-0 signature STORE via
-    * [[incrementalPairs]] with an empty corpus side — "everything is
-    * today's batch" — which reduces to the full banded self-join over
-    * day-0 sigs, the price a cold start pays exactly once. */
-  private[graft] def storedDay0Labels(s: SparkSession, d: String): DataFrame =
-    storedTable(s, storeDir(d, "d0labels"),
+  /** Day-0 verified-pair store: pairs are enumerated from the day-0
+    * signature STORE via [[incrementalPairs]] with an empty corpus
+    * side — "everything is today's batch" — which reduces to the full
+    * banded self-join over day-0 sigs, the price a cold start pays
+    * exactly once. Full [[storedVerifiedPairs]] schema so the day
+    * stores substitute column-for-column. */
+  private[graft] def storedDay0Pairs(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "d0pairs"),
         upstream = Seq(storeDir(d, "d0sigs"))) {
       val sigs = storedDay0Sigs(s, d)
+      incrementalPairs(sigs.limit(0), sigs)
+    }
+
+  /** Day-0 label store: CC over the day-0 corpus, reading the day-0
+    * pair STORE (cold-start chaining: sigs → pairs → labels, each
+    * materialized once). */
+  private[graft] def storedDay0Labels(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "d0labels"),
+        upstream = Seq(storeDir(d, "d0pairs"))) {
       connectedComponentsStar(
         Tables.documents(s, d).select(col("doc_id"))
           .filter(!resIs(Day1Res) && !resIs(Day2Res)),
-        incrementalPairs(sigs.limit(0), sigs)
-          .select(col("a_id"), col("b_id")))
+        storedDay0Pairs(s, d).select(col("a_id"), col("b_id")))
     }
 
   /** Day-1 signature store = day-0 store APPEND batch-8 signatures:
@@ -1169,22 +1183,51 @@ object Dedup {
     }
   }
 
-  /** Day-1 label store: [[foldBatchLabels]] of batch-8's pair stream
-    * into the day-0 labels. Both inputs are STORES — the pairs come
-    * from [[incrementalPairs]] over the day-1 signature store (corpus
-    * side = the hard-linked day-0 files, batch side = the appended
-    * batch-8 files; neither is re-signed), the base labels from
-    * [[storedDay0Labels]]. Published with both upstream receipts. */
+  /** Day-1 pair store = day-0 pairs APPEND batch-8's increment: only
+    * pairs touching batch 8 are discovered ([[incrementalPairs]] over
+    * the day-1 signature store — corpus side = the hard-linked day-0
+    * files, batch side = the appended batch-8 files; nothing
+    * re-signed, no old×old pair re-enumerated), and the day-0 pair
+    * files are hard-linked in. Like signatures, verified pairs are
+    * content-derived and immutable, so the pair table is append-only
+    * under ingest — this store is that claim made real. */
+  private[graft] def storedDay1Pairs(s: SparkSession, d: String): DataFrame = {
+    storedDay0Pairs(s, d) // force the base build before linking it
+    storedTableAppend(s, storeDir(d, "d1pairs"), storeDir(d, "d0pairs")) {
+      val d1 = storedDay1Sigs(s, d)
+      incrementalPairs(d1.filter(!resIs(Day1Res)), d1.filter(resIs(Day1Res)))
+    }
+  }
+
+  /** Day-1 label store: [[foldBatchLabels]] of batch-8's pair
+    * increment into the day-0 labels. All inputs are STORES — the
+    * increment is read back out of the appended day-1 pair store by a
+    * residue filter (day-0 pairs have no batch-8 endpoint, so the
+    * filter selects exactly the appended files' rows), the base
+    * labels from [[storedDay0Labels]]. */
   private[graft] def storedDay1Labels(s: SparkSession, d: String): DataFrame =
     storedTable(s, storeDir(d, "d1labels"),
-        upstream = Seq(storeDir(d, "d0labels"), storeDir(d, "d1sigs"))) {
-      val d1 = storedDay1Sigs(s, d)
-      val pairs = incrementalPairs(
-          d1.filter(!resIs(Day1Res)), d1.filter(resIs(Day1Res)))
-        .select(col("a_id"), col("b_id"))
+        upstream = Seq(storeDir(d, "d0labels"), storeDir(d, "d1pairs"))) {
+      val touches8 =
+        pmod(col("a_id"), lit(NewBatchMod)) === Day1Res ||
+          pmod(col("b_id"), lit(NewBatchMod)) === Day1Res
       foldBatchLabels(storedDay0Labels(s, d),
         Tables.documents(s, d).select(col("doc_id")).filter(resIs(Day1Res)),
-        pairs)
+        storedDay1Pairs(s, d).filter(touches8)
+          .select(col("a_id"), col("b_id")))
+    }
+
+  /** Day-1 PageRank store: the five integer rounds over the DAY-1
+    * graph (day-1 docs, day-1 pair store) — what a daily pipeline has
+    * on disk when batch 9 arrives. [[pagerankDay2]] refreshes only
+    * the components batch 9 touches and keeps these rows verbatim for
+    * every untouched component. */
+  private[graft] def storedDay1Ranks(s: SparkSession, d: String): DataFrame =
+    storedTable(s, storeDir(d, "d1ranks"),
+        upstream = Seq(storeDir(d, "d1pairs"))) {
+      pagerankLoop(
+        Tables.documents(s, d).select(col("doc_id")).filter(!resIs(Day2Res)),
+        storedDay1Pairs(s, d).select(col("a_id"), col("b_id")))
     }
 
   /** The declared day-2 ingest fold — the query a daily pipeline runs
@@ -1206,6 +1249,51 @@ object Dedup {
       foldBatchLabels(storedDay1Labels(s, d),
         Tables.documents(s, d).select(col("doc_id")).filter(resIs(Day2Res)),
         pairs))
+  }
+
+  /** Day-2 rank refresh — "ranks refreshed only for touched
+    * components", the last leg of the day chain: this PageRank
+    * decomposes exactly per connected component (see
+    * [[pagerankLoop]]), so when batch 9 arrives only the components
+    * it touches need the five rounds re-run; every other component's
+    * day-1 ranks are STILL the day-2 ranks, verbatim.
+    *
+    * Plan: (1) the batch-sized label fold locates touched components
+    * (clusters of the day-2 labeling containing a batch-9 doc — every
+    * new pair touches the batch, so no other component's edge set
+    * changed); (2) the refresh subgraph = day-1 pairs with an
+    * endpoint in a touched component (one semi-join — connectivity
+    * implies the other endpoint is in the same component) plus the
+    * new increment; (3) [[pagerankLoop]] over that subgraph only;
+    * (4) untouched docs anti-join in their stored day-1 rows. Cost is
+    * proportional to touched-component volume, not corpus volume —
+    * the full five-round corpus loop never runs. Output ≡
+    * [[pagerank]] over the full corpus (oracle shared VERBATIM), so
+    * the driver hash-compare proves per-component refresh ≡ full
+    * recompute through the whole chained store lineage. */
+  private val pagerankDay2: Q = (s, d) => {
+    val batch = sigBands(docTokens(s, d).filter(resIs(Day2Res)))
+      .localCheckpoint()
+    val newPairs = incrementalPairs(storedDay1Sigs(s, d), batch)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val newDocs = Tables.documents(s, d).select(col("doc_id"))
+      .filter(resIs(Day2Res))
+    val day2 = foldBatchLabels(storedDay1Labels(s, d), newDocs, newPairs)
+      .localCheckpoint()
+    val touchedCl = day2.filter(resIs(Day2Res))
+      .select(col("cluster_id")).distinct()
+    val members = day2.join(touchedCl, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id")).localCheckpoint()
+    val subEdges = storedDay1Pairs(s, d).select(col("a_id"), col("b_id"))
+      .join(members.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .unionAll(newPairs)
+    val subRanks = pagerankLoop(members, subEdges)
+    storedDay1Ranks(s, d)
+      .join(members, Seq("doc_id"), "left_anti")
+      .unionByName(subRanks)
+      .select(col("doc_id"), col("degree"),
+        Det.r4(col("rank_q") / lit(10000.0)).as("rank"))
+      .orderBy(col("doc_id").asc)
   }
 
   /** PageRank iteration count and damping factor (damping enters the
@@ -1249,9 +1337,19 @@ object Dedup {
     * the verified ≥52/64 pair stream, so the query's cost is the five
     * rounds themselves (keyed join + keyed agg per round) plus one
     * parquet scan of the pair table. */
-  private[graft] def pagerankRanks(s: SparkSession, d: String): DataFrame = {
-    val nodes = Tables.documents(s, d).select(col("doc_id"))
-    val pairs = storedVerifiedPairs(s, d).select(col("a_id"), col("b_id"))
+  private[graft] def pagerankRanks(s: SparkSession, d: String): DataFrame =
+    pagerankLoop(
+      Tables.documents(s, d).select(col("doc_id")),
+      storedVerifiedPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** The five integer rounds over an explicit (nodes, pairs) graph —
+    * extracted so the day-chain's touched-component refresh
+    * ([[pagerankDay2]]) can run the IDENTICAL arithmetic on an induced
+    * subgraph: this PageRank decomposes exactly per connected
+    * component (mass flows only along edges; the damping base is
+    * per-node), so ranks computed on a component's induced subgraph
+    * equal its ranks in the full graph, bit for bit. */
+  private[graft] def pagerankLoop(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // DISK_ONLY, not localCheckpoint, for the directed edge stream —
     // the one corpus-scale intermediate here (75 M rows at sf1). A
     // heap-backed checkpoint pins it in executor memory across all
@@ -1733,6 +1831,7 @@ object Dedup {
     "q_dedup_clusters_day2" -> clustersDay2,
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_dedup_pagerank"    -> pagerank,
+    "q_dedup_pagerank_day2" -> pagerankDay2,
     "q_dedup_keepers_rank" -> keepersRank,
   )
 
@@ -1894,6 +1993,14 @@ object Dedup {
   private val sqlSimhashConcat = (1 to 16)
     .map(k => s"CASE WHEN b$k > 0 THEN '1' ELSE '0' END")
     .mkString(" || ")
+
+  private lazy val sqlPagerank: String =
+    s"""$sqlMinhashEstCte,
+       |$sqlPagerankCtes
+       |SELECT r$PrRounds.doc_id, COALESCE(dg.deg, 0) AS degree,
+       |       ${Det.sqlR4("rank_q / 10000.0")} AS rank
+       |FROM r$PrRounds LEFT JOIN dg ON dg.u = r$PrRounds.doc_id
+       |ORDER BY r$PrRounds.doc_id ASC""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -2134,14 +2241,13 @@ object Dedup {
     // against the one-shot full recompute proves the chained folds.
     "q_dedup_clusters_day2" -> sqlClustersSig,
     // the oracle recomputes the pair stream the Spark side reads from
-    // the stored table — the hash compare proves stored ≡ recomputed
-    "q_dedup_pagerank" ->
-      s"""$sqlMinhashEstCte,
-         |$sqlPagerankCtes
-         |SELECT r$PrRounds.doc_id, COALESCE(dg.deg, 0) AS degree,
-         |       ${Det.sqlR4("rank_q / 10000.0")} AS rank
-         |FROM r$PrRounds LEFT JOIN dg ON dg.u = r$PrRounds.doc_id
-         |ORDER BY r$PrRounds.doc_id ASC""".stripMargin,
+    // the stored table — the hash compare proves stored ≡ recomputed.
+    // Shared VERBATIM by q_dedup_pagerank_day2: per-component rank
+    // refresh over the chained day stores must equal the full
+    // five-round recompute bit-for-bit (PageRank decomposes per
+    // component), and the hash compare is that proof.
+    "q_dedup_pagerank" -> sqlPagerank,
+    "q_dedup_pagerank_day2" -> sqlPagerank,
     // CC labels + per-cluster argmax-rank keeper, ties to min doc_id;
     // keeper ordering compares the exact integer rank_q (never the
     // rounded double), matching the Spark window byte-for-byte

@@ -661,34 +661,61 @@ class OperatorSpec extends AnyFunSuite {
     val root = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store"))
     def store(kind: String): java.io.File = {
+      // pin to the CURRENT format version: older -vN- dirs may linger
+      // (the legacy sweep only removes pre-versioned layouts)
+      val tok = s"-$kind-v${Dedup.StoreFormatVersion}-"
       val ds = Option(root.listFiles()).toSeq.flatten
         .filter(f => f.getName.contains("sf0.001") &&
-          f.getName.contains(s"-$kind-v") && !f.getName.contains(".tmp-") &&
+          f.getName.contains(tok) && !f.getName.contains(".tmp-") &&
           !f.getName.endsWith(".lock"))
       assert(ds.size == 1, s"expected one $kind store, got ${ds.map(_.getName)}")
       ds.head
     }
+    // rank refresh: per-component day-2 refresh ≡ full five-round
+    // recompute, and untouched components carry their day-1 rank rows
+    // VERBATIM (this PageRank decomposes per component)
+    val fullPr = SparkEntry.queries("q_dedup_pagerank")(spark, sf)
+    val day2Pr = SparkEntry.queries("q_dedup_pagerank_day2")(spark, sf)
+    assert(fullPr.exceptAll(day2Pr).count() == 0 &&
+      day2Pr.exceptAll(fullPr).count() == 0,
+      "per-component rank refresh diverged from the full recompute")
+    val d1r = Dedup.storedDay1Ranks(spark, sf)
+      .select(col("doc_id"), col("rank_q"))
+    val touched = day2.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("cluster_id")).distinct()
+    val untouchedDocs = day2.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"))
+    val changed = d1r.join(untouchedDocs, Seq("doc_id"))
+      .join(day2Pr.select(col("doc_id"),
+        (col("rank") * 10000).cast("long").as("out_q")), "doc_id")
+      .filter(abs(col("rank_q") - col("out_q")) > 1)
+    assert(changed.count() == 0,
+      "an untouched component's rank changed in the day-2 refresh")
     // append proof: every day-0 part file appears in the day-1 sig
-    // store as a HARD LINK (same file key/inode) — day-0 was never
-    // re-signed, the day-1 publish only added files
+    // AND pair stores as HARD LINKS (same file key/inode) — day-0 was
+    // never re-signed or re-paired, the day-1 publish only added files
     def fileKey(f: java.io.File) =
       java.nio.file.Files.readAttributes(f.toPath,
         classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-    val d0parts = store("d0sigs").listFiles().filter(_.getName.startsWith("part-"))
-    val d1keys = store("d1sigs").listFiles()
-      .filter(_.getName.startsWith("part-")).map(fileKey).toSet
-    assert(d0parts.nonEmpty)
-    d0parts.foreach(f => assert(d1keys.contains(fileKey(f)),
-      s"day-0 file ${f.getName} was not hard-linked into the day-1 store"))
-    assert(d1keys.size > d0parts.length,
-      "day-1 store holds no appended batch files")
-    // reuse proof: a re-run of the day-2 fold READS every chained
+    for ((base, appended) <- Seq("d0sigs" -> "d1sigs", "d0pairs" -> "d1pairs")) {
+      val d0parts = store(base).listFiles().filter(_.getName.startsWith("part-"))
+      val d1keys = store(appended).listFiles()
+        .filter(_.getName.startsWith("part-")).map(fileKey).toSet
+      assert(d0parts.nonEmpty)
+      d0parts.foreach(f => assert(d1keys.contains(fileKey(f)),
+        s"$base file ${f.getName} was not hard-linked into $appended"))
+      assert(d1keys.size > d0parts.length,
+        s"$appended holds no appended batch files")
+    }
+    // reuse proof: a re-run of the day-2 folds READS every chained
     // store, rebuilding none (_SUCCESS mtime receipts)
-    val markers = Seq("d0sigs", "d0labels", "d1sigs", "d1labels")
+    val markers = Seq("d0sigs", "d0pairs", "d0labels", "d1sigs",
+        "d1pairs", "d1labels", "d1ranks")
       .map(k => new java.io.File(store(k), "_SUCCESS"))
     markers.foreach(m => assert(m.exists()))
     val receipts = markers.map(m => m.getPath -> m.lastModified).toMap
     SparkEntry.queries("q_dedup_clusters_day2")(spark, sf).count()
+    SparkEntry.queries("q_dedup_pagerank_day2")(spark, sf).count()
     markers.foreach(m => assert(receipts(m.getPath) == m.lastModified,
       s"${m.getPath} was rebuilt on re-run"))
   }
@@ -700,7 +727,8 @@ class OperatorSpec extends AnyFunSuite {
       sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store"))
     val dir = Option(root.listFiles()).toSeq.flatten
       .filter(f => f.getName.contains("sf0.001") &&
-        f.getName.contains("-d1labels-v") && !f.getName.contains(".tmp-") &&
+        f.getName.contains(s"-d1labels-v${Dedup.StoreFormatVersion}-") &&
+        !f.getName.contains(".tmp-") &&
         !f.getName.endsWith(".lock")).head
     val marker = new java.io.File(dir, graft.ops.Dedup.UpstreamMarker)
     val orig = java.nio.file.Files.readAllBytes(marker.toPath)
