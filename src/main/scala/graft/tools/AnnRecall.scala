@@ -35,29 +35,56 @@ object AnnRecall {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    val (truth, truthSecs) = timed {
+    val (cosTruth, truthSecs) = timed {
       graft.SparkEntry.queries("q_sim_cosine_topk")(spark, sfDir)
         .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
         .localCheckpoint()
     }
-    val nTruth = truth.count().toDouble
+    // L2-exact top-3 — the NATIVE metric of the PQ/ADC variants
+    // (which rank by quantized squared L2): reporting PQ recall
+    // against cosine truth alone would conflate metric mismatch
+    // (embeddings are not unit-norm) with quantization error. Brute
+    // force over the same broadcast probe set as cosineTopk.
+    val (l2Truth, l2Secs) = timed {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val d2 = aggregate(zip_with(col("emb"), col("p_emb"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+        .localCheckpoint()
+    }
+    val nCos = cosTruth.count().toDouble
+    val nL2 = l2Truth.count().toDouble
 
     val variants = Seq("q_sim_ann_lsh", "q_sim_ann_multiprobe",
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_pq_stored",
       "q_sim_ann_ivfpq")
     val rows = variants.map { key =>
-      val (hit, secs) = timed {
+      val (got, secs) = timed {
         graft.SparkEntry.queries(key)(spark, sfDir)
           .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
-          .intersect(truth).count()
+          .localCheckpoint()
       }
-      key -> (hit / nTruth, secs)
+      val rCos = got.intersect(cosTruth).count() / nCos
+      val rL2 = got.intersect(l2Truth).count() / nL2
+      key -> (rCos, rL2, secs)
     }
-    val body = rows.map { case (k, (r, s)) =>
-      f""""$k":{"recall3":$r%.4f,"secs":$s%.2f}"""
+    val body = rows.map { case (k, (rc, rl, s)) =>
+      f""""$k":{"recall3_cos":$rc%.4f,"recall3_l2":$rl%.4f,"secs":$s%.2f}"""
     }.mkString(",")
     println(f"""{"sf_dir":"$sfDir","truth_secs":$truthSecs%.2f,""" +
-      s""""variants":{$body}}""")
+      f""""l2_truth_secs":$l2Secs%.2f,"variants":{$body}}""")
     spark.stop()
   }
 }
