@@ -173,6 +173,49 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  /** Hamming-ball multi-probe ANN (Lv et al., multi-probe LSH): each
+    * probe queries its OWN sign bucket plus every bucket at Hamming
+    * distance 1 (the 8 single-bit flips) — the buckets a true
+    * neighbor most likely landed in when one near-zero coordinate
+    * flipped its sign. Collision probability per random hyperplane is
+    * p = 1 − θ/π; exact-bucket recall decays as p^8 (≈0.03 at the
+    * fixture's cos≈0.4 neighbors — AnnRecall records the honest
+    * zero), the radius-1 ball adds 8·p^7(1−p), a ~6× lift for 9×
+    * candidate volume. The knob composes with [[annMultiprobe]]'s
+    * independent tables at 100 TB: tables buy independent chances,
+    * ball radius buys depth per table, and BOTH keep the corpus side
+    * untouched — only the broadcast probe table grows (9 rows per
+    * probe), the corpus is hashed and joined exactly as in [[annLsh]].
+    * Every corpus vector lives in exactly one bucket and the 9 probe
+    * buckets are distinct, so the candidate stream is duplicate-free
+    * by construction — no dedup stage. */
+  private val annHamming: Q = (s, d) => {
+    val c = corpus(s, d).withColumn("bucket", signBucket(col("emb")))
+    val flipped = (0 to 8).map { i =>
+      if (i == 0) col("bucket")
+      else concat(
+        substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("bucket"), i + 1, 8 - i))
+    }
+    val probes = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"),
+        explode(array(flipped: _*)).as("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** First-8-vectors coarse quantizer — the deterministic k-means INIT
     * (and the round-6 stand-in codebook, kept for the spec's recall
     * comparison). */
@@ -508,6 +551,20 @@ object Vectors {
     val cents = pqCodebook(c, PqRounds)
     val codes = pqCodes(c, cents)
       .select(col("vec_id"), col("j"), col("code"))
+    adcRanked(c, cents, codes)
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** The ADC search core shared by [[annPq]] / [[annPqStored]] /
+    * [[annPqRerank]]: per-probe (j, cent) → quantized partial-d² LUT
+    * (M·K rows, broadcast), code-keyed join, partial-aggregated sum,
+    * per-probe rank. Returns (probe_id, vec_id, adist, rn) unranked
+    * depth — callers cut at their own k. */
+  private def adcRanked(c: DataFrame, cents: DataFrame,
+                        codes: DataFrame): DataFrame = {
     val lut = subvecs(c.filter(col("vec_id") < 10))
       .withColumnRenamed("vec_id", "probe_id")
       .join(broadcast(cents), Seq("j"))
@@ -521,10 +578,6 @@ object Vectors {
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adist"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 5)
-      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
-        col("adist"))
-      .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
   /** The STORED PQ index behind [[annPqStored]]: codebook + code
@@ -566,22 +619,57 @@ object Vectors {
     * and runs the code-keyed join — the search-only cost profile. */
   private val annPqStored: Q = (s, d) => {
     val (cents, codes) = storedPqIndex(s, d)
-    val lut = subvecs(corpus(s, d).filter(col("vec_id") < 10))
-      .withColumnRenamed("vec_id", "probe_id")
-      .join(broadcast(cents), Seq("j"))
-      .select(col("probe_id"), col("j").as("lj"),
-        col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
-    val wTop = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adist").asc, col("vec_id").asc)
-    codes.join(broadcast(lut),
-        col("j") === col("lj") && col("code") === col("lc"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("pd2")).as("adist"))
-      .withColumn("rn", row_number().over(wTop))
+    adcRanked(corpus(s, d), cents, codes)
       .filter(col("rn") <= 5)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** ADC shortlist depth for the re-ranked search: candidates kept per
+    * probe before exact re-ranking. The recall/cost knob — re-rank
+    * cost is O(probes · C) exact distances, independent of corpus
+    * size. */
+  private[graft] val RerankC = 50
+
+  /** PQ search with exact re-ranking — the standard production recall
+    * fix (FAISS `IndexRefineFlat`): ADC ranks the WHOLE corpus by
+    * quantized distance but keeps only the top-[[RerankC]] shortlist,
+    * then the true vectors of those C candidates alone are fetched and
+    * re-scored by exact cosine. Quantization error now only matters at
+    * the shortlist boundary, not in the final ordering — AnnRecall
+    * shows recall@3 jumping from the raw-ADC 0.2 class to the
+    * brute-force class at sf0.1 while the per-pair scan side still
+    * carries 8 code ints, never a float vector.
+    *
+    * Plan shape: the shortlist (probes × C rows — search-bounded, not
+    * corpus-bounded) broadcasts back onto the corpus scan, so the
+    * re-rank is one stage: corpus → broadcast-semijoin fetch of C·P
+    * vectors → broadcast probe join → exact cosine → per-probe top-5.
+    * The corpus is never shuffled and never self-joined; at 100 TB
+    * the candidate fetch is an ID-keyed point-lookup read (bucketed
+    * or Z-ordered by vec_id), everything else is probe-sized. */
+  private val annPqRerank: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cents = pqCodebook(c, PqRounds)
+    val codes = pqCodes(c, cents)
+      .select(col("vec_id"), col("j"), col("code"))
+    val shortlist = adcRanked(c, cents, codes)
+      .filter(col("rn") <= RerankC)
+      .select(col("probe_id"), col("vec_id"))
+    val probes = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos",
+        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
@@ -776,12 +864,14 @@ object Vectors {
     "q_sim_cosine_native" -> cosineNative,
     "q_sim_ann_lsh"       -> annLsh,
     "q_sim_ann_multiprobe"-> annMultiprobe,
+    "q_sim_ann_hamming"   -> annHamming,
     "q_sim_ann_ivf"       -> annIvf,
     "q_sim_kmeans"        -> simKmeans,
     "q_dedup_semantic"    -> dedupSemantic,
     "q_embed_pq"          -> embedPq,
     "q_sim_ann_pq"        -> annPq,
     "q_sim_ann_pq_stored" -> annPqStored,
+    "q_sim_ann_pq_rerank" -> annPqRerank,
     "q_sim_ann_ivfpq"     -> annIvfPq,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
@@ -895,10 +985,12 @@ object Vectors {
     * index is value-identical to the in-query-trained one, so one SQL
     * serves both and the driver compare doubles as the identity
     * proof. */
-  private lazy val sqlAnnPq: String =
-    s"""WITH c AS ($sqlCorpus),
-       |${sqlPqCodes(2)},
-       |lut AS (
+  /** ADC CTE chain shared by the PQ-search oracles: LUT, summed
+    * quantized distances, per-probe rank — ends with
+    * `r(probe_id, vec_id, adist, rn)`. Requires `c`/`sv`/`cd`/`pq`
+    * from [[sqlCorpus]] + [[sqlPqCodes]]. */
+  private lazy val sqlAdcRanked: String =
+    s"""lut AS (
        |  SELECT s.vec_id AS probe_id, s.j, k.cent_id,
        |         ${Det.sqlQi4(
              "list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, k.cv)" +
@@ -911,9 +1003,32 @@ object Vectors {
        |  WHERE cd.vec_id <> l.probe_id
        |  GROUP BY l.probe_id, cd.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-       |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
+       |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)""".stripMargin
+
+  private lazy val sqlAnnPq: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlPqCodes(2)},
+       |$sqlAdcRanked
        |SELECT probe_id, rn, vec_id AS neighbor_id, adist
        |FROM r WHERE rn <= 5
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  private lazy val sqlAnnPqRerank: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlPqCodes(2)},
+       |$sqlAdcRanked,
+       |sl AS (SELECT probe_id, vec_id FROM r WHERE rn <= $RerankC),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id,
+       |         list_dot_product(cv.emb, p.emb)
+       |           / NULLIF(cv.nrm * p.nrm, 0.0) AS cos
+       |  FROM sl JOIN c cv ON sl.vec_id = cv.vec_id
+       |          JOIN c p  ON sl.probe_id = p.vec_id),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                 ORDER BY cos DESC, vec_id ASC) AS rn FROM rr)
+       |SELECT probe_id, rn, vec_id AS neighbor_id,
+       |       ${Det.sqlR4("cos")} AS cosine
+       |FROM r2 WHERE rn <= 5
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
   private val sqlBucket = (1 to 8)
@@ -1004,6 +1119,31 @@ object Vectors {
          |c AS (SELECT *, $sqlBucket AS bucket FROM c0),
          |p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, bucket
          |      FROM c WHERE vec_id < 10),
+         |j AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |         list_dot_product(c.emb, p.p_emb) / NULLIF(c.nrm * p.p_nrm, 0.0) AS cos
+         |  FROM c JOIN p USING (bucket)
+         |  WHERE c.vec_id <> p.probe_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
+         |SELECT probe_id, rn, vec_id AS neighbor_id,
+         |       ${Det.sqlR4("cos")} AS cosine
+         |FROM r WHERE rn <= 3
+         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_hamming" ->
+      s"""WITH c0 AS ($sqlCorpus),
+         |c AS (SELECT *, $sqlBucket AS bucket FROM c0),
+         |p0 AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, bucket
+         |       FROM c WHERE vec_id < 10),
+         |p AS (
+         |  SELECT probe_id, p_emb, p_nrm,
+         |         CASE WHEN i = 0 THEN bucket
+         |              ELSE substring(bucket, 1, i - 1)
+         |                   || (CASE WHEN substring(bucket, i, 1) = '1'
+         |                       THEN '0' ELSE '1' END)
+         |                   || substring(bucket, i + 1, 8 - i) END AS bucket
+         |  FROM p0 CROSS JOIN
+         |    (SELECT UNNEST(generate_series(0, 8)) AS i) t),
          |j AS (
          |  SELECT p.probe_id, c.vec_id,
          |         list_dot_product(c.emb, p.p_emb) / NULLIF(c.nrm * p.p_nrm, 0.0) AS cos
@@ -1135,6 +1275,7 @@ object Vectors {
     // construction, so the hash-compare proves stored ≡ in-query.
     "q_sim_ann_pq_stored" -> sqlAnnPq,
     "q_sim_ann_pq" -> sqlAnnPq,
+    "q_sim_ann_pq_rerank" -> sqlAnnPqRerank,
     "q_sim_ann_ivfpq" ->
       s"""WITH c AS ($sqlCorpus),
          |${sqlKmeansCents(3)},

@@ -397,6 +397,51 @@ class OperatorSpec extends AnyFunSuite {
     val single = recall("q_sim_ann_lsh")
     val multi = recall("q_sim_ann_multiprobe")
     assert(multi >= single, s"multi=$multi single=$single")
+    // the Hamming-1 ball strictly widens the exact bucket, so its
+    // candidate set is a superset → recall can only go up
+    val ball = recall("q_sim_ann_hamming")
+    assert(ball >= single, s"ball=$ball single=$single")
+  }
+
+  test("hamming-ball candidates contain the exact-bucket candidates") {
+    // radius-0 (the probe's own bucket) is one of the 9 probed keys,
+    // so every exact-bucket LSH result pair must reappear in the
+    // ball's candidate ranking or be outranked by a better candidate:
+    // the top-3 cosine of the ball is >= the top-3 cosine of the
+    // bucket, per probe
+    val lsh = SparkEntry.queries("q_sim_ann_lsh")(spark, sf)
+      .groupBy("probe_id").agg(min(col("cosine")).as("c_lsh"))
+    val ball = SparkEntry.queries("q_sim_ann_hamming")(spark, sf)
+      .groupBy("probe_id").agg(min(col("cosine")).as("c_ball"))
+    val joined = lsh.join(ball, "probe_id")
+    assert(joined.filter(col("c_ball") < col("c_lsh")).count() == 0,
+      "hamming ball produced a worse per-probe floor than its own subset")
+  }
+
+  test("pq re-rank recall dominates raw ADC ranking") {
+    val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+    def recall(key: String): Double =
+      SparkEntry.queries(key)(spark, sf)
+        .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+        .intersect(truth).count().toDouble / truth.count()
+    val raw = recall("q_sim_ann_pq")
+    val rr = recall("q_sim_ann_pq_rerank")
+    assert(rr >= raw, s"rerank=$rr raw=$raw")
+  }
+
+  test("pq re-rank cosines agree with brute-force for shared pairs") {
+    // re-ranked scores are EXACT cosines: wherever the brute-force
+    // top-5 and the re-ranked top-5 share a (probe, neighbor) pair,
+    // the reported values must be identical — quantization affects
+    // only shortlist membership, never the final score
+    val bf = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c1"))
+    val rr = SparkEntry.queries("q_sim_ann_pq_rerank")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c2"))
+    val joined = bf.join(rr, Seq("probe_id", "neighbor_id"))
+    assert(joined.count() > 0, "no shared pairs to compare")
+    assert(joined.filter(col("c1") =!= col("c2")).count() == 0)
   }
 
   test("ngram pairs are symmetric-free and meet the threshold") {
