@@ -585,7 +585,7 @@ object Dedup {
     * in the published dir ([[UpstreamMarker]]) and re-verified on
     * every read, so an incoherent store root refuses loudly instead of
     * pairing fresh tables with stale ones. */
-  private def storedTable(s: SparkSession, dir: String,
+  private[ops] def storedTable(s: SparkSession, dir: String,
                           upstream: Seq[String] = Nil)
                          (build: => DataFrame): DataFrame = {
     val target = new java.io.File(dir)
@@ -613,7 +613,7 @@ object Dedup {
     * self-contained plain-parquet table = base ∪ batch; the base table
     * is never read, rewritten, or re-derived. Publication is the same
     * locked atomic rename as [[storedTable]]. */
-  private def storedTableAppend(s: SparkSession, dir: String, baseDir: String)
+  private[ops] def storedTableAppend(s: SparkSession, dir: String, baseDir: String)
                                (batch: => DataFrame): DataFrame = {
     val target = new java.io.File(dir)
     def ready = new java.io.File(target, "_SUCCESS").exists()

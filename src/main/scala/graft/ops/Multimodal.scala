@@ -131,7 +131,10 @@ object Multimodal {
         } finally r.dispose()
       }
     } catch {
-      case _: java.io.IOException =>
+      // NonFatal, not just IOException: JDK ImageReaders throw
+      // RuntimeExceptions on malformed-but-sniffable headers, and the
+      // degrade contract must hold for arbitrary corpus bytes
+      case scala.util.control.NonFatal(_) =>
         MediaMeta("unknown", -1, -1, payload.length.toLong)
     } finally iis.close()
   }

@@ -599,17 +599,69 @@ object Vectors {
     val dir = s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
       s"v${Dedup.StoreFormatVersion}-" +
       Dedup.fsStamp(s"$d/embeddings.parquet")
-    if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
-      val c = corpus(s, d)
+    val c = corpus(s, d)
+    // Dedup.storedTable = the hardened store layer (FileLock'd atomic
+    // publish + _UPSTREAM coherence receipt); codes derive from the
+    // READ-BACK codebook so the two stored tables cannot drift even
+    // across a concurrent rebuild
+    val book = Dedup.storedTable(s, s"$dir/codebook") {
       pqCodebook(c, PqRounds)
-        .write.mode("overwrite").parquet(s"$dir/codebook")
-      // codes derive from the READ-BACK codebook so the two stored
-      // tables cannot drift even across a concurrent rebuild
-      pqCodes(c, s.read.parquet(s"$dir/codebook"))
-        .select(col("vec_id"), col("j"), col("code"))
-        .write.mode("overwrite").parquet(s"$dir/codes")
     }
-    (s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/codes"))
+    val codes = Dedup.storedTable(s, s"$dir/codes",
+        upstream = Seq(s"$dir/codebook")) {
+      pqCodes(c, book).select(col("vec_id"), col("j"), col("code"))
+    }
+    (book, codes)
+  }
+
+  /** Flat store path for one table of the DAY-CHAINED PQ index —
+    * Dedup.storeDir's exact naming contract (version token = CODE
+    * freshness, content stamp = DATA freshness) over the embeddings
+    * table and the PQ store root. */
+  private def pqStoreDir(d: String, kind: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")
+    s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
+      s"v${Dedup.StoreFormatVersion}-" +
+      Dedup.fsStamp(s"$d/embeddings.parquet")
+  }
+
+  /** Day-chain ingest split: vectors with `vec_id % Day2Mod >=
+    * Day2NewMin` are "tomorrow's" batch (10%), the rest is the day-0
+    * corpus. The modulus keeps the first [[PqK]] codebook-init vectors
+    * and all 10 probes inside day 0 at every fixture scale. */
+  private[graft] val Day2Mod = 100
+  private[graft] val Day2NewMin = 90
+
+  /** The INCREMENTAL PQ index — the vector-side twin of Dedup's
+    * multi-day store chain: day-0 trains the codebook and codes its
+    * own corpus ONCE (both stored); day-1's batch is coded with the
+    * FROZEN day-0 codebook and published by hard-link APPEND
+    * (Dedup.storedTableAppend — day-0 part files linked, only batch
+    * rows written, zero recompute of the base). This is how every
+    * production ANN index ingests: retraining the codebook on each
+    * batch would re-code the entire corpus (an O(corpus) daily
+    * rewrite at 100 TB) and silently shift every stored code's
+    * meaning; freezing it makes the code table append-only, at the
+    * cost of gradual codebook staleness that a periodic full rebuild
+    * (a new store generation, same machinery) repairs. */
+  private[graft] def storedPqDayIndex(s: SparkSession,
+                                      d: String): (DataFrame, DataFrame) = {
+    val c = corpus(s, d)
+    val isDay0 = pmod(col("vec_id"), lit(Day2Mod)) < Day2NewMin
+    val bookDir = pqStoreDir(d, "d0book")
+    val d0Dir = pqStoreDir(d, "d0codes")
+    val book = Dedup.storedTable(s, bookDir) {
+      pqCodebook(c.filter(isDay0), PqRounds)
+    }
+    Dedup.storedTable(s, d0Dir, upstream = Seq(bookDir)) {
+      pqCodes(c.filter(isDay0), book)
+        .select(col("vec_id"), col("j"), col("code"))
+    }
+    val codes = Dedup.storedTableAppend(s, pqStoreDir(d, "d1codes"), d0Dir) {
+      pqCodes(c.filter(!isDay0), book)
+        .select(col("vec_id"), col("j"), col("code"))
+    }
+    (book, codes)
   }
 
   /** ADC search against the stored index: identical output to
@@ -626,11 +678,50 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  /** ADC search over the day-chained index: identical plan to
+    * [[annPqStored]] but the codebook is the day-0-trained one and
+    * the code table is the appended day-1 generation — the oracle
+    * retrains the same frozen-book semantics from scratch (codebook
+    * on day-0 rows only, codes for everyone), so the driver
+    * hash-compare proves chained-append ≡ full rebuild. */
+  private val annPqDay2: Q = (s, d) => {
+    val (book, codes) = storedPqDayIndex(s, d)
+    adcRanked(corpus(s, d), book, codes)
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** ADC shortlist depth for the re-ranked search: candidates kept per
     * probe before exact re-ranking. The recall/cost knob — re-rank
     * cost is O(probes · C) exact distances, independent of corpus
     * size. */
   private[graft] val RerankC = 50
+
+  /** The exact re-rank stage shared by [[annPqRerank]] and
+    * [[annIvfPqRerank]]: fetch the true vectors of the shortlist
+    * (probes × ≤C rows, broadcast back onto the corpus scan as a
+    * semijoin — an ID-keyed point-lookup read at 100 TB), score by
+    * exact cosine, keep the per-probe top-k. The corpus is never
+    * shuffled and never self-joined. */
+  private def exactRerank(c: DataFrame, shortlist: DataFrame,
+                          k: Int): DataFrame = {
+    val probes = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos",
+        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
 
   /** PQ search with exact re-ranking — the standard production recall
     * fix (FAISS `IndexRefineFlat`): ADC ranks the WHOLE corpus by
@@ -657,20 +748,7 @@ object Vectors {
     val shortlist = adcRanked(c, cents, codes)
       .filter(col("rn") <= RerankC)
       .select(col("probe_id"), col("vec_id"))
-    val probes = c.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-        col("nrm").as("p_nrm"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    c.join(broadcast(shortlist), Seq("vec_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .withColumn("cos",
-        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
-        Det.r4(col("cos")).as("cosine"))
-      .orderBy(col("probe_id").asc, col("rn").asc)
+    exactRerank(c, shortlist, 5)
   }
 
   /** IVF-PQ: the two ANN economies composed — the coarse quantizer
@@ -695,8 +773,7 @@ object Vectors {
     * than per-cell residual PQ — the production refinement that
     * re-centers each cell before coding; same plan shape, one more
     * broadcast subtraction. */
-  private val annIvfPq: Q = (s, d) => {
-    val c = corpus(s, d)
+  private def ivfpqRanked(c: DataFrame): DataFrame = {
     val coarse = kmeansCentroids(c, rounds = 3)
     val book = pqCodebook(c, PqRounds)
     def centCos(emb: Column, nrm: Column): Column =
@@ -747,10 +824,30 @@ object Vectors {
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adist"))
       .withColumn("rn", row_number().over(wTop))
+  }
+
+  private val annIvfPq: Q = (s, d) =>
+    ivfpqRanked(corpus(s, d))
       .filter(col("rn") <= 3)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
       .orderBy(col("probe_id").asc, col("rn").asc)
+
+  /** IVF-PQ with exact re-ranking — the full production ANN stack
+    * (FAISS `IndexIVFPQ` + `IndexRefineFlat`): the coarse quantizer
+    * bounds WHAT is scanned, PQ codes bound the BYTES per entry, and
+    * the exact re-rank of the per-probe ADC top-[[RerankC]] removes
+    * quantization error from the final ordering — leaving nprobe
+    * (how many inverted lists are scanned) as the only recall knob.
+    * Same plan as [[annIvfPq]] plus the [[exactRerank]] stage: the
+    * shortlist is probes × ≤C rows, so the refinement cost is
+    * independent of corpus size. */
+  private val annIvfPqRerank: Q = (s, d) => {
+    val c = corpus(s, d)
+    val shortlist = ivfpqRanked(c)
+      .filter(col("rn") <= RerankC)
+      .select(col("probe_id"), col("vec_id"))
+    exactRerank(c, shortlist, 3)
   }
 
   /** Multimodal join: text features ⊕ vector features per document. */
@@ -872,7 +969,9 @@ object Vectors {
     "q_sim_ann_pq"        -> annPq,
     "q_sim_ann_pq_stored" -> annPqStored,
     "q_sim_ann_pq_rerank" -> annPqRerank,
+    "q_sim_ann_pq_day2"   -> annPqDay2,
     "q_sim_ann_ivfpq"     -> annIvfPq,
+    "q_sim_ann_ivfpq_rerank" -> annIvfPqRerank,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -929,25 +1028,30 @@ object Vectors {
     * subspaces at once, and the final code assignment. Ends with CTEs
     * `pq(j, cent_id, cv)` and `cd(vec_id, j, code, dd)`. Requires a
     * CTE `c` bound to [[sqlCorpus]]. */
-  private def sqlPqCodes(rounds: Int): String = {
+  private def sqlPqCodes(rounds: Int, trainWhere: String = "TRUE"): String = {
     def dd(a: String, b: String): String =
       s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)" +
         s" + list_dot_product($b, $b)"
+    // svt = the TRAINING rows (init + Lloyd membership); cd at the end
+    // codes ALL of sv against the trained book — with the default
+    // TRUE the two coincide and this is plain PQ, with a day-0
+    // predicate it is the frozen-codebook semantics of q_sim_ann_pq_day2
     val init =
       s"""sv AS (
          |  SELECT vec_id, j,
          |         list_slice(emb, j * $PqDim + 1, j * $PqDim + $PqDim) AS sv
          |  FROM c CROSS JOIN
          |    (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS j) js),
+         |svt AS (SELECT * FROM sv WHERE $trainWhere),
          |pk0 AS (
          |  SELECT j, CAST(vec_id AS INTEGER) AS cent_id, sv AS cv
-         |  FROM sv WHERE vec_id < $PqK)""".stripMargin
+         |  FROM svt WHERE vec_id < $PqK)""".stripMargin
     val rs = (1 to rounds).map { r =>
       val prev = s"pk${r - 1}"
       s"""pa$r AS (
          |  SELECT s.vec_id, s.j, s.sv, k.cent_id,
          |         ${dd("s.sv", "k.cv")} AS dd
-         |  FROM sv s JOIN $prev k ON s.j = k.j),
+         |  FROM svt s JOIN $prev k ON s.j = k.j),
          |pm$r AS (
          |  SELECT j, cent_id, sv
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
@@ -1029,6 +1133,92 @@ object Vectors {
        |SELECT probe_id, rn, vec_id AS neighbor_id,
        |       ${Det.sqlR4("cos")} AS cosine
        |FROM r2 WHERE rn <= 5
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  /** Frozen-codebook oracle of [[annPqDay2]]: trains on the day-0
+    * rows only, codes everyone — the from-scratch recompute of what
+    * the store chain builds incrementally, so a hash match proves
+    * chained-append ≡ full rebuild. */
+  private lazy val sqlAnnPqDay2: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlPqCodes(2, s"vec_id % $Day2Mod < $Day2NewMin")},
+       |$sqlAdcRanked
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+       |FROM r WHERE rn <= 5
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  /** IVF-PQ CTE chain shared by [[annIvfPq]]'s and
+    * [[annIvfPqRerank]]'s oracles: cell assignment, cell-tagged
+    * codes, nprobe=2 probe cells, per-probe LUT, cell-pruned ADC sum,
+    * per-probe rank — ends with `r(probe_id, vec_id, adist, rn)`.
+    * Requires `c`/`cents`/`sv`/`cd`/`pq` from [[sqlCorpus]] +
+    * [[sqlKmeansCents]] + [[sqlPqCodes]]. */
+  private lazy val sqlIvfpqRanked: String =
+    s"""cell0 AS (
+       |  SELECT c.vec_id, cents.cent_id,
+       |         list_dot_product(c.emb, cents.c_emb)
+       |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c CROSS JOIN cents),
+       |cellasg AS (
+       |  SELECT vec_id, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM cell0)
+       |  WHERE crn = 1),
+       |ccd AS (
+       |  SELECT cd.vec_id, cellasg.cell, cd.j, cd.code
+       |  FROM cd JOIN cellasg USING (vec_id)),
+       |pc0 AS (
+       |  SELECT p.vec_id AS probe_id, cents.cent_id,
+       |         list_dot_product(p.emb, cents.c_emb)
+       |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
+       |pc AS (
+       |  SELECT probe_id, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
+       |  WHERE crn <= 2),
+       |plut AS (
+       |  SELECT pc.probe_id, pc.cell, s.j, k.cent_id,
+       |         ${Det.sqlQi4(
+             "list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, k.cv)" +
+             " + list_dot_product(k.cv, k.cv)")} AS pd2
+       |  FROM pc JOIN sv s ON s.vec_id = pc.probe_id
+       |          JOIN pq k ON k.j = s.j),
+       |ad AS (
+       |  SELECT plut.probe_id, ccd.vec_id, CAST(SUM(plut.pd2) AS BIGINT) AS adist
+       |  FROM ccd JOIN plut ON ccd.cell = plut.cell AND ccd.j = plut.j
+       |                    AND ccd.code = plut.cent_id
+       |  WHERE ccd.vec_id <> plut.probe_id
+       |  GROUP BY plut.probe_id, ccd.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)""".stripMargin
+
+  private lazy val sqlAnnIvfPq: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlKmeansCents(3)},
+       |${sqlPqCodes(2)},
+       |$sqlIvfpqRanked
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+       |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  private lazy val sqlAnnIvfPqRerank: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlKmeansCents(3)},
+       |${sqlPqCodes(2)},
+       |$sqlIvfpqRanked,
+       |sl AS (SELECT probe_id, vec_id FROM r WHERE rn <= $RerankC),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id,
+       |         list_dot_product(cv.emb, p.emb)
+       |           / NULLIF(cv.nrm * p.nrm, 0.0) AS cos
+       |  FROM sl JOIN c cv ON sl.vec_id = cv.vec_id
+       |          JOIN c p  ON sl.probe_id = p.vec_id),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                 ORDER BY cos DESC, vec_id ASC) AS rn FROM rr)
+       |SELECT probe_id, rn, vec_id AS neighbor_id,
+       |       ${Det.sqlR4("cos")} AS cosine
+       |FROM r2 WHERE rn <= 3
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
   private val sqlBucket = (1 to 8)
@@ -1276,51 +1466,9 @@ object Vectors {
     "q_sim_ann_pq_stored" -> sqlAnnPq,
     "q_sim_ann_pq" -> sqlAnnPq,
     "q_sim_ann_pq_rerank" -> sqlAnnPqRerank,
-    "q_sim_ann_ivfpq" ->
-      s"""WITH c AS ($sqlCorpus),
-         |${sqlKmeansCents(3)},
-         |${sqlPqCodes(2)},
-         |cell0 AS (
-         |  SELECT c.vec_id, cents.cent_id,
-         |         list_dot_product(c.emb, cents.c_emb)
-         |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
-         |  FROM c CROSS JOIN cents),
-         |cellasg AS (
-         |  SELECT vec_id, cent_id AS cell
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM cell0)
-         |  WHERE crn = 1),
-         |ccd AS (
-         |  SELECT cd.vec_id, cellasg.cell, cd.j, cd.code
-         |  FROM cd JOIN cellasg USING (vec_id)),
-         |pc0 AS (
-         |  SELECT p.vec_id AS probe_id, cents.cent_id,
-         |         list_dot_product(p.emb, cents.c_emb)
-         |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
-         |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
-         |pc AS (
-         |  SELECT probe_id, cent_id AS cell
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
-         |  WHERE crn <= 2),
-         |plut AS (
-         |  SELECT pc.probe_id, pc.cell, s.j, k.cent_id,
-         |         ${Det.sqlQi4(
-               "list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, k.cv)" +
-               " + list_dot_product(k.cv, k.cv)")} AS pd2
-         |  FROM pc JOIN sv s ON s.vec_id = pc.probe_id
-         |          JOIN pq k ON k.j = s.j),
-         |ad AS (
-         |  SELECT plut.probe_id, ccd.vec_id, CAST(SUM(plut.pd2) AS BIGINT) AS adist
-         |  FROM ccd JOIN plut ON ccd.cell = plut.cell AND ccd.j = plut.j
-         |                    AND ccd.code = plut.cent_id
-         |  WHERE ccd.vec_id <> plut.probe_id
-         |  GROUP BY plut.probe_id, ccd.vec_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
-         |SELECT probe_id, rn, vec_id AS neighbor_id, adist
-         |FROM r WHERE rn <= 3
-         |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_ivfpq" -> sqlAnnIvfPq,
+    "q_sim_ann_ivfpq_rerank" -> sqlAnnIvfPqRerank,
+    "q_sim_ann_pq_day2" -> sqlAnnPqDay2,
     "q_dedup_embedding" -> {
       val db0 = (1 to 12)
         .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")

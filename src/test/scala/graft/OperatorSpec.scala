@@ -430,6 +430,74 @@ class OperatorSpec extends AnyFunSuite {
     assert(rr >= raw, s"rerank=$rr raw=$raw")
   }
 
+  test("ivfpq re-rank: exact shared-pair scores, recall dominates raw ivfpq") {
+    val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+    def recall(key: String): Double =
+      SparkEntry.queries(key)(spark, sf)
+        .select("probe_id", "neighbor_id")
+        .intersect(truth).count().toDouble / truth.count()
+    val raw = recall("q_sim_ann_ivfpq")
+    val rr = recall("q_sim_ann_ivfpq_rerank")
+    assert(rr >= raw, s"rerank=$rr raw=$raw")
+    // re-ranked scores are EXACT cosines wherever the brute-force and
+    // re-ranked top-k share a pair
+    val bf = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c1"))
+    val got = SparkEntry.queries("q_sim_ann_ivfpq_rerank")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine").as("c2"))
+    val joined = bf.join(got, Seq("probe_id", "neighbor_id"))
+    assert(joined.filter(col("c1") =!= col("c2")).count() == 0)
+  }
+
+  test("pq day-chain: frozen codebook, hard-link append, reuse receipts") {
+    import graft.ops.{Dedup, Vectors}
+    val (book, codes) = Vectors.storedPqDayIndex(spark, sf)
+    // the stored codebook is the DAY-0-trained one, bit-for-bit — the
+    // day-1 ingest froze it instead of retraining
+    val c = Vectors.corpus(spark, sf)
+    val isDay0 = pmod(col("vec_id"), lit(Vectors.Day2Mod)) < Vectors.Day2NewMin
+    val fresh = Vectors.pqCodebook(c.filter(isDay0), 2)
+    assert(book.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(book).count() == 0,
+      "stored day-0 codebook differs from a day-0-only retrain")
+    // the appended code table covers the WHOLE corpus, one code row
+    // per (vector, subspace)
+    assert(codes.count() == c.count() * 8, "day-1 code table incomplete")
+    // append proof: every day-0 part file appears in the day-1 store
+    // as a HARD LINK (same file key/inode) — day-0 was never re-coded
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store"))
+    def store(kind: String): java.io.File = {
+      val tok = s"-$kind-v${Dedup.StoreFormatVersion}-"
+      val ds = Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.getName.contains("sf0.001") &&
+          f.getName.contains(tok) && !f.getName.contains(".tmp-") &&
+          !f.getName.endsWith(".lock"))
+      assert(ds.size == 1, s"expected one $kind store, got ${ds.map(_.getName)}")
+      ds.head
+    }
+    def fileKey(f: java.io.File) =
+      java.nio.file.Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val d0parts = store("d0codes").listFiles().filter(_.getName.startsWith("part-"))
+    val d1keys = store("d1codes").listFiles()
+      .filter(_.getName.startsWith("part-")).map(fileKey).toSet
+    assert(d0parts.nonEmpty)
+    d0parts.foreach(f => assert(d1keys.contains(fileKey(f)),
+      s"d0codes file ${f.getName} was not hard-linked into d1codes"))
+    assert(d1keys.size > d0parts.length, "d1codes holds no appended batch files")
+    // reuse proof: a re-run of the search READS every chained store,
+    // rebuilding none (_SUCCESS mtime receipts)
+    val markers = Seq("d0book", "d0codes", "d1codes")
+      .map(k => new java.io.File(store(k), "_SUCCESS"))
+    markers.foreach(m => assert(m.exists()))
+    val receipts = markers.map(m => m.getPath -> m.lastModified).toMap
+    SparkEntry.queries("q_sim_ann_pq_day2")(spark, sf).count()
+    markers.foreach(m => assert(receipts(m.getPath) == m.lastModified,
+      s"${m.getPath} was rebuilt on re-run"))
+  }
+
   test("pq re-rank cosines agree with brute-force for shared pairs") {
     // re-ranked scores are EXACT cosines: wherever the brute-force
     // top-5 and the re-ranked top-5 share a (probe, neighbor) pair,
