@@ -39,6 +39,30 @@ object Aggregates {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Mergeable-sketch distinct counting — the SHAPE that makes
+    * approximate aggregation work at 100 TB: per-slice (event_type ×
+    * day) Datasketches-HLL sketches built in one keyed pass, then
+    * UNIONED per event_type (`hll_union_agg`) and estimated. The
+    * sketch column is what a production pipeline STORES per
+    * day/partition; any date-range distinct count is then a
+    * union-of-sketches over dim-sized state — no second corpus scan,
+    * ever. (Contrast [[aggApproxDistinct]]: one-shot HLL++ per group —
+    * same answer class, but nothing reusable is materialized.) Like
+    * the other sketch keys, no oracle — sketch estimates are
+    * engine-specific; the spec bounds both the merged and the one-shot
+    * estimate against exact COUNT(DISTINCT) and pins merged-vs-oneshot
+    * agreement. */
+  private val aggHllMerge: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", Det.ets(col("ts"))).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Approximate percentiles (t-digest-style sketch): the streaming
     * alternative to exact percentile_cont at 100 TB — mergeable partial
     * sketches, one shuffle of sketch bytes instead of a per-group sort.
@@ -141,6 +165,7 @@ object Aggregates {
   val queries: Map[String, Q] = Map(
     "q_agg_distinct"        -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_hll_merge"       -> aggHllMerge,
     "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_agg_rollup"          -> aggRollup,
     "q_agg_cube"            -> aggCube,
@@ -163,6 +188,8 @@ object Aggregates {
         |ORDER BY l_returnflag ASC""".stripMargin,
     // q_agg_approx_distinct: intentionally no oracle (HLL++ sketch values
     // are engine-specific); driver records a rows-only check.
+    // q_agg_hll_merge: same — the union-of-sketches estimate is
+    // engine-specific (Datasketches HLL); spec bounds it against exact.
     "q_agg_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
          |       ${Det.sqlDsum("c_acctbal")} AS sum_acctbal

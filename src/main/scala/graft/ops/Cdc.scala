@@ -46,6 +46,59 @@ object Cdc {
         col("value"), Det.outTs(col("ts")).as("ts"))
       .orderBy(col("user_id").asc)
 
+  /** Day-chain ingest split for the compaction checkpoint: sequences
+    * with `event_id % 10 >= 8` are "tomorrow's" ops (20%), the rest is
+    * the day-0 history. */
+  private[graft] val Day2NewMin = 8
+
+  /** Store dir for a derived artifact of `d`'s EVENTS table —
+    * [[Dedup.storeDir]]'s exact naming contract ([[Dedup.StoreFormatVersion]]
+    * token = code freshness, content stamp = data freshness) under its
+    * own root (SPARK_GRAFT_CDC_STORE, default /tmp/graft-cdc-store). */
+  private def cdcStoreDir(d: String, kind: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_CDC_STORE", "/tmp/graft-cdc-store")
+    new java.io.File(root).mkdirs()
+    s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
+      s"v${Dedup.StoreFormatVersion}-" + Dedup.fsStamp(s"$d/events.parquet")
+  }
+
+  /** The day-0 compaction CHECKPOINT: the LWW fold of the first 80% of
+    * the sequence space, published once through the locked store layer
+    * ([[Dedup.storedTable]]). Rows keep their ORIGINAL (ts, event_id)
+    * so the snapshot re-enters a later fold as ordinary ops. */
+  private[graft] def storedSnapshot(s: SparkSession, d: String): DataFrame =
+    Dedup.storedTable(s, cdcStoreDir(d, "snap0")) {
+      stream(s, d)
+        .filter(pmod(col("event_id"), lit(10)) < Day2NewMin)
+        .withColumn("rn", row_number().over(wLatest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+    }
+
+  /** Checkpointed compaction — how a CDC consumer actually runs at
+    * 100 TB: it never replays history. Day-0's LWW fold is published
+    * once as a snapshot store ([[storedSnapshot]]); day-1 folds
+    * {snapshot ∪ the new 20% of the sequence}. LWW is a semigroup fold
+    * over the (ts, event_id) total order and the snapshot retains each
+    * key's winning (ts, event_id), so fold(snapshot ∪ batch) ≡
+    * fold(all ops) EXACTLY — the oracle is [[latestState]]'s full-replay
+    * SQL verbatim, so the driver hash-compare proves checkpoint-merge ≡
+    * full replay. Daily cost: O(|snapshot| + |day's ops|) through one
+    * keyed shuffle, independent of history length. */
+  private val compactDay2: Q = (s, d) => {
+    val batch = stream(s, d)
+      .filter(pmod(col("event_id"), lit(10)) >= Day2NewMin)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+    storedSnapshot(s, d).unionByName(batch)
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), Det.outTs(col("ts")).as("ts"))
+      .orderBy(col("user_id").asc)
+  }
+
   /** At-least-once dedup: self-union simulates relay redelivery; exact
     * once restored by the sequence key. One row per event_id survives,
     * chosen by a total order over the payload — deterministic even if a
@@ -331,6 +384,7 @@ object Cdc {
     "q_cdc_scd2"          -> scd2,
     "q_cdc_tombstone"     -> tombstone,
     "q_cdc_latest_state"  -> latestState,
+    "q_cdc_compact_day2"  -> compactDay2,
     "q_cdc_dedup"         -> dedup,
     "q_cdc_sequence_gaps" -> sequenceGaps,
     "q_cdc_out_of_order"  -> outOfOrder,
@@ -343,6 +397,18 @@ object Cdc {
   private val sqlStream =
     "SELECT event_id, user_id, event_type, value, props, " +
       s"${Det.sqlEts("ts")} AS ts FROM events"
+
+  /** Full-replay LWW oracle — also the oracle of the checkpointed
+    * fold [[compactDay2]] (see its scaladoc for why the results are
+    * provably identical). */
+  private lazy val sqlLatestState: String =
+    s"""WITH s AS ($sqlStream),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |                ORDER BY ts DESC, event_id DESC) AS rn FROM s)
+       |SELECT user_id, event_id, event_type, value,
+       |       ${Det.sqlOutTs("ts")} AS ts
+       |FROM r WHERE rn = 1
+       |ORDER BY user_id ASC""".stripMargin
 
   /** Shared CTE chain deriving the op-typed stream (DuckDB twin of
     * [[opsStream]]); ends in `f(user_id, event_id, ts, op, old_*, new_*)`. */
@@ -440,14 +506,10 @@ object Cdc {
          |       vt IS NULL AS is_current
          |FROM v
          |ORDER BY user_id ASC, event_id ASC""".stripMargin,
-    "q_cdc_latest_state" ->
-      s"""WITH s AS ($sqlStream),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-         |                ORDER BY ts DESC, event_id DESC) AS rn FROM s)
-         |SELECT user_id, event_id, event_type, value,
-         |       ${Det.sqlOutTs("ts")} AS ts
-         |FROM r WHERE rn = 1
-         |ORDER BY user_id ASC""".stripMargin,
+    "q_cdc_latest_state" -> sqlLatestState,
+    // shared VERBATIM with q_cdc_latest_state: the driver hash-compare
+    // is the checkpoint-merge ≡ full-replay proof
+    "q_cdc_compact_day2" -> sqlLatestState,
     "q_cdc_dedup" ->
       s"""WITH s AS ($sqlStream),
          |u AS (SELECT * FROM s UNION ALL SELECT * FROM s),

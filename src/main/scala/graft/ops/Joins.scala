@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Det
@@ -195,6 +195,80 @@ object Joins {
       .orderBy(col("c_mktsegment").asc, col("event_type").asc)
   }
 
+  /** Bloom geometry: m = 2^16 bits packed into 1024 longs (a 8 KiB
+    * broadcast), k = 3 hash functions. At ~600 selected keys the
+    * false-positive rate is ≈ (1-e^(-kn/m))^k ≈ 3·10^-6 — the exact
+    * join behind the filter removes even those. */
+  private val BloomBits = 1 << 16
+  private val BloomSeeds = 0 until 3
+
+  private def bloomPos(key: Column, seed: Int): Column =
+    pmod(xxhash64(lit(seed), key), lit(BloomBits)).cast("int")
+
+  /** 1L << b for b ∈ [0, 64) — variable-amount shifts as O(1) array
+    * lookups, keeping the probe expression in codegen. */
+  private val pow2: Column =
+    typedLit((0 until 64).map(b => 1L << b))
+
+  /** The selective build side: one order month (~1% of orders). */
+  private def bloomSel(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-03-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-04-01")))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+
+  /** Fold `sel`'s keys into ONE row holding the packed bitset: explode
+    * each key to its k positions, partial-agg `bit_or` by 64-bit word
+    * (≤1024 rows shuffle), assemble the dense array once. */
+  private def bloomArray(sel: DataFrame): DataFrame =
+    sel
+      .select(explode(array(
+        BloomSeeds.map(i => bloomPos(col("o_orderkey"), i)): _*)).as("p"))
+      .groupBy((col("p") / 64).cast("int").as("i"))
+      .agg(bit_or(element_at(pow2, pmod(col("p"), lit(64)) + 1)).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("bits")))).as("m"))
+      .select(transform(sequence(lit(0), lit(BloomBits / 64 - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom"))
+
+  /** All k bit positions of `key` are set in the broadcast `bloom`
+    * column — two O(1) `element_at`s per probe, inside codegen. */
+  private def bloomMightContain(key: Column): Column =
+    BloomSeeds.map { sd =>
+      val p = bloomPos(key, sd)
+      element_at(col("bloom"), (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(pow2, pmod(p, lit(64)) + 1)) =!= 0L
+    }.reduce(_ && _)
+
+  /** The fact side pruned BEFORE any shuffle: broadcast the one-row
+    * bitset onto the scan, keep rows whose key might be in the build
+    * side. Exposed for the spec's superset/pruning assertions. */
+  private[graft] def bloomPrefilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .crossJoin(broadcast(bloomArray(bloomSel(s, d))))
+      .filter(bloomMightContain(col("l_orderkey")))
+      .drop("bloom")
+
+  /** Bloom-filtered fact⊗fact join — the EXPLICIT form of runtime
+    * semi-join reduction (what `spark.sql.optimizer.runtime.bloomFilter`
+    * injects automatically for shuffle joins): the selective side's join
+    * keys fold into a 2^16-bit Bloom bitset by one partial-agg, the
+    * 8 KiB array row broadcasts onto the fact scan, and each fact row
+    * tests k=3 bit positions BEFORE the join shuffle — only ~1% of
+    * lineitem ever shuffles. False positives are removed by the exact
+    * equi-join behind the filter, so the result is provably the plain
+    * join — which is exactly what the oracle declares. At 100 TB the
+    * bitset scales by m, not fact rows: a 10^8-key build side fits a
+    * 2^30-bit / 128 MiB filter while the fact side still never shuffles
+    * un-pruned rows. */
+  private val bloomJoin: Q = (s, d) =>
+    bloomPrefilter(s, d)
+      .join(bloomSel(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+
   val queries: Map[String, Q] = Map(
     "q_join_inner_hash" -> innerHash,
     "q_join_broadcast"  -> broadcastJoin,
@@ -208,6 +282,7 @@ object Joins {
     "q_join_interval_binned" -> intervalJoinBinned,
     "q_join_asof"       -> asofJoin,
     "q_join_salted"     -> saltedSkewJoin,
+    "q_join_bloom"      -> bloomJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -291,5 +366,14 @@ object Joins {
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment, event_type
          |ORDER BY c_mktsegment ASC, event_type ASC""".stripMargin,
+    // the plain join IS the oracle: the bloom pre-filter is
+    // semantically transparent (no false negatives by construction,
+    // false positives removed by the exact join behind it)
+    "q_join_bloom" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
   )
 }

@@ -110,6 +110,62 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Term frequencies of a document subset — the per-doc tokenize +
+    * count that dominates TF-IDF's cost (the scoring joins after it
+    * are dim-sized broadcasts). */
+  private def tfCounts(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** The TERM-FREQUENCY store chain — the text-family twin of the
+    * dedup signature chain: day-0 (doc_id % 10 < 8) is tokenized and
+    * TF-counted ONCE and published through the locked store layer;
+    * day-1's batch TF is published by hard-link APPEND
+    * ([[Dedup.storedTableAppend]] — day-0 part files linked, only the
+    * batch tokenized). At 100 TB tokenization IS the corpus scan cost;
+    * the appended TF table is the classic materialized inverted-index
+    * input every downstream consumer (df counts, scoring, containment)
+    * reads instead of re-tokenizing history. */
+  private[graft] def storedTfDay(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.storedTable(s, Dedup.storeDir(d, "tf0")) {
+      tfCounts(docs.filter(pmod(col("doc_id"), lit(10)) < 8))
+    }
+    Dedup.storedTableAppend(s, Dedup.storeDir(d, "tf1"),
+        Dedup.storeDir(d, "tf0")) {
+      tfCounts(docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
+    }
+  }
+
+  /** TF-IDF over the day-chained TF store: identical scoring plan to
+    * [[tfidf]] but the (doc, word, tf) lineage is the APPENDED store —
+    * day-0 documents are never re-tokenized. df/N are RE-derived from
+    * the store (df is not additive across days for a term that
+    * repeats, so the correct merge is the keyed re-agg over the
+    * appended table — one dim-sized shuffle, no corpus scan). Shares
+    * [[tfidf]]'s oracle VERBATIM: the driver hash-compare proves
+    * chained-append TF ≡ full retokenize. */
+  private val tfidfDay2: Q = (s, d) => {
+    val tf = storedTfDay(s, d)
+    val df = tf.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        Det.r4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word"), col("score"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Corpus stats per language label. */
   private val langStats: Q = (s, d) =>
     Tables.documents(s, d)
@@ -796,6 +852,7 @@ object Text {
     "q_text_wordcount"   -> wordcount,
     "q_text_lm_score"    -> lmScore,
     "q_text_tfidf"       -> tfidf,
+    "q_text_tfidf_day2"  -> tfidfDay2,
     "q_text_lang_stats"  -> langStats,
     "q_text_langid"      -> langId,
     "q_text_quality"     -> quality,
@@ -814,6 +871,24 @@ object Text {
     * misread as engine drift). */
   val sqlToks: String =
     "list_filter(string_split(text, ' '), w -> LENGTH(w) > 0)"
+
+  /** Full-retokenize TF-IDF oracle — also the oracle of the
+    * day-chained [[tfidfDay2]] (see its scaladoc). */
+  private lazy val sqlTfidf: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, word, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)
+       |  GROUP BY doc_id, word),
+       |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |s AS (
+       |  SELECT tf.doc_id, tf.word,
+       |         ${Det.sqlR4("tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df)")} AS score
+       |  FROM tf JOIN df USING (word) CROSS JOIN n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                ORDER BY score DESC, word ASC) AS rn FROM s)
+       |SELECT doc_id, word, score FROM r WHERE rn = 1
+       |ORDER BY doc_id ASC""".stripMargin
 
   /** Shared oracle for [[contaminate]] and [[contaminateBloom]] — the
     * two are the same function computed through different plans. */
@@ -1153,21 +1228,10 @@ object Text {
          |         AS avg_nll_e4
          |FROM lm_base b LEFT JOIN lm_sc USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
-    "q_text_tfidf" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, word, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents)
-         |  GROUP BY doc_id, word),
-         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
-         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-         |s AS (
-         |  SELECT tf.doc_id, tf.word,
-         |         ${Det.sqlR4("tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df)")} AS score
-         |  FROM tf JOIN df USING (word) CROSS JOIN n),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-         |                ORDER BY score DESC, word ASC) AS rn FROM s)
-         |SELECT doc_id, word, score FROM r WHERE rn = 1
-         |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_tfidf" -> sqlTfidf,
+    // shared VERBATIM with q_text_tfidf: the driver hash-compare is
+    // the chained-append-TF ≡ full-retokenize proof
+    "q_text_tfidf_day2" -> sqlTfidf,
     "q_text_lang_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |       ${Det.sqlDavg("n_chars")} AS avg_chars,

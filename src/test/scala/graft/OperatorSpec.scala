@@ -56,7 +56,8 @@ class OperatorSpec extends AnyFunSuite {
   test("every query key has oracle SQL or is a documented sketch") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
-      Set("q_agg_approx_distinct", "q_agg_approx_percentile"),
+      Set("q_agg_approx_distinct", "q_agg_approx_percentile",
+        "q_agg_hll_merge"),
       s"missing oracle: $noOracle")
   }
 
@@ -1702,6 +1703,100 @@ class OperatorSpec extends AnyFunSuite {
     assert(before.nonEmpty, "no stored PQ index receipt after first run")
     SparkEntry.queries("q_sim_ann_pq_stored")(spark, sf).count()
     assert(receipt == before, "re-run rebuilt the stored PQ index")
+  }
+
+  test("cdc checkpointed compaction: snapshot fold ≡ full replay, store reused") {
+    val full = SparkEntry.queries("q_cdc_latest_state")(spark, sf)
+    val chk = SparkEntry.queries("q_cdc_compact_day2")(spark, sf)
+    assert(chk.exceptAll(full).count() == 0 && full.exceptAll(chk).count() == 0,
+      "checkpoint-merge diverged from full replay")
+    // the snapshot is a real compaction: at most one row per key
+    val snap = graft.ops.Cdc.storedSnapshot(spark, sf)
+    assert(snap.groupBy(col("user_id")).count().filter(col("count") > 1)
+      .count() == 0, "day-0 snapshot holds duplicate keys")
+    // re-run READS the published snapshot (mtime receipt)
+    val root = sys.env.getOrElse("SPARK_GRAFT_CDC_STORE", "/tmp/graft-cdc-store")
+    val markers = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.contains("sf0.001") && f.getName.contains("-snap0-")
+        && !f.getName.contains(".tmp-") && !f.getName.endsWith(".lock"))
+      .map(d => new java.io.File(d, "_SUCCESS")).filter(_.exists())
+    assert(markers.nonEmpty, "no published snapshot store")
+    val before = markers.map(m => m.getPath -> m.lastModified).toMap
+    SparkEntry.queries("q_cdc_compact_day2")(spark, sf).count()
+    markers.foreach(m => assert(before(m.getPath) == m.lastModified,
+      "re-run rebuilt the day-0 snapshot"))
+  }
+
+  test("tf day-chain: append-only term frequencies, day-0 never retokenized") {
+    val full = SparkEntry.queries("q_text_tfidf")(spark, sf)
+    val chained = SparkEntry.queries("q_text_tfidf_day2")(spark, sf)
+    assert(chained.exceptAll(full).count() == 0 &&
+      full.exceptAll(chained).count() == 0,
+      "day-chained TF-IDF diverged from full retokenize")
+    // append proof: every tf0 part file appears in tf1 as a HARD LINK
+    val root = sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
+    def store(kind: String): java.io.File = {
+      val tok = s"-$kind-v${graft.ops.Dedup.StoreFormatVersion}-"
+      val ds = Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(f => f.getName.contains("sf0.001") && f.getName.contains(tok) &&
+          !f.getName.contains(".tmp-") && !f.getName.endsWith(".lock"))
+      assert(ds.size == 1, s"expected one $kind store, got ${ds.map(_.getName)}")
+      ds.head
+    }
+    def fileKey(f: java.io.File) =
+      java.nio.file.Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val t0 = store("tf0").listFiles().filter(_.getName.startsWith("part-"))
+    val t1keys = store("tf1").listFiles()
+      .filter(_.getName.startsWith("part-")).map(fileKey).toSet
+    assert(t0.nonEmpty)
+    t0.foreach(f => assert(t1keys.contains(fileKey(f)),
+      s"tf0 file ${f.getName} was not hard-linked into tf1"))
+    assert(t1keys.size > t0.length, "tf1 holds no appended batch files")
+  }
+
+  test("bloom join: pre-filter is a superset of matches and prunes the fact side") {
+    import spark.implicits._
+    val li = graft.io.Tables.lineitem(spark, sf)
+    val pre = graft.ops.Joins.bloomPrefilter(spark, sf)
+    val joined = SparkEntry.queries("q_join_bloom")(spark, sf)
+    // no false negatives: every (orderkey, linenumber) the exact join
+    // keeps passed the bloom
+    assert(joined.select($"l_orderkey", $"l_linenumber")
+      .exceptAll(pre.select($"l_orderkey", $"l_linenumber"))
+      .count() == 0, "bloom dropped a true match")
+    // the point of the filter: most of the fact side never reaches the
+    // join shuffle (month filter keeps ~1% of orders; fp rate ~1e-6)
+    val nLi = li.count()
+    val nPre = pre.count()
+    assert(nPre < nLi / 10,
+      s"bloom pruned too little: $nPre of $nLi lineitem rows passed")
+  }
+
+  test("hll merge: daily-sketch union within 5% of exact, agrees with one-shot") {
+    import spark.implicits._
+    val ev = graft.io.Tables.events(spark, sf)
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact")).as[(String, Long)]
+      .collect().toMap
+    val merged = SparkEntry.queries("q_agg_hll_merge")(spark, sf)
+      .select($"event_type", $"est_users").as[(String, Double)]
+      .collect().toMap
+    val oneshot = ev.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val m = merged(k); val o = oneshot(k)
+      assert(math.abs(m - ex) / ex < 0.05,
+        s"$k: merged estimate $m vs exact $ex exceeds 5%")
+      assert(math.abs(o - ex) / ex < 0.05,
+        s"$k: one-shot estimate $o vs exact $ex exceeds 5%")
+      // union of per-day sketches sees the same register state class;
+      // estimates may differ slightly (HIP vs composite estimator) but
+      // must agree within the same 5% band
+      assert(math.abs(m - o) / math.max(o, 1.0) < 0.05,
+        s"$k: merged $m vs one-shot $o diverge")
+    }
   }
 
   test("entry flagship returns rows") {
