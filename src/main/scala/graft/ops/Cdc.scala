@@ -62,16 +62,23 @@ object Cdc {
       s"v${Dedup.StoreFormatVersion}-" + Dedup.fsStamp(s"$d/events.parquet")
   }
 
+  /** One LWW fold step over a snapshot ∪ ops union: keeps each key's
+    * winning row under the (ts, event_id) total order, columns
+    * unchanged (raw ts) so the output can re-enter a LATER fold —
+    * the semigroup operation both [[compactDay2]] and the streaming
+    * twin (StreamsSpec "foreachBatch checkpointed compaction") run. */
+  private[graft] def lwwStep(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1).drop("rn")
+
   /** The day-0 compaction CHECKPOINT: the LWW fold of the first 80% of
     * the sequence space, published once through the locked store layer
     * ([[Dedup.storedTable]]). Rows keep their ORIGINAL (ts, event_id)
     * so the snapshot re-enters a later fold as ordinary ops. */
   private[graft] def storedSnapshot(s: SparkSession, d: String): DataFrame =
     Dedup.storedTable(s, cdcStoreDir(d, "snap0")) {
-      stream(s, d)
-        .filter(pmod(col("event_id"), lit(10)) < Day2NewMin)
-        .withColumn("rn", row_number().over(wLatest))
-        .filter(col("rn") === 1)
+      lwwStep(stream(s, d)
+        .filter(pmod(col("event_id"), lit(10)) < Day2NewMin))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts"))
     }
@@ -91,9 +98,7 @@ object Cdc {
       .filter(pmod(col("event_id"), lit(10)) >= Day2NewMin)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts"))
-    storedSnapshot(s, d).unionByName(batch)
-      .withColumn("rn", row_number().over(wLatest))
-      .filter(col("rn") === 1)
+    lwwStep(storedSnapshot(s, d).unionByName(batch))
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), Det.outTs(col("ts")).as("ts"))
       .orderBy(col("user_id").asc)

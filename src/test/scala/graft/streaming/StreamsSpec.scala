@@ -211,6 +211,58 @@ class StreamsSpec extends AnyFunSuite {
       "streamed incremental labels diverge from the full CC recompute")
   }
 
+  test("foreachBatch checkpointed compaction equals full replay, any batching") {
+    // The continuous version of q_cdc_compact_day2: mutations stream
+    // in; each micro-batch folds into the running snapshot by the SAME
+    // LWW step the declared query runs (Cdc.lwwStep — a semigroup fold
+    // over the (ts, event_id) total order, so any associativity of
+    // batching yields the same snapshot). Over ANY partitioning of the
+    // ops into micro-batches the final snapshot must equal the
+    // one-shot full replay, and per micro-batch a key's winning
+    // (ts, event_id) may only advance (LWW winners are monotone
+    // non-decreasing under op insertion — a winner that ever receded
+    // would mean the fold dropped a seen op).
+    import graft.ops.Cdc
+    val sfDir = SparkTestSession.sf
+    val all = graft.io.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), graft.Det.ets(col("ts")).as("ts"))
+    val ops = all.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.event_id)
+    var snapshot = all.limit(0).localCheckpoint()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.select(col("user_id"), col("event_id"),
+          col("event_type"), col("value"), col("ts"))
+        val before = snapshot
+        snapshot = Cdc.lwwStep(snapshot.unionByName(b)).localCheckpoint()
+        // winners only advance: (ts, event_id) is totally ordered, so
+        // compare the struct lexicographically
+        val receded = before
+          .select(col("user_id"), struct(col("ts"), col("event_id")).as("w0"))
+          .join(snapshot.select(col("user_id"),
+            struct(col("ts"), col("event_id")).as("w1")), "user_id")
+          .filter(col("w1") < col("w0"))
+        assert(receded.count() == 0,
+          "a key's LWW winner receded mid-stream")
+        ()
+      }
+      .outputMode("update").start()
+    val parts = ops.grouped(math.max(1, ops.length / 4)).toSeq
+    parts.foreach { p => mem.addData(p); q.processAllAvailable() }
+    q.stop()
+    val expected = graft.SparkEntry.queries("q_cdc_latest_state")(spark, sfDir)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val got = snapshot.select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expected,
+      "streamed compaction snapshot diverges from full replay")
+  }
+
   test("epoch parquet sink writes idempotent epoch directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-epoch-ck").toString
