@@ -63,6 +63,36 @@ object Aggregates {
       .orderBy(col("event_type").asc)
   }
 
+  /** Mergeable-sketch QUANTILES — the [[aggHllMerge]] shape applied to
+    * the other hard distributive problem, percentiles: per-(event_type
+    * × day) KLL sketches ([[graft.functions.KllAgg]], Datasketches)
+    * built in one keyed pass, then merged per event_type and queried
+    * at p50/p90/p99. The daily sketch column is the storable artifact;
+    * any date-range quantile is a union over dim-sized sketch bytes —
+    * no re-scan, no per-group sort, ever. Within a partition the
+    * Aggregator buffer is updated in place; only compact sketch bytes
+    * cross the partial/final shuffle. Like every sketch key, no
+    * oracle (estimates are sketch-specific): the spec bounds merged
+    * AND one-shot estimates against exact ranks, and the exact
+    * q_agg_percentile is the value-verified twin. */
+  private val aggKllMerge: Q = (s, d) => {
+    import graft.functions.KllAgg
+    val kSketch = udaf(KllAgg.sketch)
+    val kUnion = udaf(KllAgg.union)
+    val kq = udf((b: Array[Byte], q: Double) => KllAgg.quantileOf(b, q))
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", Det.ets(col("ts"))).as("day"))
+      .agg(kSketch(col("value")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), kUnion(col("sk")).as("sk"))
+      .select(col("event_type"), col("n_days"),
+        kq(col("sk"), lit(0.5)).as("p50"),
+        kq(col("sk"), lit(0.9)).as("p90"),
+        kq(col("sk"), lit(0.99)).as("p99"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Approximate percentiles (t-digest-style sketch): the streaming
     * alternative to exact percentile_cont at 100 TB — mergeable partial
     * sketches, one shuffle of sketch bytes instead of a per-group sort.
@@ -166,6 +196,7 @@ object Aggregates {
     "q_agg_distinct"        -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_hll_merge"       -> aggHllMerge,
+    "q_agg_kll_merge"       -> aggKllMerge,
     "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_agg_rollup"          -> aggRollup,
     "q_agg_cube"            -> aggCube,
@@ -190,6 +221,8 @@ object Aggregates {
     // are engine-specific); driver records a rows-only check.
     // q_agg_hll_merge: same — the union-of-sketches estimate is
     // engine-specific (Datasketches HLL); spec bounds it against exact.
+    // q_agg_kll_merge: same — KLL quantile estimates are
+    // sketch-specific; spec bounds rank error against exact percentiles.
     "q_agg_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
          |       ${Det.sqlDsum("c_acctbal")} AS sum_acctbal

@@ -373,7 +373,87 @@ object Multimodal {
           .as("f_logpixels"))
       .orderBy(col("doc_id").asc)
 
+  // ------------------------------------------------------------ audio
+
+  /** Typed metadata of an audio payload. */
+  case class AudioMeta(format: String, channels: Int, sampleRate: Int,
+      bits: Int, nFrames: Long)
+
+  /** Generator frame count — SQL-predictable from `n_chars`, same
+    * contract as [[genW]]/[[genH]] for images. */
+  private[graft] def genAudioFrames(nChars: Long): Int =
+    (nChars % 1000).toInt + 400
+  private[graft] val SqlGenAudioFrames = "CAST(n_chars % 1000 + 400 AS BIGINT)"
+  private[graft] val AudioRate = 8000
+
+  /** One real RIFF/WAVE payload: PCM16 mono 8 kHz, [[genAudioFrames]]
+    * frames of a sine whose frequency derives from doc_id. Encoded by
+    * the JDK's own `javax.sound.sampled` WAV writer — a genuine
+    * container, not a stand-in. */
+  private[graft] def renderWav(docId: Long, nChars: Long): Array[Byte] = {
+    val n = genAudioFrames(nChars)
+    val freq = 100.0 + (docId % 200)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (12000.0 *
+        math.sin(2 * math.Pi * freq * i / AudioRate)).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte // little-endian PCM16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio header probe — `AudioSystem` sniffs the container and
+    * reads rate/channels/width/frame-count from the WAV header without
+    * touching the sample data (the 100 TB metadata-probe shape, like
+    * [[imageDecoder]]). Undecodable bytes degrade, never throw. */
+  private[graft] def audioDecoder(bytes: Array[Byte]): AudioMeta =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      AudioMeta("wav", f.getChannels, f.getSampleRate.toInt,
+        f.getSampleSizeInBits, ais.getFrameLength)
+    } catch {
+      case scala.util.control.NonFatal(_) => AudioMeta("unknown", -1, -1, -1, -1L)
+    }
+
+  /** Audio metadata probe over rendered WAV payloads — the audio twin
+    * of [[metaQ]]: payloads render and decode partition-local in
+    * batches (bytes never shuffle), and because the generator's frame
+    * count is arithmetic in `n_chars` while the bytes are genuine
+    * RIFF/WAVE, the oracle hash-match proves the real encode→decode
+    * round-trip header field by header field. */
+  private val audioQ: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, nc) =>
+        (id, audioDecoder(renderWav(id, nc)))
+      }))
+      .toDF("doc_id", "meta")
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.channels").as("channels"),
+        col("meta.sampleRate").as("sample_rate"),
+        col("meta.bits").as("bits"),
+        col("meta.nFrames").as("n_frames"))
+      .withColumn("duration_ms", expr(s"n_frames * 1000 div $AudioRate"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_audio"    -> audioQ,
     "q_multimodal_meta"     -> metaQ,
     "q_multimodal_resize"   -> resizeQ,
     "q_multimodal_frames"   -> framesQ,
@@ -390,6 +470,19 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // predicts the REAL WAV decode from generator arithmetic: every
+    // header field the probe reads must land on the generator's value
+    "q_multimodal_audio" ->
+      s"""SELECT doc_id,
+         |       'wav' AS format,
+         |       1 AS channels,
+         |       $AudioRate AS sample_rate,
+         |       16 AS bits,
+         |       $SqlGenAudioFrames AS n_frames,
+         |       CAST((n_chars % 1000 + 400) * 1000 // $AudioRate AS BIGINT)
+         |         AS duration_ms
+         |FROM documents
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_meta" ->
       s"""SELECT doc_id,
          |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,

@@ -127,6 +127,44 @@ object Pack {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
       .orderBy(col("doc_id").asc)
 
+  /** Output fan-out for shard writing. */
+  private[graft] val NShards = 8L
+
+  /** Balanced shard assignment — the "write N output files of ~equal
+    * token mass" step at the end of a curation pipeline (shard skew
+    * directly skews downstream dataloader throughput). Deterministic
+    * proportional rule over the SAME global prefix sum as the packing
+    * family: a doc starting at token offset `o` of a `T`-token corpus
+    * lands in shard `(o·N) div T` (clamped for trailing zero-token
+    * docs sitting exactly at offset T). Docs are contiguous in
+    * doc_id order within a shard, and every shard's token mass is
+    * within one document of T/N — no bin-packing search, no extra
+    * shuffle: after [[packedFrom]]'s two-level prefix (its only wide
+    * exchanges), assignment is one broadcast scalar + map-side
+    * integer arithmetic, then an N-row roll-up. A shard is empty only
+    * when a single doc spans multiple shard widths (then no start
+    * offset lands in it) — the per-shard report is exactly what a
+    * writer would use to decide N. */
+  private val packShards: Q = (s, d) => {
+    val p = packed(s, d)
+    val tot = p.agg(sum(col("n_tokens")).as("t_total"))
+    p.crossJoin(broadcast(tot))
+      .withColumn("shard",
+        least(lit(NShards - 1L), expr(s"(tok_offset * $NShards) div t_total")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        max(col("t_total")).as("t_total"))
+      .withColumn("balance",
+        Det.r4(col("shard_tokens").cast("double") * lit(NShards.toDouble)
+          / col("t_total")))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("min_doc"), col("max_doc"), col("balance"))
+      .orderBy(col("shard").asc)
+  }
+
   /** Per-chunk occupancy: how many docs each training sequence draws
     * from, how many of those straddle a boundary, and its fill. */
   private val packChunks: Q = (s, d) =>
@@ -152,6 +190,7 @@ object Pack {
     "q_pack_sequences" -> packSequences,
     "q_pack_sequences_bpe" -> packSequencesBpe,
     "q_pack_chunks"    -> packChunks,
+    "q_pack_shards"    -> packShards,
   )
 
   /** Shared oracle CTE: token counts → SQL-window exclusive prefix →
@@ -204,6 +243,25 @@ object Pack {
          |         - tok_offset // $ChunkLen + 1 AS n_chunks
          |FROM p2
          |ORDER BY doc_id ASC""".stripMargin,
+    "q_pack_shards" ->
+      s"""WITH $sqlPacked,
+         |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM sp),
+         |a AS (
+         |  SELECT sp.*, t_total,
+         |         CAST(LEAST(${NShards - 1}, (tok_offset * $NShards) // t_total)
+         |           AS BIGINT) AS shard
+         |  FROM sp CROSS JOIN tt),
+         |g AS (
+         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         |         MAX(t_total) AS t_total
+         |  FROM a GROUP BY shard)
+         |SELECT shard, n_docs, shard_tokens, min_doc, max_doc,
+         |       ${Det.sqlR4(
+             s"CAST(shard_tokens AS DOUBLE) * $NShards / t_total")} AS balance
+         |FROM g
+         |ORDER BY shard ASC""".stripMargin,
     "q_pack_chunks" ->
       s"""WITH $sqlPacked,
          |e AS (

@@ -844,7 +844,69 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Hashed-feature buckets for [[dsir]]. */
+  private val DsirBuckets = 64
+
+  /** DSIR-style data selection — importance resampling weights from
+    * hashed n-gram features ("Data Selection for Language Models via
+    * Importance Resampling", Xie et al., NeurIPS 2023). Each token
+    * hashes into one of [[DsirBuckets]] buckets (md5-derived, the
+    * engine-neutral hash the dedup family uses); the TARGET
+    * distribution is estimated from the in-corpus `lang = 'en'` slice
+    * standing in for the high-quality reference corpus, the RAW
+    * distribution from everything. A document's importance weight is
+    * its token-count-weighted sum of per-bucket log-ratios
+    * log(p_target/p_raw), add-one smoothed; `kept` marks docs that
+    * look more target- than raw-like (the resampling step selects by
+    * this weight).
+    *
+    * Scale shape: the bucket distributions are B-row aggregates off
+    * the one exploded token stream (map-side partial, dim-sized
+    * result broadcast back); per-doc scoring is a (doc, bucket)-keyed
+    * partial agg — ≤ B rows per doc — then a doc-keyed roll-up. Log
+    * terms are qi4-quantized to exact integer units before summing
+    * (the [[klDrift]] discipline), so the sum is order-free and
+    * engine-identical. Nothing vocabulary-sized is ever broadcast:
+    * the hash REPLACES the vocabulary dictionary, exactly why DSIR
+    * scales to web corpora. */
+  private val dsir: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("word"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10)
+          .cast("long"), lit(DsirBuckets.toLong)))
+    val db = tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val tots = tok.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val lr = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        log(((coalesce(col("ct"), lit(0L)) + lit(1L))
+            / (col("tt") + lit(DsirBuckets.toLong)).cast("double"))
+          / ((col("cr") + lit(1L))
+            / (col("tr") + lit(DsirBuckets.toLong)).cast("double"))).as("lr"))
+    val perDoc = db.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(Det.qi4(col("c") * col("lr"))).as("qw"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("qw"), lit(0L)) / lit(10000.0)).as("dsir_logw"),
+        (coalesce(col("qw"), lit(0L)) > 0L).as("kept"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_dsir"        -> dsir,
     "q_text_subword"     -> subword,
     "q_text_entropy"     -> entropy,
     "q_text_kl_drift"    -> klDrift,
@@ -1044,6 +1106,41 @@ object Text {
   }
 
   val oracle: Map[String, String] = Map(
+    // dsir: same md5 bucket hash, same add-one smoothing, same
+    // qi4-quantized log-ratio sum — the weight is engine-exact
+    "q_text_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         CAST('0x' || SUBSTRING(md5(word), 1, 4) AS BIGINT)
+         |           % $DsirBuckets AS bucket
+         |  FROM (SELECT doc_id, lang, UNNEST($sqlToks) AS word
+         |        FROM documents)),
+         |db AS (
+         |  SELECT doc_id, bucket, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |raw AS (SELECT bucket, COUNT(*) AS cr FROM tok GROUP BY 1),
+         |tgt AS (SELECT bucket, COUNT(*) AS ct FROM tok
+         |        WHERE lang = 'en' GROUP BY 1),
+         |tots AS (
+         |  SELECT COUNT(*) AS tr,
+         |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+         |  FROM tok),
+         |lr AS (
+         |  SELECT raw.bucket,
+         |         ln(((COALESCE(ct, 0) + 1)
+         |              / CAST(tt + $DsirBuckets AS DOUBLE))
+         |            / ((cr + 1)
+         |              / CAST(tr + $DsirBuckets AS DOUBLE))) AS lr
+         |  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tots),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         SUM(${Det.sqlQi4("c * lr")}) AS qw
+         |  FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |       COALESCE(pd.n_tokens, 0) AS n_tokens,
+         |       COALESCE(pd.qw, 0) / 10000.0 AS dsir_logw,
+         |       COALESCE(pd.qw, 0) > 0 AS kept
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin,
     // twin of [[subword]]: same thresholds, same closed-form greedy
     // scan, same md5-integer piece checksum — string-level equality of
     // the segmentation is what the hash compare certifies

@@ -139,4 +139,20 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().toSeq
     assert(a == b)
   }
+
+  test("audio payloads are genuine RIFF/WAVE, probe round-trips header") {
+    val wav = Multimodal.renderWav(7L, 123L)
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' &&
+      wav(3) == 'F' && wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' &&
+      wav(11) == 'E', "not a RIFF/WAVE container")
+    val m = Multimodal.audioDecoder(wav)
+    assert(m == Multimodal.AudioMeta("wav", 1, 8000, 16,
+      Multimodal.genAudioFrames(123L).toLong))
+    // sample data really is in there: payload carries 2 bytes/frame
+    assert(wav.length >= Multimodal.genAudioFrames(123L) * 2,
+      "payload too small to hold the PCM frames")
+    // degrade contract: garbage and truncated-header bytes never throw
+    assert(Multimodal.audioDecoder(Array[Byte](1, 2, 3)).format == "unknown")
+    assert(Multimodal.audioDecoder(wav.take(6)).format == "unknown")
+  }
 }

@@ -57,7 +57,7 @@ class OperatorSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
       Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-        "q_agg_hll_merge"),
+        "q_agg_hll_merge", "q_agg_kll_merge"),
       s"missing oracle: $noOracle")
   }
 
@@ -1796,6 +1796,96 @@ class OperatorSpec extends AnyFunSuite {
       // must agree within the same 5% band
       assert(math.abs(m - o) / math.max(o, 1.0) < 0.05,
         s"$k: merged $m vs one-shot $o diverge")
+    }
+  }
+
+  test("kll merge: daily-sketch union within rank error of exact quantiles") {
+    import spark.implicits._
+    val ev = graft.io.Tables.events(spark, sf)
+    val vals = ev.select($"event_type", $"value").as[(String, Double)]
+      .collect().groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val est = SparkEntry.queries("q_agg_kll_merge")(spark, sf)
+      .select($"event_type", $"p50", $"p90", $"p99")
+      .as[(String, Double, Double, Double)].collect()
+    // empirical rank of the estimate inside the exact sorted values —
+    // KLL k=200 bounds normalized rank error at ~1.65% (99% conf);
+    // assert 3% to keep the randomized compaction off the flake list
+    def rank(sorted: Array[Double], q: Double): Double = {
+      val i = java.util.Arrays.binarySearch(sorted, q)
+      val pos = if (i >= 0) i else -i - 1
+      pos.toDouble / sorted.length
+    }
+    est.foreach { case (k, p50, p90, p99) =>
+      val s = vals(k)
+      assert(math.abs(rank(s, p50) - 0.5) < 0.03, s"$k p50 rank off: $p50")
+      assert(math.abs(rank(s, p90) - 0.9) < 0.03, s"$k p90 rank off: $p90")
+      assert(math.abs(rank(s, p99) - 0.99) < 0.03, s"$k p99 rank off: $p99")
+    }
+    // merged-of-daily must agree with a one-shot sketch to the same
+    // rank tolerance (merge is the lossless-class sketch union)
+    val kSketch = org.apache.spark.sql.functions.udaf(graft.functions.KllAgg.sketch)
+    val kq = org.apache.spark.sql.functions.udf(
+      (b: Array[Byte], q: Double) => graft.functions.KllAgg.quantileOf(b, q))
+    val oneshot = ev.groupBy($"event_type").agg(kSketch($"value").as("sk"))
+      .select($"event_type", kq($"sk", lit(0.5)).as("p50"))
+      .as[(String, Double)].collect().toMap
+    est.foreach { case (k, p50, _, _) =>
+      val s = vals(k)
+      assert(math.abs(rank(s, p50) - rank(s, oneshot(k))) < 0.03,
+        s"$k: merged p50 $p50 vs one-shot ${oneshot(k)} diverge in rank")
+    }
+  }
+
+  test("pack shards: partition of the corpus, contiguous, balanced") {
+    import spark.implicits._
+    val shards = SparkEntry.queries("q_pack_shards")(spark, sf)
+      .select($"shard", $"n_docs", $"shard_tokens", $"min_doc", $"max_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val docs = graft.io.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val total = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .agg(sum($"n_tokens")).as[Long].head()
+    // partition: every doc in exactly one shard (counts add up and the
+    // doc_id ranges tile without overlap)
+    assert(shards.map(_._2).sum == nDocs, "shard doc counts don't add up")
+    assert(shards.map(_._3).sum == total, "shard token masses don't add up")
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 < b._4, s"shards ${a._1}/${b._1} doc ranges overlap")
+      case _ =>
+    }
+    // balance: proportional start-offset assignment keeps every
+    // shard's token mass within one max-document of the ideal T/N
+    val maxDoc = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .agg(max($"n_tokens")).as[Long].head()
+    val ideal = total.toDouble / graft.ops.Pack.NShards
+    shards.foreach { case (id, _, tok, _, _) =>
+      assert(math.abs(tok - ideal) <= maxDoc,
+        s"shard $id token mass $tok strays more than one doc from $ideal")
+    }
+  }
+
+  test("dsir: weights separate the target slice from the rest") {
+    import spark.implicits._
+    val w = SparkEntry.queries("q_text_dsir")(spark, sf)
+      .select($"lang", $"n_tokens", $"dsir_logw", $"kept")
+      .as[(String, Long, Double, Boolean)].collect()
+    // token accounting matches the shared tokenizer
+    val totalTokens = w.map(_._2).sum
+    val expected = graft.io.Tables.documents(spark, sf)
+      .select(size(graft.ops.Text.tokens(col("text"))).cast("long"))
+      .as[Long].collect().sum
+    assert(totalTokens == expected, "dsir token counts drift from Text.tokens")
+    // the importance weight must rank the target distribution's own
+    // docs above the rest on average — that is the whole mechanism
+    val (en, rest) = w.partition(_._1 == "en")
+    val enMean = en.map(_._3).sum / en.length
+    val restMean = rest.map(_._3).sum / rest.length
+    assert(enMean > restMean + 0.05,
+      s"dsir fails to separate: en mean $enMean vs rest $restMean")
+    // and `kept` is exactly the positive-weight set
+    w.foreach { case (_, _, lw, kept) =>
+      assert(kept == (lw > 0), "kept flag disagrees with the weight sign")
     }
   }
 
