@@ -878,13 +878,19 @@ object Text {
       .withColumn("bucket",
         pmod(conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10)
           .cast("long"), lit(DsirBuckets.toLong)))
-    val db = tok.groupBy(col("doc_id"), col("bucket"))
+    // ONE corpus-sized derivation: lang is functionally dependent on
+    // doc_id, so folding it into the (doc, bucket) partial agg costs
+    // nothing — and every distribution below is then a dim-sized
+    // re-aggregation of THIS result (ReusedExchange on the single
+    // (doc,lang,bucket) shuffle), not a second scan+explode+hash of
+    // the corpus. Four token-stream derivations → one.
+    val db = tok.groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val tots = tok.agg(count(lit(1)).as("tr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val raw = db.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    val tgt = db.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    val tots = db.agg(sum(col("c")).as("tr"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tt"))
     val lr = raw.join(tgt, Seq("bucket"), "left")
       .crossJoin(broadcast(tots))
       .select(col("bucket"),
