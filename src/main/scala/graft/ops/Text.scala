@@ -880,12 +880,18 @@ object Text {
           .cast("long"), lit(DsirBuckets.toLong)))
     // ONE corpus-sized derivation: lang is functionally dependent on
     // doc_id, so folding it into the (doc, bucket) partial agg costs
-    // nothing — and every distribution below is then a dim-sized
-    // re-aggregation of THIS result (ReusedExchange on the single
-    // (doc,lang,bucket) shuffle), not a second scan+explode+hash of
-    // the corpus. Four token-stream derivations → one.
+    // nothing — every distribution below is then a dim-sized
+    // re-aggregation of THIS result, not a second scan+explode+hash
+    // of the corpus. The checkpoint is what makes that physical:
+    // without it Catalyst pushes tgt's lang filter BELOW the agg and
+    // into its own corpus scan, and the full-corpus exchange stops
+    // canonicalizing equal across consumers (PlanAudit showed the
+    // text shuffle executing three times). The materialized rows are
+    // the aggregated (doc, lang, bucket, c) — ≤ B per doc, ints —
+    // not the token stream, so the checkpoint is corpus-linear in
+    // docs, never in tokens.
     val db = tok.groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
     val raw = db.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
     val tgt = db.filter(col("lang") === "en")
       .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))

@@ -696,8 +696,15 @@ object Vectors {
   /** ADC shortlist depth for the re-ranked search: candidates kept per
     * probe before exact re-ranking. The recall/cost knob — re-rank
     * cost is O(probes · C) exact distances, independent of corpus
-    * size. */
-  private[graft] val RerankC = 50
+    * size. Measured (ANN_RECALL_sf1.json): at FIXED C recall degrades
+    * with corpus growth — C=50 gave recall@3 0.80 at 50 k vectors but
+    * 0.50 at 500 k, because a 10× candidate pool pushes ~10× more
+    * ADC-confusable entries above the true neighbors. Since the
+    * re-rank stage's cost does not grow with the corpus, the correct
+    * production setting scales C with corpus (FAISS's k_factor
+    * intuition); 400 here restores the sf1 recall headroom while the
+    * shortlist broadcast stays a few thousand rows. */
+  private[graft] val RerankC = 400
 
   /** The exact re-rank stage shared by [[annPqRerank]] and
     * [[annIvfPqRerank]]: fetch the true vectors of the shortlist
