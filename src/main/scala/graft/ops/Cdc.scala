@@ -51,15 +51,24 @@ object Cdc {
     * the day-0 history. */
   private[graft] val Day2NewMin = 8
 
+  /** CDC-family store version, composed beside the shared
+    * [[Dedup.StoreFormatVersion]]: bump THIS when a CDC store builder
+    * changes, without invalidating the other families' stores
+    * (round-13 ADVICE — previously a CDC builder change silently
+    * served a stale snapshot unless someone remembered to bump the
+    * dedup-wide token). */
+  private[graft] val CdcStoreVersion = 1
+
   /** Store dir for a derived artifact of `d`'s EVENTS table —
-    * [[Dedup.storeDir]]'s exact naming contract ([[Dedup.StoreFormatVersion]]
-    * token = code freshness, content stamp = data freshness) under its
+    * [[Dedup.storeDir]]'s exact naming contract (version tokens =
+    * code freshness, content stamp = data freshness) under its
     * own root (SPARK_GRAFT_CDC_STORE, default /tmp/graft-cdc-store). */
   private def cdcStoreDir(d: String, kind: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_CDC_STORE", "/tmp/graft-cdc-store")
     new java.io.File(root).mkdirs()
     s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
-      s"v${Dedup.StoreFormatVersion}-" + Dedup.fsStamp(s"$d/events.parquet")
+      s"v${Dedup.StoreFormatVersion}.c$CdcStoreVersion-" +
+      Dedup.fsStamp(s"$d/events.parquet")
   }
 
   /** One LWW fold step over a snapshot ∪ ops union: keeps each key's

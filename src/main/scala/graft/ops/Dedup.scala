@@ -467,6 +467,13 @@ object Dedup {
   // added) — the in-the-wild proof of this token's purpose: the v2
   // d1labels store carried an _UPSTREAM receipt naming d1sigs, and the
   // coherence guard REFUSED it the moment the builder changed.
+  //
+  // PER-FAMILY TOKENS (round-13 ADVICE): this constant versions the
+  // DEDUP builders + the shared store machinery only. The other store
+  // families compose their OWN version beside it (Vectors.PqStoreVersion,
+  // Cdc.CdcStoreVersion, Text.TfStoreVersion), so a builder change in
+  // one family invalidates only its own caches — and a dedup bump no
+  // longer needlessly rebuilds every PQ/CDC/TF store.
   private[graft] val StoreFormatVersion = 3
 
   private[ops] def storeRoot: String =
@@ -477,22 +484,29 @@ object Dedup {
     * form Hadoop's listing filter hides) and pre-versioned "t…-<stamp>"
     * names (no `-vN-` token). Both are rebuilt under new names and
     * would otherwise accumulate stale parquet on disk forever.
-    * Best-effort: a failure to delete is ignored, never fatal. */
-  private lazy val legacySwept: Unit = {
-    val versioned = """.*-v\d+-[0-9a-f]{12}$""".r
-    def rmAll(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmAll)
-      f.delete(); ()
+    * Best-effort: a failure to delete is ignored, never fatal.
+    * SAFETY (round-13 ADVICE): the sweep runs ONLY against the
+    * built-in /tmp default — when SPARK_GRAFT_SIG_STORE points the
+    * root anywhere else, nothing is ever deleted there (a user
+    * directory may hold unrelated content, and a concurrent JVM on
+    * older code may be mid-read of its own legacy store). */
+  private lazy val legacySwept: Unit =
+    if (sys.env.contains("SPARK_GRAFT_SIG_STORE")) ()
+    else {
+      val versioned = """.*-v\d+[0-9a-z.]*-[0-9a-f]{12}$""".r
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmAll)
+        f.delete(); ()
+      }
+      try Option(new java.io.File(storeRoot).listFiles()).toSeq.flatten
+        .filter { f =>
+          val n = f.getName
+          f.isDirectory && !n.contains(".tmp-") &&
+            (n.startsWith("_") ||
+              (n.startsWith("t") && versioned.findFirstIn(n).isEmpty))
+        }.foreach(rmAll)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
-    try Option(new java.io.File(storeRoot).listFiles()).toSeq.flatten
-      .filter { f =>
-        val n = f.getName
-        f.isDirectory && !n.contains(".tmp-") &&
-          (n.startsWith("_") ||
-            (n.startsWith("t") && versioned.findFirstIn(n).isEmpty))
-      }.foreach(rmAll)
-    catch { case scala.util.control.NonFatal(_) => () }
-  }
 
   /** Store directory for a derived artifact of `d`'s documents table:
     * `<root>/<sanitized d>-<kind>-v<format>-<content stamp>`. The

@@ -147,7 +147,11 @@ object Pack {
     * writer would use to decide N. */
   private val packShards: Q = (s, d) => {
     val p = packed(s, d)
-    val tot = p.agg(sum(col("n_tokens")).as("t_total"))
+    // greatest(·, 1): a zero-token corpus would otherwise make the
+    // div NULL here but a division-by-zero ERROR in DuckDB — with the
+    // guard both engines agree (every offset is 0 → everything lands
+    // in shard 0, balance 0), identical guard in the oracle.
+    val tot = p.agg(greatest(sum(col("n_tokens")), lit(1L)).as("t_total"))
     p.crossJoin(broadcast(tot))
       .withColumn("shard",
         least(lit(NShards - 1L), expr(s"(tok_offset * $NShards) div t_total")))
@@ -245,7 +249,8 @@ object Pack {
          |ORDER BY doc_id ASC""".stripMargin,
     "q_pack_shards" ->
       s"""WITH $sqlPacked,
-         |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM sp),
+         |tt AS (SELECT GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1)
+         |         AS t_total FROM sp),
          |a AS (
          |  SELECT sp.*, t_total,
          |         CAST(LEAST(${NShards - 1}, (tok_offset * $NShards) // t_total)

@@ -130,13 +130,22 @@ object Text {
     * the appended TF table is the classic materialized inverted-index
     * input every downstream consumer (df counts, scoring, containment)
     * reads instead of re-tokenizing history. */
+  /** TF-family store version, composed INTO THE KIND beside
+    * [[Dedup.StoreFormatVersion]] (the TF stores live under the
+    * dedup store root): bump THIS when the TF builders change,
+    * without invalidating the dedup family's stores — and vice versa
+    * a dedup bump no longer rebuilds the TF chain (round-13 ADVICE). */
+  private[graft] val TfStoreVersion = 1
+
+  private def tfKind(day: Int): String = s"tf$day.t$TfStoreVersion"
+
   private[graft] def storedTfDay(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    Dedup.storedTable(s, Dedup.storeDir(d, "tf0")) {
+    Dedup.storedTable(s, Dedup.storeDir(d, tfKind(0))) {
       tfCounts(docs.filter(pmod(col("doc_id"), lit(10)) < 8))
     }
-    Dedup.storedTableAppend(s, Dedup.storeDir(d, "tf1"),
-        Dedup.storeDir(d, "tf0")) {
+    Dedup.storedTableAppend(s, Dedup.storeDir(d, tfKind(1)),
+        Dedup.storeDir(d, tfKind(0))) {
       tfCounts(docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
     }
   }

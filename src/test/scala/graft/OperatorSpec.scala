@@ -1791,10 +1791,13 @@ class OperatorSpec extends AnyFunSuite {
         s"$k: merged estimate $m vs exact $ex exceeds 5%")
       assert(math.abs(o - ex) / ex < 0.05,
         s"$k: one-shot estimate $o vs exact $ex exceeds 5%")
-      // union of per-day sketches sees the same register state class;
-      // estimates may differ slightly (HIP vs composite estimator) but
-      // must agree within the same 5% band
-      assert(math.abs(m - o) / math.max(o, 1.0) < 0.05,
+      // union of per-day sketches sees the same register state class
+      // but a DIFFERENT estimator (union drops HIP), so the mutual
+      // bound is only implied by the two independent 5% bounds vs
+      // exact — assert their sum (10%), not a tighter band the
+      // individual guarantees don't compose to (ADVICE r12: the 5%
+      // mutual check could flake on fixture regeneration).
+      assert(math.abs(m - o) / math.max(o, 1.0) < 0.10,
         s"$k: merged $m vs one-shot $o diverge")
     }
   }
