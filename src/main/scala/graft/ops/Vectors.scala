@@ -299,6 +299,22 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  /** Deterministic 25% hash-sample membership for codebook TRAINING
+    * (the [[Sampling]] md5-residue discipline): a vector trains the
+    * codebook iff its first md5 hex digit < '4'. At 100 TB Lloyd
+    * iterations over the full corpus are the index build's dominant
+    * cost and every production system trains on a sample (FAISS
+    * `train` on a slice, then `add` everyone); hash membership makes
+    * the sample reproducible across engines, reruns and cluster
+    * sizes, so the DuckDB twin trains on the SAME rows and the
+    * codebooks stay bit-identical. Training sets always UNION the
+    * init vectors so both engines keep all K seeds. */
+  private[graft] def trainSample(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 1) < "4"
+
+  private val sqlTrainSample: String =
+    "SUBSTRING(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'"
+
   /** First-8-vectors coarse quantizer — the deterministic k-means INIT
     * (and the round-6 stand-in codebook, kept for the spec's recall
     * comparison). */
@@ -376,6 +392,23 @@ object Vectors {
   private val annIvf: Q = (s, d) => {
     val c = corpus(s, d)
     ivfTopk(c, kmeansCentroids(c, rounds = 3))
+  }
+
+  /** IVF search over a SAMPLE-TRAINED coarse quantizer — the actual
+    * production index build (the full-corpus Lloyd rounds above are
+    * the honest-cost twin): membership in every Lloyd round is the
+    * deterministic 25% [[trainSample]] ∪ the 8 init seeds, the SEARCH
+    * is unchanged and runs over the full corpus. The DuckDB twin
+    * trains on the same hash-selected rows, so the codebooks are
+    * bit-identical and the driver hash-compare certifies the sampled
+    * build end-to-end. At 100 TB this turns the index build's corpus
+    * scans into sample scans (here 4×; in production the sample is
+    * fixed-size, making training O(1) in the corpus); the recall
+    * delta vs full-corpus training is pinned in-spec. */
+  private val annIvfSampled: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cTrain = c.filter(trainSample(col("vec_id")) || col("vec_id") < 8)
+    ivfTopk(c, kmeansCentroids(cTrain, rounds = 3))
   }
 
   /** Semantic clustering for SemDeDup-style curation: every corpus
@@ -623,6 +656,27 @@ object Vectors {
   private val annPq: Q = (s, d) => {
     val c = corpus(s, d)
     val cents = pqCodebook(c, PqRounds)
+    val codes = pqCodes(c, cents)
+      .select(col("vec_id"), col("j"), col("code"))
+    rankPerProbe(adcScores(c, cents, codes), lit(5),
+        col("adist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** ADC search over a SAMPLE-TRAINED PQ codebook: the M per-subspace
+    * Lloyd trainings run over the 25% [[trainSample]] ∪ the [[PqK]]
+    * init seeds; CODING still covers the full corpus (every vector
+    * gets codes — the part that cannot be sampled) and the search is
+    * [[annPq]]'s plan verbatim. The oracle trains on the same hash
+    * rows ([[sqlPqCodes]]' trainWhere), so the hash-compare certifies
+    * sampled-train + full-code end-to-end; recall delta vs the
+    * full-trained book is pinned in-spec. */
+  private val annPqSampled: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cents = pqCodebook(
+      c.filter(trainSample(col("vec_id")) || col("vec_id") < PqK), PqRounds)
     val codes = pqCodes(c, cents)
       .select(col("vec_id"), col("j"), col("code"))
     rankPerProbe(adcScores(c, cents, codes), lit(5),
@@ -989,6 +1043,74 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  /** IVF-PQ with per-cell RESIDUAL coding — the production refinement
+    * the raw-vector variant's scaladoc names (and FAISS's default
+    * `IndexIVFPQ` encoding): every vector is PQ-coded as
+    * (emb − centroid[cell]) rather than raw, so each codebook models
+    * the WITHIN-CELL distribution instead of spending its 16 entries
+    * re-describing the coarse structure the cell id already captures
+    * — the standard way IVF-PQ recall is bought without widening
+    * nprobe. Plan shape is [[annIvfPq]] plus exactly one broadcast
+    * subtraction on each side: the corpus residual is a zip_with
+    * against the (≤K-row, broadcast) assigned centroid, map-side in
+    * the same pass as cell assignment; the probe LUT becomes per
+    * (probe, probed cell) — nprobe·M·K rows, still broadcast — built
+    * from the probe's residual against EACH probed cell's centroid.
+    * ADC then proceeds unchanged on (cell, j, code). The DuckDB twin
+    * re-derives the identical residuals (list_zip subtraction — pure
+    * two-operand IEEE, engine-identical), trains the same book, and
+    * the driver hash-compare certifies the whole residual pipeline.
+    * AnnRecall records the recall gain at unchanged nprobe/C. */
+  private val annIvfPqResidual: Q = (s, d) => {
+    val c = corpus(s, d)
+    val coarse = kmeansCentroids(c, rounds = 3)
+    val centEmb = coarse.select(col("cent_id").as("cell"), col("c_emb"))
+    // localCheckpoint: the residual frame is consumed by BOTH the
+    // per-subspace Lloyd training (whose per-round lineage would
+    // otherwise re-derive kmeans + cell assignment multiplicatively —
+    // the q_text_dsir shared-agg precedent) and the coding pass; one
+    // materialization, batch-sized (vec_id, cell, res).
+    val withCell = withNearestCentroid(c, coarse, col("emb"), col("nrm"))
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+      .join(broadcast(centEmb), "cell")
+      .withColumn("res", zip_with(col("emb"), col("c_emb"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("res"))
+      .localCheckpoint()
+    val book = pqCodebook(
+      withCell.select(col("vec_id"), col("res").as("emb")), PqRounds)
+    val ccodes = withPqCode(
+        withCell.select(col("vec_id"), col("cell"),
+          posexplode(array((0 until PqM).map(j =>
+            slice(col("res"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv"))),
+        book)
+      .select(col("vec_id"), col("cell"), col("j"), col("code"))
+    val probeRes = withNearestCells(
+      c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm")),
+      coarse, col("p_emb"), col("p_nrm"), nprobe = 2)
+      .select(col("probe_id"), col("p_emb"), col("cell"))
+      .join(broadcast(centEmb), "cell")
+      .withColumn("pres", zip_with(col("p_emb"), col("c_emb"), (a, b) => a - b))
+    val probeLut = probeRes
+      .select(col("probe_id"), col("cell"),
+        posexplode(array((0 until PqM).map(j =>
+          slice(col("pres"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv")))
+      .join(broadcast(book), Seq("j"))
+      .select(col("probe_id"), col("cell").as("lcell"), col("j").as("lj"),
+        col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
+    val scores = ccodes.join(broadcast(probeLut),
+        col("cell") === col("lcell") && col("j") === col("lj") &&
+          col("code") === col("lc"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adist"))
+    rankPerProbe(scores, lit(3), col("adist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** IVF-PQ with exact re-ranking — the full production ANN stack
     * (FAISS `IndexIVFPQ` + `IndexRefineFlat`): the coarse quantizer
     * bounds WHAT is scanned, PQ codes bound the BYTES per entry, and
@@ -1125,6 +1247,9 @@ object Vectors {
     "q_sim_ann_multiprobe"-> annMultiprobe,
     "q_sim_ann_hamming"   -> annHamming,
     "q_sim_ann_ivf"       -> annIvf,
+    "q_sim_ann_ivf_sampled" -> annIvfSampled,
+    "q_sim_ann_pq_sampled"  -> annPqSampled,
+    "q_sim_ann_ivfpq_residual" -> annIvfPqResidual,
     "q_sim_kmeans"        -> simKmeans,
     "q_dedup_semantic"    -> dedupSemantic,
     "q_embed_pq"          -> embedPq,
@@ -1148,19 +1273,24 @@ object Vectors {
   /** DuckDB twin of [[kmeansCentroids]]: k0 = first-8 init, then per
     * round assign (cosine argmax) → per-dimension davg mean → list
     * reassembly → empty-cell coalesce. Ends with `cents(cent_id,
-    * c_emb, c_nrm)`. Requires a CTE `c` bound to [[sqlCorpus]]. */
-  private def sqlKmeansCents(rounds: Int): String = {
+    * c_emb, c_nrm)`. Requires a CTE `c` bound to [[sqlCorpus]].
+    * `trainWhere` restricts the Lloyd MEMBERSHIP rows (the sampled
+    * index build) — with the default TRUE it is full-corpus training;
+    * searches downstream always run over all of `c`. */
+  private def sqlKmeansCents(rounds: Int,
+                             trainWhere: String = "TRUE"): String = {
     val init =
-      """k0 AS (
-        |  SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-        |  FROM c WHERE vec_id < 8)""".stripMargin
+      s"""ct AS (SELECT * FROM c WHERE $trainWhere),
+         |k0 AS (
+         |  SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+         |  FROM ct WHERE vec_id < 8)""".stripMargin
     val rs = (1 to rounds).map { r =>
       val prev = s"k${r - 1}"
       s"""asg$r AS (
-         |  SELECT c.vec_id, c.emb, $prev.cent_id,
-         |         list_dot_product(c.emb, $prev.c_emb)
-         |           / NULLIF(c.nrm * $prev.c_nrm, 0.0) AS ccos
-         |  FROM c CROSS JOIN $prev),
+         |  SELECT ct.vec_id, ct.emb, $prev.cent_id,
+         |         list_dot_product(ct.emb, $prev.c_emb)
+         |           / NULLIF(ct.nrm * $prev.c_nrm, 0.0) AS ccos
+         |  FROM ct CROSS JOIN $prev),
          |mem$r AS (
          |  SELECT cent_id, emb
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1191,19 +1321,23 @@ object Vectors {
     * subspaces at once, and the final code assignment. Ends with CTEs
     * `pq(j, cent_id, cv)` and `cd(vec_id, j, code, dd)`. Requires a
     * CTE `c` bound to [[sqlCorpus]]. */
-  private def sqlPqCodes(rounds: Int, trainWhere: String = "TRUE"): String = {
+  private def sqlPqCodes(rounds: Int, trainWhere: String = "TRUE",
+                         src: String = "c"): String = {
     def dd(a: String, b: String): String =
       s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)" +
         s" + list_dot_product($b, $b)"
     // svt = the TRAINING rows (init + Lloyd membership); cd at the end
     // codes ALL of sv against the trained book — with the default
     // TRUE the two coincide and this is plain PQ, with a day-0
-    // predicate it is the frozen-codebook semantics of q_sim_ann_pq_day2
+    // predicate it is the frozen-codebook semantics of
+    // q_sim_ann_pq_day2, with a hash-sample it is the sampled index
+    // build. `src` redirects the vector source CTE (the residual
+    // corpus for q_sim_ann_ivfpq_residual).
     val init =
       s"""sv AS (
          |  SELECT vec_id, j,
          |         list_slice(emb, j * $PqDim + 1, j * $PqDim + $PqDim) AS sv
-         |  FROM c CROSS JOIN
+         |  FROM $src CROSS JOIN
          |    (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS j) js),
          |svt AS (SELECT * FROM sv WHERE $trainWhere),
          |pk0 AS (
@@ -1404,6 +1538,113 @@ object Vectors {
          |FROM r WHERE rn <= 5
          |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
+  /** IVF search oracle, parameterized on the Lloyd-membership
+    * predicate — "TRUE" is [[annIvf]]'s full-corpus training, the
+    * hash-sample form is [[annIvfSampled]]'s. */
+  private def sqlAnnIvf(trainWhere: String): String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlKmeansCents(3, trainWhere)},
+       |asg0 AS (
+       |  SELECT c.vec_id, c.emb, c.nrm, cents.cent_id,
+       |         list_dot_product(c.emb, cents.c_emb)
+       |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c CROSS JOIN cents),
+       |asg AS (
+       |  SELECT vec_id, emb, nrm, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM asg0)
+       |  WHERE crn = 1),
+       |pc0 AS (
+       |  SELECT p.vec_id AS probe_id, p.emb AS p_emb, p.nrm AS p_nrm,
+       |         cents.cent_id,
+       |         list_dot_product(p.emb, cents.c_emb)
+       |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
+       |pc AS (
+       |  SELECT probe_id, p_emb, p_nrm, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
+       |  WHERE crn <= 2),
+       |j AS (
+       |  SELECT pc.probe_id, asg.vec_id,
+       |         list_dot_product(asg.emb, pc.p_emb)
+       |           / NULLIF(asg.nrm * pc.p_nrm, 0.0) AS cos
+       |  FROM asg JOIN pc USING (cell)
+       |  WHERE asg.vec_id <> pc.probe_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
+       |SELECT probe_id, rn, vec_id AS neighbor_id,
+       |       ${Det.sqlR4("cos")} AS cosine
+       |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  /** Residual IVF-PQ oracle: coarse cells, residual corpus by
+    * list_zip subtraction, [[sqlPqCodes]] re-pointed at the residual
+    * CTE, per-(probe, probed-cell) residual LUT, cell-pruned ADC. */
+  private lazy val sqlAnnIvfPqResidual: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlKmeansCents(3)},
+       |cell0 AS (
+       |  SELECT c.vec_id, cents.cent_id,
+       |         list_dot_product(c.emb, cents.c_emb)
+       |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c CROSS JOIN cents),
+       |cellasg AS (
+       |  SELECT vec_id, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM cell0)
+       |  WHERE crn = 1),
+       |rc AS (
+       |  SELECT c.vec_id, cellasg.cell,
+       |         list_transform(list_zip(c.emb, k.c_emb),
+       |                        x -> x[1] - x[2]) AS emb
+       |  FROM c JOIN cellasg USING (vec_id)
+       |         JOIN cents k ON cellasg.cell = k.cent_id),
+       |${sqlPqCodes(2, src = "rc")},
+       |ccd AS (
+       |  SELECT cd.vec_id, rc.cell, cd.j, cd.code
+       |  FROM cd JOIN rc USING (vec_id)),
+       |pc0 AS (
+       |  SELECT p.vec_id AS probe_id, cents.cent_id,
+       |         list_dot_product(p.emb, cents.c_emb)
+       |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
+       |pc AS (
+       |  SELECT probe_id, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
+       |  WHERE crn <= 2),
+       |prc AS (
+       |  SELECT pc.probe_id, pc.cell,
+       |         list_transform(list_zip(p.emb, k.c_emb),
+       |                        x -> x[1] - x[2]) AS pres
+       |  FROM pc JOIN c p ON p.vec_id = pc.probe_id
+       |          JOIN cents k ON pc.cell = k.cent_id),
+       |psv AS (
+       |  SELECT probe_id, cell, j,
+       |         list_slice(pres, j * $PqDim + 1, j * $PqDim + $PqDim) AS sv
+       |  FROM prc CROSS JOIN
+       |    (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS j) js),
+       |plut AS (
+       |  SELECT psv.probe_id, psv.cell, psv.j, k.cent_id,
+       |         ${Det.sqlQi4(
+             "list_dot_product(psv.sv, psv.sv)" +
+             " - 2.0 * list_dot_product(psv.sv, k.cv)" +
+             " + list_dot_product(k.cv, k.cv)")} AS pd2
+       |  FROM psv JOIN pq k ON k.j = psv.j),
+       |ad AS (
+       |  SELECT plut.probe_id, ccd.vec_id,
+       |         CAST(SUM(plut.pd2) AS BIGINT) AS adist
+       |  FROM ccd JOIN plut ON ccd.cell = plut.cell AND ccd.j = plut.j
+       |                    AND ccd.code = plut.cent_id
+       |  WHERE ccd.vec_id <> plut.probe_id
+       |  GROUP BY plut.probe_id, ccd.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+       |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sim_centroid_drift" ->
       s"""WITH c AS (
@@ -1533,42 +1774,17 @@ object Vectors {
          |       ${Det.sqlR4("cos")} AS cosine
          |FROM r WHERE rn <= 3
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
-    "q_sim_ann_ivf" ->
+    "q_sim_ann_ivf" -> sqlAnnIvf("TRUE"),
+    "q_sim_ann_ivf_sampled" ->
+      sqlAnnIvf(s"$sqlTrainSample OR vec_id < 8"),
+    "q_sim_ann_pq_sampled" ->
       s"""WITH c AS ($sqlCorpus),
-         |${sqlKmeansCents(3)},
-         |asg0 AS (
-         |  SELECT c.vec_id, c.emb, c.nrm, cents.cent_id,
-         |         list_dot_product(c.emb, cents.c_emb)
-         |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
-         |  FROM c CROSS JOIN cents),
-         |asg AS (
-         |  SELECT vec_id, emb, nrm, cent_id AS cell
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM asg0)
-         |  WHERE crn = 1),
-         |pc0 AS (
-         |  SELECT p.vec_id AS probe_id, p.emb AS p_emb, p.nrm AS p_nrm,
-         |         cents.cent_id,
-         |         list_dot_product(p.emb, cents.c_emb)
-         |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
-         |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
-         |pc AS (
-         |  SELECT probe_id, p_emb, p_nrm, cent_id AS cell
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
-         |  WHERE crn <= 2),
-         |j AS (
-         |  SELECT pc.probe_id, asg.vec_id,
-         |         list_dot_product(asg.emb, pc.p_emb)
-         |           / NULLIF(asg.nrm * pc.p_nrm, 0.0) AS cos
-         |  FROM asg JOIN pc USING (cell)
-         |  WHERE asg.vec_id <> pc.probe_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
-         |SELECT probe_id, rn, vec_id AS neighbor_id,
-         |       ${Det.sqlR4("cos")} AS cosine
-         |FROM r WHERE rn <= 3
+         |${sqlPqCodes(2, s"$sqlTrainSample OR vec_id < $PqK")},
+         |$sqlAdcRanked
+         |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+         |FROM r WHERE rn <= 5
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_ivfpq_residual" -> sqlAnnIvfPqResidual,
     "q_sim_kmeans" ->
       s"""WITH c AS ($sqlCorpus),
          |${sqlKmeansCents(3)},

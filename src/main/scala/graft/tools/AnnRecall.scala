@@ -68,9 +68,11 @@ object AnnRecall {
     val nL2 = l2Truth.count().toDouble
 
     val variants = Seq("q_sim_ann_lsh", "q_sim_ann_multiprobe",
-      "q_sim_ann_hamming", "q_sim_ann_ivf", "q_sim_ann_pq",
-      "q_sim_ann_pq_stored", "q_sim_ann_pq_day2", "q_sim_ann_pq_rerank",
-      "q_sim_ann_ivfpq", "q_sim_ann_ivfpq_rerank")
+      "q_sim_ann_hamming", "q_sim_ann_ivf", "q_sim_ann_ivf_sampled",
+      "q_sim_ann_pq", "q_sim_ann_pq_sampled", "q_sim_ann_pq_stored",
+      "q_sim_ann_pq_day2", "q_sim_ann_pq_rerank", "q_sim_ann_ivfpq",
+      "q_sim_ann_ivfpq_stored", "q_sim_ann_ivfpq_residual",
+      "q_sim_ann_ivfpq_rerank")
     val rows = variants.map { key =>
       val (got, secs) = timed {
         graft.SparkEntry.queries(key)(spark, sfDir)

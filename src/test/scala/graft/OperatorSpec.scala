@@ -564,6 +564,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(trained.filter(col("c_nrm") <= 0.0).count() == 0)
   }
 
+  test("sampled codebook training: recall within spec of full training") {
+    val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+    val nTruth = truth.count()
+    def recall(key: String): Double =
+      truth.join(SparkEntry.queries(key)(spark, sf)
+          .filter(col("rn") <= 3).select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id")).count().toDouble / nTruth
+    // IVF: the 25%-sample-trained coarse quantizer stays within 0.25
+    // recall@3 of the full-corpus training (measured 0.767 vs 0.933 at
+    // sf0.001 — the bound carries regeneration slack; the sampled
+    // build's point is corpus-independent training cost, not free
+    // recall).
+    val rFull = recall("q_sim_ann_ivf")
+    val rSampled = recall("q_sim_ann_ivf_sampled")
+    info(f"IVF recall@3: full $rFull%.3f vs 25%%-sample $rSampled%.3f")
+    assert(rSampled >= rFull - 0.25,
+      f"sampled IVF recall $rSampled%.3f fell >0.25 below full $rFull%.3f")
+    // PQ: raw-ADC recall is the quantization-error class (~0.15); the
+    // sampled book must stay in the same class (±0.15).
+    val rPq = recall("q_sim_ann_pq")
+    val rPqS = recall("q_sim_ann_pq_sampled")
+    info(f"PQ raw-ADC recall@3: full $rPq%.3f vs 25%%-sample $rPqS%.3f")
+    assert(math.abs(rPqS - rPq) <= 0.15,
+      f"sampled PQ book left the raw-ADC recall class: $rPqS%.3f vs $rPq%.3f")
+  }
+
+  test("residual IVF-PQ: recall >= raw-vector IVF-PQ at unchanged nprobe") {
+    val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+    val nTruth = truth.count()
+    def recall(key: String): Double =
+      truth.join(SparkEntry.queries(key)(spark, sf)
+          .filter(col("rn") <= 3).select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id")).count().toDouble / nTruth
+    val rRaw = recall("q_sim_ann_ivfpq")
+    val rRes = recall("q_sim_ann_ivfpq_residual")
+    info(f"IVF-PQ recall@3: raw $rRaw%.3f vs residual $rRes%.3f")
+    // per-cell re-centering spends the 16 codebook entries on the
+    // within-cell distribution — recall must not drop at the same
+    // nprobe/codebook budget (measured 0.133 -> 0.233 at sf0.001)
+    assert(rRes >= rRaw,
+      f"residual coding lost recall: $rRes%.3f < $rRaw%.3f")
+  }
+
   test("kmeans clusters: sizes reconcile, ids from the 8-cell codebook") {
     val k = SparkEntry.queries("q_sim_kmeans")(spark, sf)
     val corpus = graft.io.Tables.embeddings(spark, sf).count()
