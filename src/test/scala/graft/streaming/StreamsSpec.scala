@@ -263,6 +263,90 @@ class StreamsSpec extends AnyFunSuite {
       "streamed compaction snapshot diverges from full replay")
   }
 
+  test("checkpoint restart: killed query resumes from its offsets " +
+      "and does not reprocess history") {
+    // The recovery behavior the algebraic suites above ASSERT but do
+    // not exercise (round-12 verdict #5): a foreachBatch compaction
+    // with a durable FILE checkpoint is stopped mid-stream, the
+    // remainder of the input arrives while it is down, a NEW query is
+    // started against the SAME checkpoint, and the remainder flows
+    // through. Two claims, each of which fails if checkpointing is
+    // broken or disabled:
+    //  1. the restarted query processes ONLY the pending rows (offset
+    //     resume — with no checkpoint a fresh file-source query would
+    //     re-read every file and the processed-row counter would see
+    //     all of history);
+    //  2. the final durable snapshot equals q_cdc_latest_state's
+    //     one-shot full replay (the driver-verified batch twin).
+    // The snapshot itself is persisted to parquet each batch (read →
+    // LWW-fold → localCheckpoint → overwrite), so the "consumer state"
+    // survives the kill exactly as a production compactor's would;
+    // batch REPLAY after a crash re-folds the same ops into the same
+    // snapshot because the LWW fold is idempotent (asserted by the
+    // any-batching test above).
+    import graft.ops.Cdc
+    val sfDir = SparkTestSession.sf
+    val all = graft.io.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), graft.Det.ets(col("ts")).as("ts"))
+    val ops = all.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.event_id).toSeq
+    val (day0, day1) = ops.splitAt(ops.length * 2 / 3)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val snapDir = new java.io.File(root, "snap")
+    def feed(evs: Seq[Ev]): Unit =
+      spark.createDataset(evs).repartition(1)
+        .write.mode("append").parquet(srcDir.getPath)
+
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    def startQuery() = spark.readStream
+      .schema(spark.createDataset(Seq.empty[Ev]).schema)
+      .parquet(srcDir.getPath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        processed.addAndGet(batch.count())
+        val b = batch.select(col("user_id"), col("event_id"),
+          col("event_type"), col("value"), col("ts"))
+        val prev =
+          if (snapDir.exists()) spark.read.parquet(snapDir.getPath)
+          else b.limit(0)
+        // materialize BEFORE overwriting the dir the fold read from
+        val folded = Cdc.lwwStep(prev.unionByName(b)).localCheckpoint()
+        folded.write.mode("overwrite").parquet(snapDir.getPath)
+        ()
+      }
+      .outputMode("update").start()
+
+    feed(day0)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(processed.get() == day0.length.toLong)
+    q1.stop()           // the query is killed mid-stream …
+    feed(day1)          // … and the remainder arrives while it is DOWN
+
+    processed.set(0)
+    val q2 = startQuery()  // same checkpoint, new query instance
+    q2.processAllAvailable()
+    q2.stop()
+    assert(processed.get() == day1.length.toLong,
+      s"restart reprocessed history: saw ${processed.get()} rows, " +
+        s"expected only the ${day1.length} pending ones")
+
+    val expected = graft.SparkEntry.queries("q_cdc_latest_state")(spark, sfDir)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val got = spark.read.parquet(snapDir.getPath)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expected,
+      "post-restart snapshot diverges from the one-shot full replay")
+  }
+
   test("epoch parquet sink writes idempotent epoch directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-epoch-ck").toString
