@@ -1134,6 +1134,92 @@ object Vectors {
     exactRerank(c, shortlist, 3)
   }
 
+  // --- Scalar quantization (SQ8) --------------------------------------
+  //
+  // The OTHER standard compression economy (FAISS IndexScalarQuantizer
+  // / SQ8): each dimension is quantized independently to 8 bits
+  // against per-dimension [min, max] corpus statistics — 8× smaller
+  // than float64 with far better per-dim fidelity than PQ's 16-entry
+  // subspace codebooks, at the cost of no sub-dimensional sharing.
+  // No training loop at all: the "index build" is ONE (pos)-keyed
+  // partial aggregate (d rows out), broadcast back, and quantization
+  // is map-side. Searches run entirely in exact integer arithmetic
+  // (sums of squared int deltas — order-free, engine-identical), so
+  // the oracle parity needs no quantized-float discipline.
+
+  /** Per-dimension [lo, hi] corpus stats folded to ONE broadcast row
+    * (pos-sorted struct array, same shape trick as [[centsAsArray]]). */
+  private def sq8Stats(c: DataFrame): DataFrame =
+    c.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi"))))
+        .as("st"))
+
+  /** Map-side SQ8 coding: q_d = round(255·(v_d − lo_d)/(hi_d − lo_d)),
+    * clamped to [0, 255]; a degenerate dimension (hi = lo) codes 0.
+    * floor(x + 0.5) is the [[Det.r4]] IEEE-pure rounding form, so both
+    * engines emit identical codes; everything downstream is exact
+    * integer arithmetic. */
+  private def sq8Code(emb: Column): Column =
+    zip_with(emb, col("st"), (v, s) =>
+      coalesce(
+        least(greatest(
+          floor((v - s.getField("lo")) /
+            nullif(s.getField("hi") - s.getField("lo"), lit(0.0)) *
+            lit(255.0) + lit(0.5)), lit(0.0)), lit(255.0)).cast("long"),
+        lit(0L)))
+
+  /** SQ8 ANN top-5: the corpus moves as 8-bit codes (64 small ints a
+    * row — the scan side carries no floats, the PQ economy with
+    * per-dimension fidelity), probes quantize against the SAME
+    * broadcast stats, and ranking is the exact integer squared
+    * distance Σ(q_a − q_p)², two-level as everywhere. At 100 TB the
+    * stats aggregate is one d-row partial agg over the corpus (or a
+    * sample — the quantizer is insensitive to tail clipping),
+    * quantization is map-side, and the search join never shuffles the
+    * corpus. */
+  private val annSq8: Q = (s, d) => {
+    val c = corpus(s, d)
+    val st = sq8Stats(c)
+    val qc = c.crossJoin(broadcast(st))
+      .select(col("vec_id"), sq8Code(col("emb")).as("q"))
+    val probes = qc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val scored = qc.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qdist",
+        aggregate(zip_with(col("q"), col("pq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _))
+    rankPerProbe(scored, lit(5), col("qdist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("qdist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** SQ8 with exact re-ranking — the [[annPqRerank]] recipe on the
+    * scalar-quantized scan: integer-distance shortlist of the
+    * corpus-derived top-[[rerankClim]], then exact cosine over the
+    * probes×C fetch only. */
+  private val annSq8Rerank: Q = (s, d) => {
+    val c = corpus(s, d)
+    val st = sq8Stats(c)
+    val qc = c.crossJoin(broadcast(st))
+      .select(col("vec_id"), sq8Code(col("emb")).as("q"))
+    val probes = qc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val scored = qc.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qdist",
+        aggregate(zip_with(col("q"), col("pq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _))
+      .crossJoin(broadcast(rerankClim(c)))
+    val shortlist = rankPerProbe(scored, col("c_lim"),
+        col("qdist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("vec_id"))
+    exactRerank(c, shortlist, 5)
+  }
+
   /** Multimodal join: text features ⊕ vector features per document. */
   private val multimodalJoin: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -1250,6 +1336,8 @@ object Vectors {
     "q_sim_ann_ivf_sampled" -> annIvfSampled,
     "q_sim_ann_pq_sampled"  -> annPqSampled,
     "q_sim_ann_ivfpq_residual" -> annIvfPqResidual,
+    "q_sim_ann_sq8"         -> annSq8,
+    "q_sim_ann_sq8_rerank"  -> annSq8Rerank,
     "q_sim_kmeans"        -> simKmeans,
     "q_dedup_semantic"    -> dedupSemantic,
     "q_embed_pq"          -> embedPq,
@@ -1645,7 +1733,60 @@ object Vectors {
        |FROM r WHERE rn <= 3
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
+  /** SQ8 CTE chain shared by both SQ8 oracles: per-dim stats,
+    * quantized corpus, probe codes, exact-integer squared distance,
+    * per-probe rank — ends with `r(probe_id, vec_id, qdist, rn)`.
+    * Requires `c` bound to [[sqlCorpus]]. */
+  private lazy val sqlSq8Ranked: String =
+    s"""st AS (
+       |  SELECT i AS pos, MIN(emb[i]) AS lo, MAX(emb[i]) AS hi
+       |  FROM c, UNNEST(generate_series(1, len(emb))) AS t(i)
+       |  GROUP BY i),
+       |qc AS (
+       |  SELECT c.vec_id,
+       |         LIST(COALESCE(CAST(LEAST(GREATEST(FLOOR(
+       |             (c.emb[st.pos] - st.lo) / NULLIF(st.hi - st.lo, 0.0)
+       |             * 255.0 + 0.5), 0.0), 255.0) AS BIGINT), 0)
+       |           ORDER BY st.pos) AS q
+       |  FROM c CROSS JOIN st
+       |  GROUP BY c.vec_id),
+       |qp AS (SELECT vec_id AS probe_id, q AS pq FROM qc WHERE vec_id < 10),
+       |qj AS (
+       |  SELECT qp.probe_id, qc.vec_id,
+       |         CAST(list_sum(list_transform(list_zip(qc.q, qp.pq),
+       |             x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS qdist
+       |  FROM qc CROSS JOIN qp
+       |  WHERE qc.vec_id <> qp.probe_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY qdist ASC, vec_id ASC) AS rn FROM qj)""".stripMargin
+
+  private lazy val sqlAnnSq8: String =
+    s"""WITH c AS ($sqlCorpus),
+       |$sqlSq8Ranked
+       |SELECT probe_id, rn, vec_id AS neighbor_id, qdist
+       |FROM r WHERE rn <= 5
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  private lazy val sqlAnnSq8Rerank: String =
+    s"""WITH c AS ($sqlCorpus),
+       |$sqlSq8Ranked,
+       |sl AS (SELECT probe_id, vec_id FROM r WHERE rn <= $sqlClim),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id,
+       |         list_dot_product(cv.emb, p.emb)
+       |           / NULLIF(cv.nrm * p.nrm, 0.0) AS cos
+       |  FROM sl JOIN c cv ON sl.vec_id = cv.vec_id
+       |          JOIN c p  ON sl.probe_id = p.vec_id),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                 ORDER BY cos DESC, vec_id ASC) AS rn FROM rr)
+       |SELECT probe_id, rn, vec_id AS neighbor_id,
+       |       ${Det.sqlR4("cos")} AS cosine
+       |FROM r2 WHERE rn <= 5
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_sq8" -> sqlAnnSq8,
+    "q_sim_ann_sq8_rerank" -> sqlAnnSq8Rerank,
     "q_sim_centroid_drift" ->
       s"""WITH c AS (
          |  SELECT CAST(embedding AS DOUBLE[]) AS emb, label,
