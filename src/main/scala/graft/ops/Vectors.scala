@@ -1061,36 +1061,42 @@ object Vectors {
     * two-operand IEEE, engine-identical), trains the same book, and
     * the driver hash-compare certifies the whole residual pipeline.
     * AnnRecall records the recall gain at unchanged nprobe/C. */
-  private val annIvfPqResidual: Q = (s, d) => {
-    val c = corpus(s, d)
-    val coarse = kmeansCentroids(c, rounds = 3)
-    val centEmb = coarse.select(col("cent_id").as("cell"), col("c_emb"))
-    // localCheckpoint: the residual frame is consumed by BOTH the
-    // per-subspace Lloyd training (whose per-round lineage would
-    // otherwise re-derive kmeans + cell assignment multiplicatively —
-    // the q_text_dsir shared-agg precedent) and the coding pass; one
-    // materialization, batch-sized (vec_id, cell, res).
-    val withCell = withNearestCentroid(c, coarse, col("emb"), col("nrm"))
+  /** (vec_id, cell, res): the per-cell residual corpus. localCheckpoint:
+    * the frame is consumed by BOTH the per-subspace Lloyd training
+    * (whose per-round lineage would otherwise re-derive kmeans + cell
+    * assignment multiplicatively — the q_text_dsir shared-agg
+    * precedent) and the coding pass; one materialization, batch-sized. */
+  private def residualFrame(c: DataFrame, coarse: DataFrame): DataFrame =
+    withNearestCentroid(c, coarse, col("emb"), col("nrm"))
       .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
-      .join(broadcast(centEmb), "cell")
+      .join(broadcast(coarse.select(col("cent_id").as("cell"), col("c_emb"))),
+        "cell")
       .withColumn("res", zip_with(col("emb"), col("c_emb"), (a, b) => a - b))
       .select(col("vec_id"), col("cell"), col("res"))
       .localCheckpoint()
-    val book = pqCodebook(
-      withCell.select(col("vec_id"), col("res").as("emb")), PqRounds)
-    val ccodes = withPqCode(
-        withCell.select(col("vec_id"), col("cell"),
+
+  /** Residual inverted-list table: (vec_id, cell, j, code), map-side. */
+  private def residualCodes(rf: DataFrame, book: DataFrame): DataFrame =
+    withPqCode(
+        rf.select(col("vec_id"), col("cell"),
           posexplode(array((0 until PqM).map(j =>
             slice(col("res"), j * PqDim + 1, PqDim)): _*)).as(Seq("j", "sv"))),
         book)
       .select(col("vec_id"), col("cell"), col("j"), col("code"))
+
+  /** The residual-ADC scoring core: probe residuals per probed cell,
+    * per-(probe, cell) LUT against the residual book, cell-pruned
+    * code join, partial-aggregated sum. Unranked — callers rank. */
+  private def residualScores(c: DataFrame, coarse: DataFrame,
+                             book: DataFrame, ccodes: DataFrame): DataFrame = {
     val probeRes = withNearestCells(
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm")),
       coarse, col("p_emb"), col("p_nrm"), nprobe = 2)
       .select(col("probe_id"), col("p_emb"), col("cell"))
-      .join(broadcast(centEmb), "cell")
+      .join(broadcast(coarse.select(col("cent_id").as("cell"), col("c_emb"))),
+        "cell")
       .withColumn("pres", zip_with(col("p_emb"), col("c_emb"), (a, b) => a - b))
     val probeLut = probeRes
       .select(col("probe_id"), col("cell"),
@@ -1099,13 +1105,62 @@ object Vectors {
       .join(broadcast(book), Seq("j"))
       .select(col("probe_id"), col("cell").as("lcell"), col("j").as("lj"),
         col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
-    val scores = ccodes.join(broadcast(probeLut),
+    ccodes.join(broadcast(probeLut),
         col("cell") === col("lcell") && col("j") === col("lj") &&
           col("code") === col("lc"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adist"))
-    rankPerProbe(scores, lit(3), col("adist").asc, col("vec_id").asc)
+  }
+
+  private val annIvfPqResidual: Q = (s, d) => {
+    val c = corpus(s, d)
+    val coarse = kmeansCentroids(c, rounds = 3)
+    val rf = residualFrame(c, coarse)
+    val book = pqCodebook(
+      rf.select(col("vec_id"), col("res").as("emb")), PqRounds)
+    val ccodes = residualCodes(rf, book)
+    rankPerProbe(residualScores(c, coarse, book, ccodes),
+        lit(3), col("adist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** The STORED residual index — the production form of
+    * [[annIvfPqResidual]]: coarse centroids (shared store with
+    * [[storedIvfPqIndex]]), the residual-trained codebook, and the
+    * residual inverted-list table all go through the hardened store
+    * layer; `_UPSTREAM` receipts tie the book to the coarse store and
+    * the codes to both. A daily residual search reads three small
+    * parquet tables and runs the cell-pruned code join. */
+  private[graft] def storedIvfPqResidualIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val c = corpus(s, d)
+    val coarseDir = pqStoreDir(d, "coarse")
+    val resBookDir = pqStoreDir(d, "resbook")
+    val coarse = Dedup.storedTable(s, coarseDir) {
+      kmeansCentroids(c, rounds = 3)
+    }
+    val book = Dedup.storedTable(s, resBookDir, upstream = Seq(coarseDir)) {
+      pqCodebook(residualFrame(c, coarse)
+        .select(col("vec_id"), col("res").as("emb")), PqRounds)
+    }
+    val ccodes = Dedup.storedTable(s, pqStoreDir(d, "rescodes"),
+        upstream = Seq(coarseDir, resBookDir)) {
+      residualCodes(residualFrame(c, coarse), book)
+    }
+    (coarse, book, ccodes)
+  }
+
+  /** Residual search over the stored index: shares
+    * [[annIvfPqResidual]]'s oracle verbatim — the driver hash-compare
+    * proves stored ≡ trained-in-query, the pq_stored precedent. */
+  private val annIvfPqResidualStored: Q = (s, d) => {
+    val c = corpus(s, d)
+    val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
+    rankPerProbe(residualScores(c, coarse, book, ccodes),
+        lit(3), col("adist").asc, col("vec_id").asc)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
       .orderBy(col("probe_id").asc, col("rn").asc)
@@ -1336,6 +1391,7 @@ object Vectors {
     "q_sim_ann_ivf_sampled" -> annIvfSampled,
     "q_sim_ann_pq_sampled"  -> annPqSampled,
     "q_sim_ann_ivfpq_residual" -> annIvfPqResidual,
+    "q_sim_ann_ivfpq_residual_stored" -> annIvfPqResidualStored,
     "q_sim_ann_sq8"         -> annSq8,
     "q_sim_ann_sq8_rerank"  -> annSq8Rerank,
     "q_sim_kmeans"        -> simKmeans,
@@ -1926,6 +1982,9 @@ object Vectors {
          |FROM r WHERE rn <= 5
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
     "q_sim_ann_ivfpq_residual" -> sqlAnnIvfPqResidual,
+    // stored residual twin shares the oracle verbatim (hash match
+    // proves stored ≡ trained-in-query).
+    "q_sim_ann_ivfpq_residual_stored" -> sqlAnnIvfPqResidual,
     "q_sim_kmeans" ->
       s"""WITH c AS ($sqlCorpus),
          |${sqlKmeansCents(3)},

@@ -72,7 +72,8 @@ object AnnRecall {
       "q_sim_ann_pq", "q_sim_ann_pq_sampled", "q_sim_ann_pq_stored",
       "q_sim_ann_pq_day2", "q_sim_ann_pq_rerank", "q_sim_ann_ivfpq",
       "q_sim_ann_ivfpq_stored", "q_sim_ann_ivfpq_residual",
-      "q_sim_ann_ivfpq_rerank", "q_sim_ann_sq8", "q_sim_ann_sq8_rerank")
+      "q_sim_ann_ivfpq_residual_stored", "q_sim_ann_ivfpq_rerank",
+      "q_sim_ann_sq8", "q_sim_ann_sq8_rerank")
     val rows = variants.map { key =>
       val (got, secs) = timed {
         graft.SparkEntry.queries(key)(spark, sfDir)
