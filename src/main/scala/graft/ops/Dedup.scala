@@ -476,6 +476,17 @@ object Dedup {
   // longer needlessly rebuilds every PQ/CDC/TF store.
   private[graft] val StoreFormatVersion = 3
 
+  /** TF-family store version (round-14: lives HERE, beside the store
+    * machinery, so [[legacySwept]] can compare a dir's tf tag against
+    * the current one without a Text↔Dedup init cycle). The TF stores
+    * live under the dedup root with the family tag composed into the
+    * KIND (`tf<day>.t<N>`), which the generic versioned-dir regex
+    * cannot age out — the sweep below handles the tf tag explicitly
+    * (round-13 ADVICE: a TfStoreVersion bump used to strand old
+    * `-tf*-v3-<stamp>` dirs on disk forever). Bump when the TF
+    * builders change. */
+  private[graft] val TfStoreVersion = 1
+
   private[ops] def storeRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
 
@@ -494,6 +505,7 @@ object Dedup {
     if (sys.env.contains("SPARK_GRAFT_SIG_STORE")) ()
     else {
       val versioned = """.*-v\d+[0-9a-z.]*-[0-9a-f]{12}$""".r
+      val tfTag = """-tf\d+\.t(\d+)-v""".r
       def rmAll(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmAll)
         f.delete(); ()
@@ -503,7 +515,11 @@ object Dedup {
           val n = f.getName
           f.isDirectory && !n.contains(".tmp-") &&
             (n.startsWith("_") ||
-              (n.startsWith("t") && versioned.findFirstIn(n).isEmpty))
+              (n.startsWith("t") && versioned.findFirstIn(n).isEmpty) ||
+              // superseded TF-family tags (the family version lives in
+              // the KIND, invisible to the versioned regex above)
+              (n.startsWith("t") && tfTag.findFirstMatchIn(n)
+                .exists(_.group(1).toInt != TfStoreVersion)))
         }.foreach(rmAll)
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -975,17 +991,10 @@ object Dedup {
     * rounds, which is the scale-killer, not any single stage. The
     * fixpoint (minimum reachable doc_id per node) is unique, so the
     * oracle's recursive CTE agrees exactly. */
-  private val clusters: Q = (s, d) => {
-    val labels = connectedComponentsStar(
+  private val clusters: Q = (s, d) =>
+    clusterShape(connectedComponentsStar(
       Tables.documents(s, d).select(col("doc_id")),
-      nearPairs(s, d).select(col("a_id"), col("b_id")))
-    labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
-      .orderBy(col("doc_id").asc)
-  }
+      nearPairs(s, d).select(col("a_id"), col("b_id"))))
 
   /** Cap-free clustering — the decision step of the 100 TB pipeline
     * wired to its own scale-ready pair source: connected components
@@ -1000,36 +1009,24 @@ object Dedup {
     * the DuckDB recursive-CTE oracle agrees exactly. OperatorSpec
     * additionally measures cluster agreement against the mask-path
     * clusters on the fixture corpus. */
-  private val clustersSig: Q = (s, d) => {
-    val labels = connectedComponentsStar(
+  private val clustersSig: Q = (s, d) =>
+    clusterShape(connectedComponentsStar(
       Tables.documents(s, d).select(col("doc_id")),
       minhashEstimates(s, d)
         .filter(col("n_match") >= lit(VerifyMatchMin))
-        .select(col("a_id"), col("b_id")))
-    labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
-      .orderBy(col("doc_id").asc)
-  }
+        .select(col("a_id"), col("b_id"))))
 
   /** [[clustersSig]] through the STORED label table — the daily-driver
     * twin: identical output (same columns, same oracle SQL verbatim),
     * but the plan is one parquet scan of [[storedClusterLabels]] plus
-    * a cluster-keyed window, while clustersSig itself keeps the full
+    * the [[clusterShape]] size join-back, while clustersSig keeps the full
     * in-query lineage (banded candidates → verify → star-CC) as the
     * recompute proof. The q_dedup_incremental_stored precedent: the
     * driver hash-compares BOTH keys against the one oracle, so a
     * stored table that drifted from the lineage it claims to cache
     * fails correctness loudly. */
   private val clustersStored: Q = (s, d) =>
-    storedClusterLabels(s, d)
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
-      .orderBy(col("doc_id").asc)
+    clusterShape(storedClusterLabels(s, d))
 
   /** Incremental cluster-label maintenance — the ingest-day companion
     * of [[clustersStored]]: fold the new batch's pair stream into
@@ -1111,11 +1108,13 @@ object Dedup {
   }
 
   /** Decorate bare `(doc_id, cluster_id)` labels with the
-    * clusters-family output shape (size window + min-id keeper flag). */
+    * clusters-family output shape (size + min-id keeper flag). The size
+    * rides [[Skew.withGroupSize]], not a cluster-keyed count window: at
+    * 100 TB the largest dup family (empty pages, boilerplate) is tens
+    * of millions of rows, and a window would sort all of them in one
+    * task. */
   private def clusterShape(labels: DataFrame): DataFrame =
-    labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    Skew.withGroupSize(labels, "cluster_id", "cluster_size")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy(col("doc_id").asc)
@@ -1435,26 +1434,29 @@ object Dedup {
     *
     * Plan: both inputs are the warm stored artifacts —
     * [[storedClusterLabels]] and [[storedPageRanks]], one parquet scan
-    * each — joined doc-keyed, then ONE cluster-keyed shuffle serves
-    * both the size count and the argmax window; steady-state cost is
-    * reads + that shuffle (measured 115 s → sub-second at sf1 when the
-    * rank rounds moved to the store's one-time build). The ordering
-    * key is the exact integer rank_q, so keeper ties are
+    * each — joined doc-keyed, then ONE cluster-keyed groupBy computes
+    * the size and the argmax together (max over `struct(rank_q,
+    * -doc_id)` — struct ordering is field-by-field, so the negated id
+    * breaks rank ties toward the minimum doc_id). The output is
+    * cluster-level, so no window is needed at all, and both aggregates
+    * map-combine: the exchange carries one partial row per (cluster,
+    * map partition) — a mega-cluster's members never meet in one task
+    * (vs the previous cluster-keyed count+row_number window, which
+    * sorted every member of the hottest family in a single partition).
+    * The ordering key is the exact integer rank_q, so keeper ties are
     * bit-deterministic across engines; the rounded double is only the
     * OUTPUT column. */
-  private val keepersRank: Q = (s, d) => {
-    val win = Window.partitionBy(col("cluster_id"))
+  private val keepersRank: Q = (s, d) =>
     storedClusterLabels(s, d)
       .join(storedPageRanks(s, d).select(col("doc_id"), col("rank_q")), "doc_id")
-      .withColumn("cluster_size", count(lit(1)).over(win))
-      .withColumn("rn", row_number().over(
-        win.orderBy(col("rank_q").desc, col("doc_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
-        Det.r4(col("rank_q") / lit(10000.0)).as("keeper_rank"),
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("rank_q"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("keeper_id"),
+        Det.r4(col("best.rank_q") / lit(10000.0)).as("keeper_rank"),
         col("cluster_size"))
       .orderBy(col("cluster_id").asc)
-  }
 
   /** Leakage-safe train/test split: the hash-split key is the near-dup
     * CLUSTER label, not the document id, so an entire duplicate family
@@ -1532,9 +1534,7 @@ object Dedup {
       if (!(frontier eq labels)) frontier.unpersist(false)
       e.unpersist(false)
     }
-    labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("l"))))
+    Skew.withGroupSize(labels, "l", "cluster_size")
       .select(col("doc_id"), col("l").as("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("l")).as("is_keeper"))
       .orderBy(col("doc_id").asc)
@@ -1658,7 +1658,10 @@ object Dedup {
 
   /** 16-bit SimHash from md5 nibble high-bits, weighted by token
     * frequency; identical fingerprints grouped (hamming-0 collisions).
-    * At scale: one keyed aggregation, then a window by fingerprint. */
+    * At scale: one doc-keyed aggregation, then the fingerprint group
+    * size via [[Skew.withGroupSize]] — a count window by fingerprint
+    * would sort the hottest collision family (the empty/boilerplate
+    * page fingerprint) in one task. */
   private val simhash: Q = (s, d) => {
     val bits = (1 to 16).map { k =>
       sum(when(substring(md5(col("word").cast("binary")), k, 1)
@@ -1672,8 +1675,7 @@ object Dedup {
       .select(col("doc_id"),
         concat((1 to 16).map(k =>
           when(col(s"b$k") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-    fp.withColumn("n_same",
-        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+    Skew.withGroupSize(fp, "simhash", "n_same")
       .select(col("doc_id"), col("simhash"), col("n_same"))
       .orderBy(col("doc_id").asc)
   }
@@ -1714,21 +1716,20 @@ object Dedup {
     * case of two long documents sharing one boilerplate paragraph —
     * doc-level Jaccard stays low, span-level duplication flags it.
     *
-    * Scale shape — single linear lineage, NO self-join and no
-    * broadcast of anything corpus-sized: (gram, doc)-keyed partial
-    * agg (map-side combine collapses within-doc repeats), a
-    * gram-keyed window for the distinct-doc count (the only wide
-    * exchange carries one row per distinct (gram, doc)), then the
-    * doc-keyed roll-up. Spans never ride a join; the gram strings
-    * could be xxhash64-folded at real scale, kept verbatim here so
-    * the oracle stays string-exact. */
+    * Scale shape — linear lineage, NO self-join and no broadcast of
+    * anything corpus-sized: (gram, doc)-keyed partial agg (map-side
+    * combine collapses within-doc repeats), the distinct-doc count per
+    * gram via [[Skew.withGroupSize]] (the wide exchanges carry one row
+    * per distinct (gram, doc); a gram-keyed count window would sort
+    * every holder of the hottest boilerplate 5-gram in one task), then
+    * the doc-keyed roll-up. The gram strings could be xxhash64-folded
+    * at real scale, kept verbatim here so the oracle stays
+    * string-exact. */
   private val spans: Q = (s, d) => {
     val perDocGram = docSpanGrams(s, d)
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-    perDocGram
-      .withColumn("nd",
-        count(lit(1)).over(Window.partitionBy(col("gram"))))
+    Skew.withGroupSize(perDocGram, "gram", "nd")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_spans"),
         sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))

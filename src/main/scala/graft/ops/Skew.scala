@@ -41,4 +41,22 @@ object Skew {
         saltedFact("__salt") === saltedDim("__salt"))
       .drop(saltedDim(key)).drop("__salt")
   }
+
+  /** Group size as `groupBy(key).count` + join-back — the skew-safe
+    * replacement for `count().over(Window.partitionBy(key))` on keys
+    * whose hottest group is data-sized (a mega dup-cluster, a
+    * boilerplate n-gram). The window shape funnels EVERY member row of
+    * the hottest group into ONE task partition and sorts it there, and
+    * AQE cannot split window partitions. Here the aggregate side
+    * map-combines to ≤ one row per key per map partition before its
+    * exchange, Catalyst broadcasts the key-sized count table when it is
+    * small, and when it is not, the join-back exchange IS
+    * AQE-skew-splittable. `df` is referenced on both sides, but any
+    * exchange inside its lineage is planned once and reused
+    * (ReusedExchange) — nothing upstream runs twice past the last
+    * shuffle. `key` must be non-null (a null key would drop rows in the
+    * equi-join where the window kept them); every call site's key is
+    * non-null by construction. */
+  def withGroupSize(df: DataFrame, key: String, out: String): DataFrame =
+    df.join(df.groupBy(col(key)).agg(count(lit(1)).as(out)), Seq(key))
 }

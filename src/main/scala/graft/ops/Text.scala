@@ -130,14 +130,12 @@ object Text {
     * the appended TF table is the classic materialized inverted-index
     * input every downstream consumer (df counts, scoring, containment)
     * reads instead of re-tokenizing history. */
-  /** TF-family store version, composed INTO THE KIND beside
-    * [[Dedup.StoreFormatVersion]] (the TF stores live under the
-    * dedup store root): bump THIS when the TF builders change,
-    * without invalidating the dedup family's stores — and vice versa
-    * a dedup bump no longer rebuilds the TF chain (round-13 ADVICE). */
-  private[graft] val TfStoreVersion = 1
-
-  private def tfKind(day: Int): String = s"tf$day.t$TfStoreVersion"
+  /** TF-family store version — defined in [[Dedup.TfStoreVersion]]
+    * beside the store machinery so the legacy sweep can age out
+    * superseded tf tags (round-13 ADVICE); composed into the KIND so
+    * a TF bump never invalidates the dedup family's stores and vice
+    * versa. */
+  private def tfKind(day: Int): String = s"tf$day.t${Dedup.TfStoreVersion}"
 
   private[graft] def storedTfDay(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -377,9 +375,10 @@ object Text {
       .withColumn("fp",
         aggregate(tokens(col("text")), lit(0L),
           (h, w) => pmod(h * 31L + tokhash(w), lit(p))))
-    withFp
-      .withColumn("n_same",
-        count(lit(1)).over(Window.partitionBy(col("fp"))))
+    // family size via groupBy+join-back, not a fp-keyed count window:
+    // the hottest fingerprint family (empty/boilerplate pages) is
+    // data-sized at corpus scale and a window would sort it in one task
+    Skew.withGroupSize(withFp, "fp", "n_same")
       .select(col("doc_id"), col("fp"), col("n_same"))
       .orderBy(col("doc_id").asc)
   }

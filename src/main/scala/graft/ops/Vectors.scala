@@ -113,18 +113,25 @@ object Vectors {
   /** The nprobe nearest cells per probe, map-side: sort the scored
     * codebook array by the same (ccos DESC NULLS LAST, cent_id ASC)
     * order, slice nprobe, explode — one row per (probe, probed cell),
-    * no window, no shuffle (the probe set is search-bounded). */
+    * no window, no shuffle (the probe set is search-bounded). nprobe
+    * is CORPUS-DERIVED: max([[NProbeMin]], ⌈ncells/[[CellsPerProbe]]⌉)
+    * off the size of the already-broadcast codebook array — a fixed
+    * scan fraction across scales, computed map-side from data the
+    * expression already holds (no extra aggregate, no collect). */
   private def withNearestCells(df: DataFrame, cents: DataFrame,
-                               emb: Column, nrm: Column,
-                               nprobe: Int): DataFrame =
+                               emb: Column, nrm: Column): DataFrame = {
+    val nprobe = greatest(lit(NProbeMin),
+      ceil(size(col("cb")).cast("double") / lit(CellsPerProbe.toDouble))
+        .cast("long")).cast("int")
     df.crossJoin(broadcast(centsAsArray(cents)))
       .withColumn("cell", explode(transform(
         slice(array_sort(transform(scoredCents(emb, nrm), sc => struct(
           coalesce(-sc.getField("ccos"), lit(Double.PositiveInfinity))
             .as("negcos"),
-          sc.getField("cent_id").as("cent_id")))), 1, nprobe),
+          sc.getField("cent_id").as("cent_id")))), lit(1), nprobe),
         x => x.getField("cent_id"))))
       .drop("cb")
+  }
 
   /** Corpus with precomputed L2 norm (computed once, reused by every
     * probe comparison). */
@@ -299,6 +306,89 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
+  // ── Multi-table rotated-base LSH (the header's promised rescue) ────
+  //
+  // The single-table sign-LSH tiers above hash RAW coordinate signs:
+  // at the fixture's cos≈0.4 neighbor geometry their recall@3 is an
+  // honest 0.00-0.13 (ANN_RECALL artifacts, both scales) — collision
+  // probability p = 1 − θ/π per hyperplane decays as p^bits and one
+  // table gets one chance. The standard fix (Indyk–Motwani; what every
+  // production sign-LSH deployment runs) is L INDEPENDENT hash tables
+  // of shorter codes: recall 1 − (1 − p^B)^L, candidate volume
+  // L·n/2^B. Here L = LshTables random-ROTATED bases — each bit is the
+  // sign of a Rademacher (±1-weighted) combination of ALL dimensions,
+  // not one raw coordinate — so the tables are genuinely independent
+  // even on axis-correlated embeddings.
+
+  private[graft] val LshTables = 16
+  private[graft] val LshTableBits = 6
+  private[graft] val LshDims = 64
+
+  /** ±1 Rademacher weights for (table, bit): w_d = +1 iff the first
+    * hex nibble of md5("t_b_d") < '8' (d is 1-based). ONE definition:
+    * the Spark plan takes the weights as literal arrays and the
+    * DuckDB oracle re-derives them with the same md5 rule — md5 of
+    * the same string is the same hex in any engine. Each per-term
+    * product is [[Det.qi4]]-quantized BEFORE the cross-dimension sum,
+    * so the sign test is exact long arithmetic, order-free and
+    * engine-identical. */
+  private[graft] def lshW(t: Int, b: Int): Seq[Double] =
+    (1 to LshDims).map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${t}_${b}_${d}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+
+  /** (t, bucket) pairs for one vector, as an exploded-ready array:
+    * bucket = the B-bit sign string of the t-th rotated base. */
+  private def lshTableKeys(emb: Column): Column =
+    array((0 until LshTables).map { t =>
+      struct(lit(t).as("t"),
+        concat((0 until LshTableBits).map { b =>
+          when(aggregate(
+              zip_with(emb, typedLit(lshW(t, b)), (v, w) => Det.qi4(v * w)),
+              lit(0L), _ + _) > 0, lit("1")).otherwise(lit("0"))
+        }: _*).as("bucket"))
+    }: _*)
+
+  /** Multi-table rotated-base sign-LSH ANN top-3 — the production
+    * form of the [[annLsh]] family. Corpus side: ONE map-side pass
+    * emits (vec_id, t, bucket) — L rows per vector, no payload;
+    * probes hash identically and broadcast (probes × L rows); ONE
+    * (t, bucket)-keyed equi-join yields candidates, deduped per
+    * (probe, neighbor), exact-cosine scored via an id-keyed join back
+    * to the corpus (the [[embDedup]] no-payload pattern), ranked
+    * two-level. At 100 TB: candidate volume is L·n/2^B by
+    * construction, the corpus shuffles once keyed by (t, bucket), and
+    * recall/cost tune via L (more independent chances) and B (deeper
+    * codes) without touching the plan shape. Recall@3 at the
+    * fixture's hard cos≈0.4 geometry: 0.5-0.7 class at sf0.1 (vs
+    * 0.00-0.13 single-table) — the AnnRecall artifact records it. */
+  private val annLshTables: Q = (s, d) => {
+    val c = corpus(s, d)
+    val keyed = c.select(col("vec_id"),
+        explode(lshTableKeys(col("emb"))).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val probes = keyed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("t"), col("bucket"))
+    val cands = keyed.join(broadcast(probes), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .dropDuplicates("probe_id", "vec_id")
+    val scored = cands
+      .join(c.select(col("vec_id"), col("emb"), col("nrm")), "vec_id")
+      .join(broadcast(c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))), "probe_id")
+      .withColumn("cos",
+        dot(col("emb"), col("p_emb")) / nullif(col("nrm") * col("p_nrm"), lit(0.0)))
+    rankPerProbe(scored, lit(3), col("cos").desc, col("vec_id").asc)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
   /** Deterministic 25% hash-sample membership for codebook TRAINING
     * (the [[Sampling]] md5-residue discipline): a vector trains the
     * codebook iff its first md5 hex digit < '4'. At 100 TB Lloyd
@@ -309,17 +399,78 @@ object Vectors {
     * sizes, so the DuckDB twin trains on the SAME rows and the
     * codebooks stay bit-identical. Training sets always UNION the
     * init vectors so both engines keep all K seeds. */
+  /** Training-sample selector: first md5 hex nibble below
+    * [[TrainSampleHexLt]] — a deterministic 25% of the corpus. ONE
+    * definition feeds both engines ([[sqlTrainSample]] interpolates
+    * the same constant), so a threshold change cannot silently break
+    * Spark/DuckDB parity. */
+  private[graft] val TrainSampleHexLt = "4"
+
   private[graft] def trainSample(key: Column): Column =
-    substring(md5(key.cast("string").cast("binary")), 1, 1) < "4"
+    substring(md5(key.cast("string").cast("binary")), 1, 1) < TrainSampleHexLt
 
   private val sqlTrainSample: String =
-    "SUBSTRING(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'"
+    s"SUBSTRING(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '$TrainSampleHexLt'"
 
-  /** First-8-vectors coarse quantizer — the deterministic k-means INIT
-    * (and the round-6 stand-in codebook, kept for the spec's recall
-    * comparison). */
+  /** The PQ-training membership of a sampled build: the hash sample
+    * ∪ the [[PqK]] init seeds — ONE definition for every sampled PQ
+    * oracle (stored codebooks train this way). */
+  private lazy val sqlSamplePq: String = s"$sqlTrainSample OR vec_id < $PqK"
+
+  // ── Corpus-derived index geometry ──────────────────────────────────
+  // The two IVF knobs that round-12/13 verdicts flagged as fixed
+  // constants (8 coarse cells, nprobe=2): at 100× corpus growth a
+  // fixed cell count makes every cell corpus/8 — the "cells bound WHAT
+  // is scanned" guarantee decays linearly. The standard geometry
+  // (FAISS guideline) is ncells ≈ ⌈√n⌉ — mean cell size √n — with
+  // nprobe scaled to the cell count so the scanned FRACTION of the
+  // corpus stays matched across scales. Both rules are EXACT INTEGER
+  // arithmetic off in-plan counts (sqrt/ceil are deterministic IEEE
+  // primitives on integer-valued doubles), broadcast, never collected;
+  // the oracles restate them as scalar subqueries off the same CTEs.
+
+  /** Seed/cell-count floor (the previous fixed geometry). */
+  private[graft] val NCellsMin = 8L
+
+  /** nprobe floor (the previous fixed geometry). */
+  private[graft] val NProbeMin = 2L
+
+  /** Cells probed per [[CellsPerProbe]] cells in the codebook:
+    * nprobe = max([[NProbeMin]], ⌈ncells / CellsPerProbe⌉) — a fixed
+    * ~1/8 scan fraction, the knob a production deployment tunes per
+    * recall target. */
+  private[graft] val CellsPerProbe = 4L
+
+  /** The 1-row (ncells) frame: ncells = max([[NCellsMin]], ⌈√n⌉) off
+    * the FULL corpus count — full, not the training sample, so the
+    * sampled index build sizes its cells for the corpus the index
+    * will hold (and so the seed-union predicate below is not
+    * circular). */
+  private def ncellsOf(c: DataFrame): DataFrame =
+    c.agg(greatest(lit(NCellsMin),
+      ceil(sqrt(count(lit(1)).cast("double"))).cast("long")).as("ncells"))
+
+  /** DuckDB form of the cell count — scalar subquery over the corpus
+    * CTE `c`, the identical max(NCellsMin, ⌈√n⌉) rule. */
+  private val sqlNCells: String =
+    s"(SELECT GREATEST($NCellsMin, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM c)"
+
+  /** DuckDB form of nprobe — scalar subquery over the trained `cents`
+    * CTE (|cents| = ncells: seeds are never dropped, empty cells keep
+    * their previous centroid), the identical
+    * max(NProbeMin, ⌈ncells / CellsPerProbe⌉) rule. */
+  private val sqlNProbe: String =
+    s"(SELECT GREATEST($NProbeMin, " +
+      s"CAST(CEIL(COUNT(*) / $CellsPerProbe.0) AS BIGINT)) FROM cents)"
+
+  /** First-⌈√n⌉-vectors coarse quantizer — the deterministic k-means
+    * INIT (and the stand-in codebook kept for the spec's recall
+    * comparison). The seed count is [[ncellsOf]] the frame it
+    * receives, crossed in as a broadcast 1-row aggregate — no
+    * collect. */
   private[graft] def initCentroids(c: DataFrame): DataFrame =
-    c.filter(col("vec_id") < 8)
+    c.crossJoin(broadcast(ncellsOf(c)))
+      .filter(col("vec_id") < col("ncells"))
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
         col("nrm").as("c_nrm"))
 
@@ -332,14 +483,22 @@ object Vectors {
     * that loses all members keeps its previous centroid. Each round is
     * one MAP-SIDE argmax pass over the broadcast codebook array
     * ([[withNearestCentroid]] — no corpus×K shuffle, no window sort)
-    * + one (cell, dim)-keyed aggregation (8×64 rows out) — at 100 TB
-    * this is the offline index build, typically over a sample (see
-    * [[trainSample]]); the search plan below is unchanged by WHERE
-    * the codebook came from. */
-  private[graft] def kmeansCentroids(c: DataFrame, rounds: Int): DataFrame = {
+    * + one (cell, dim)-keyed aggregation (ncells×64 rows out) — at
+    * 100 TB this is the offline index build, typically over a sample:
+    * `trainWhere` restricts the Lloyd MEMBERSHIP rows (always
+    * unioned with the ⌈√n⌉ seeds so both engines keep all K seeds);
+    * the search plan downstream is unchanged by WHERE the codebook
+    * came from. Seeds and ncells always derive from the FULL frame
+    * `c`, so sampled and full training share one geometry. */
+  private[graft] def kmeansCentroids(c: DataFrame, rounds: Int,
+      trainWhere: Option[Column] = None): DataFrame = {
     var cents = initCentroids(c)
+    val ct = trainWhere.fold(c)(tw =>
+      c.crossJoin(broadcast(ncellsOf(c)))
+        .filter(tw || col("vec_id") < col("ncells"))
+        .drop("ncells"))
     for (_ <- 1 to rounds) {
-      val members = withNearestCentroid(c, cents, col("emb"), col("nrm"))
+      val members = withNearestCentroid(ct, cents, col("emb"), col("nrm"))
         .select(col("cent_id"), col("emb"))
       val means = members
         .select(col("cent_id"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -367,7 +526,7 @@ object Vectors {
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm")),
-      cents, col("p_emb"), col("p_nrm"), nprobe = 2)
+      cents, col("p_emb"), col("p_nrm"))
       .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
     val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
@@ -379,9 +538,10 @@ object Vectors {
       .orderBy(col("probe_id").asc, col("rn").asc)
   }
 
-  /** IVF (inverted-file) ANN top-3 with nprobe=2 over a TRAINED
-    * codebook: [[kmeansCentroids]] (init = first 8 vectors, 3 Lloyd
-    * rounds) replaces the round-6 first-8-vectors stand-in — the
+  /** IVF (inverted-file) ANN top-3 with corpus-derived geometry
+    * (ncells = ⌈√n⌉ cells, nprobe = ⌈ncells/8⌉) over a TRAINED
+    * codebook: [[kmeansCentroids]] (init = first ⌈√n⌉ vectors, 3
+    * Lloyd rounds) replaces the round-6 stand-in — the
     * DuckDB twin runs the identical deterministic iterations, so both
     * engines search the same index. Index build = per-round MAP-SIDE
     * argmax over the broadcast codebook array (no shuffle, no window).
@@ -407,8 +567,8 @@ object Vectors {
     * delta vs full-corpus training is pinned in-spec. */
   private val annIvfSampled: Q = (s, d) => {
     val c = corpus(s, d)
-    val cTrain = c.filter(trainSample(col("vec_id")) || col("vec_id") < 8)
-    ivfTopk(c, kmeansCentroids(cTrain, rounds = 3))
+    ivfTopk(c, kmeansCentroids(c, rounds = 3,
+      trainWhere = Some(trainSample(col("vec_id")))))
   }
 
   /** Semantic clustering for SemDeDup-style curation: every corpus
@@ -738,7 +898,10 @@ object Vectors {
     * families' stores (round-13 ADVICE). */
   // p2: map-side coding + stored IVF tables (coarse/ivfcodes added;
   // codes must be provably rebuilt by the array-expression coder).
-  private[graft] val PqStoreVersion = 2
+  // p3: corpus-derived geometry (ncells = ⌈√n⌉, derived nprobe) and
+  // SAMPLED training in every stored builder (codebook, coarse,
+  // resbook) — all stored contents change.
+  private[graft] val PqStoreVersion = 3
 
   /** Root dir of the flat PQ index store for fixture `d`.
     * "t" prefix: see Dedup.storeDir — a leading "_" marks the dir
@@ -756,7 +919,15 @@ object Vectors {
     * [[storedIvfPqIndex]] (one training, two index layouts). */
   private[graft] def storedPqBook(s: SparkSession, d: String): DataFrame =
     Dedup.storedTable(s, s"${pqIndexDir(d)}/codebook") {
-      pqCodebook(corpus(s, d), PqRounds)
+      // OFFLINE BUILDS TRAIN SAMPLED (the annPqSampled recipe: the
+      // deterministic 25% hash sample ∪ the PqK seeds) — the builder's
+      // own sf1 measurement says full-corpus Lloyd is ~3.5× the cost
+      // and the gap widens linearly; coding below still covers the
+      // full corpus. The stored keys' oracles restate the same
+      // trainWhere, so the driver hash-compare certifies the sampled
+      // build end-to-end.
+      pqCodebook(corpus(s, d)
+        .filter(trainSample(col("vec_id")) || col("vec_id") < PqK), PqRounds)
     }
 
   /** Flat store path for one table of the DAY-CHAINED PQ index —
@@ -809,11 +980,13 @@ object Vectors {
     (book, codes)
   }
 
-  /** ADC search against the stored index: identical output to
-    * [[annPq]] by construction (shared oracle = the driver
-    * hash-compare proves stored ≡ trained-in-query), but the query
-    * itself only reads two small parquet tables, signs the 10 probes,
-    * and runs the code-keyed join — the search-only cost profile. */
+  /** ADC search against the stored index: the query only reads two
+    * small parquet tables, signs the 10 probes, and runs the
+    * code-keyed join — the search-only cost profile. The store trains
+    * SAMPLED ([[storedPqBook]]), so its oracle ([[sqlAnnPqStored]])
+    * restates the sampled lineage in SQL — the driver hash-compare
+    * certifies the offline build end-to-end; [[annPq]] remains the
+    * full-training recompute witness. */
   private val annPqStored: Q = (s, d) => {
     val (cents, codes) = storedPqIndex(s, d)
     rankPerProbe(adcScores(corpus(s, d), cents, codes), lit(5),
@@ -857,16 +1030,23 @@ object Vectors {
     * ranking, no driver-side collect. */
   private[graft] val RerankCMin = 50L
 
+  /** The √n multiplier in C(n) — ONE definition interpolated into
+    * both [[rerankClim]] and [[sqlClim]] (round-13 ADVICE: the two
+    * engines must derive the rule from the same constants). */
+  private[graft] val RerankCFactor = 3.0
+
   /** The 1-row (c_lim) frame: crossJoin(broadcast(...)) it onto a
     * score stream, then rank with k = col("c_lim"). */
   private def rerankClim(c: DataFrame): DataFrame =
     c.agg(greatest(lit(RerankCMin),
-      ceil(lit(3.0) * sqrt(count(lit(1)).cast("double")))).as("c_lim"))
+      ceil(lit(RerankCFactor) * sqrt(count(lit(1)).cast("double"))))
+        .as("c_lim"))
 
   /** DuckDB form of the shortlist depth — a scalar subquery over the
     * same corpus CTE `c`, the identical max(50, ceil(3·√n)) rule. */
   private val sqlClim: String =
-    "(SELECT GREATEST(50, CAST(CEIL(3.0 * SQRT(COUNT(*))) AS BIGINT)) FROM c)"
+    s"(SELECT GREATEST($RerankCMin, CAST(CEIL($RerankCFactor * " +
+      "SQRT(COUNT(*))) AS BIGINT)) FROM c)"
 
   /** The exact re-rank stage shared by [[annPqRerank]] and
     * [[annIvfPqRerank]]: fetch the true vectors of the shortlist
@@ -962,7 +1142,7 @@ object Vectors {
       .select(col("vec_id"), col("cell"), col("j"), col("code"))
   }
 
-  /** The IVF-PQ scoring core: probes pick nprobe=2 cells map-side,
+  /** The IVF-PQ scoring core: probes pick their derived-nprobe cells map-side,
     * pre-join their per-cell ADC LUT (nprobe·M·K rows, broadcast),
     * then one (cell, j, code)-keyed join against the inverted-list
     * table and a partial-aggregated (probe, vec) sum of quantized
@@ -975,7 +1155,7 @@ object Vectors {
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm")),
-      coarse, col("p_emb"), col("p_nrm"), nprobe = 2)
+      coarse, col("p_emb"), col("p_nrm"))
       .select(col("probe_id"), col("p_emb"), col("cell"))
     val probeLut = probeCells
       .select(col("probe_id"), col("cell"),
@@ -1018,7 +1198,11 @@ object Vectors {
     val coarseDir = pqStoreDir(d, "coarse")
     val book = storedPqBook(s, d)
     val coarse = Dedup.storedTable(s, coarseDir) {
-      kmeansCentroids(c, rounds = 3)
+      // sampled Lloyd membership (seeds always included) — the
+      // offline-build economics storedPqBook documents; ncells still
+      // derives from the FULL corpus count.
+      kmeansCentroids(c, rounds = 3,
+        trainWhere = Some(trainSample(col("vec_id"))))
     }
     val ccodes = Dedup.storedTable(s, pqStoreDir(d, "ivfcodes"),
         upstream = Seq(coarseDir, bookDir)) {
@@ -1027,12 +1211,13 @@ object Vectors {
     (coarse, book, ccodes)
   }
 
-  /** IVF-PQ search against the stored index: identical output to
-    * [[annIvfPq]] by construction — they share the oracle, so the
-    * driver hash-compare proves stored ≡ trained-in-query — but the
-    * query only reads three small parquet tables, signs the probes,
-    * and runs the cell-pruned code join: the search-only cost
-    * profile. */
+  /** IVF-PQ search against the stored index: the query only reads
+    * three small parquet tables, signs the probes, and runs the
+    * cell-pruned code join — the search-only cost profile. Both
+    * codebooks train SAMPLED in the store builder, and the oracle
+    * ([[sqlAnnIvfPqStored]]) restates that lineage, so the driver
+    * hash-compare certifies the offline build end-to-end;
+    * [[annIvfPq]] remains the full-training recompute witness. */
   private val annIvfPqStored: Q = (s, d) => {
     val c = corpus(s, d)
     val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
@@ -1093,7 +1278,7 @@ object Vectors {
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm")),
-      coarse, col("p_emb"), col("p_nrm"), nprobe = 2)
+      coarse, col("p_emb"), col("p_nrm"))
       .select(col("probe_id"), col("p_emb"), col("cell"))
       .join(broadcast(coarse.select(col("cent_id").as("cell"), col("c_emb"))),
         "cell")
@@ -1140,22 +1325,35 @@ object Vectors {
     val coarseDir = pqStoreDir(d, "coarse")
     val resBookDir = pqStoreDir(d, "resbook")
     val coarse = Dedup.storedTable(s, coarseDir) {
-      kmeansCentroids(c, rounds = 3)
+      // SHARED with storedIvfPqIndex — one coarse store, one training
+      // discipline (sampled membership, full-corpus ncells), so the
+      // two index families can never read incoherent cells.
+      kmeansCentroids(c, rounds = 3,
+        trainWhere = Some(trainSample(col("vec_id"))))
     }
+    // ONE residual materialization feeds both cold-build blocks (the
+    // frame ends in localCheckpoint — eager on first use); lazy so a
+    // warm-store read never computes it at all (round-13 ADVICE: the
+    // double residualFrame call paid the cell-assignment pass twice).
+    lazy val rf = residualFrame(c, coarse)
     val book = Dedup.storedTable(s, resBookDir, upstream = Seq(coarseDir)) {
-      pqCodebook(residualFrame(c, coarse)
+      // sampled residual-book training, the storedPqBook discipline
+      pqCodebook(rf
+        .filter(trainSample(col("vec_id")) || col("vec_id") < PqK)
         .select(col("vec_id"), col("res").as("emb")), PqRounds)
     }
     val ccodes = Dedup.storedTable(s, pqStoreDir(d, "rescodes"),
         upstream = Seq(coarseDir, resBookDir)) {
-      residualCodes(residualFrame(c, coarse), book)
+      residualCodes(rf, book)
     }
     (coarse, book, ccodes)
   }
 
-  /** Residual search over the stored index: shares
-    * [[annIvfPqResidual]]'s oracle verbatim — the driver hash-compare
-    * proves stored ≡ trained-in-query, the pq_stored precedent. */
+  /** Residual search over the stored index: the store builder trains
+    * both codebooks SAMPLED, and [[sqlAnnIvfPqResidualStored]]
+    * restates that lineage — the driver hash-compare certifies the
+    * sampled offline build end-to-end; [[annIvfPqResidual]] remains
+    * the full-training recompute witness. */
   private val annIvfPqResidualStored: Q = (s, d) => {
     val c = corpus(s, d)
     val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
@@ -1164,6 +1362,31 @@ object Vectors {
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
       .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** RESIDUAL IVF-PQ with exact re-ranking — the FAISS-default
+    * production stack composed end-to-end (`IndexIVFPQ` with its
+    * default residual encoding + `IndexRefineFlat`): the coarse
+    * quantizer bounds WHAT is scanned, per-cell residual PQ codes
+    * bound the BYTES per entry with the better within-cell error
+    * profile, and the exact re-rank of the per-probe top-[[rerankClim]]
+    * removes the remaining quantization error from the final
+    * ordering. Rides the STORED residual index
+    * ([[storedIvfPqResidualIndex]]) — the daily search pays no
+    * training; the shortlist is probes × ≤C(n) rows so the refinement
+    * cost is corpus-independent, and [[exactRerank]]'s candidate
+    * fetch is an ID-keyed broadcast semijoin. Before this key the
+    * best-recall search re-ranked the NON-residual index; the better
+    * index existed and nothing searched it at full quality. */
+  private val annIvfPqResidualRerank: Q = (s, d) => {
+    val c = corpus(s, d)
+    val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
+    val shortlist = rankPerProbe(
+        residualScores(c, coarse, book, ccodes)
+          .crossJoin(broadcast(rerankClim(c))),
+        col("c_lim"), col("adist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("vec_id"))
+    exactRerank(c, shortlist, 3)
   }
 
   /** IVF-PQ with exact re-ranking — the full production ANN stack
@@ -1176,8 +1399,8 @@ object Vectors {
     * the shortlist is probes × ≤C rows, so the refinement cost is
     * independent of corpus size. Rides the STORED index — the daily
     * search pays no codebook training (the round-12 verdict's 5.2 s
-    * was two in-query Lloyd trainings; the stored twin's oracle
-    * equality is proven by [[annIvfPqStored]]'s shared hash). */
+    * was two in-query Lloyd trainings; the store's coherence is
+    * certified by [[annIvfPqStored]]'s own sampled-lineage oracle). */
   private val annIvfPqRerank: Q = (s, d) => {
     val c = corpus(s, d)
     val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
@@ -1225,6 +1448,14 @@ object Vectors {
             lit(255.0) + lit(0.5)), lit(0.0)), lit(255.0)).cast("long"),
         lit(0L)))
 
+  /** The quantized corpus `(vec_id, q)` — the shared head of both SQ8
+    * searches, exposed so the spec can assert code well-formedness
+    * (every vector coded, every code in [0, 255]) directly on the
+    * coded frame rather than on downstream proxies. */
+  private[graft] def sq8Corpus(c: DataFrame): DataFrame =
+    c.crossJoin(broadcast(sq8Stats(c)))
+      .select(col("vec_id"), sq8Code(col("emb")).as("q"))
+
   /** SQ8 ANN top-5: the corpus moves as 8-bit codes (64 small ints a
     * row — the scan side carries no floats, the PQ economy with
     * per-dimension fidelity), probes quantize against the SAME
@@ -1236,9 +1467,7 @@ object Vectors {
     * corpus. */
   private val annSq8: Q = (s, d) => {
     val c = corpus(s, d)
-    val st = sq8Stats(c)
-    val qc = c.crossJoin(broadcast(st))
-      .select(col("vec_id"), sq8Code(col("emb")).as("q"))
+    val qc = sq8Corpus(c)
     val probes = qc.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"))
     val scored = qc.crossJoin(broadcast(probes))
@@ -1258,9 +1487,7 @@ object Vectors {
     * probes×C fetch only. */
   private val annSq8Rerank: Q = (s, d) => {
     val c = corpus(s, d)
-    val st = sq8Stats(c)
-    val qc = c.crossJoin(broadcast(st))
-      .select(col("vec_id"), sq8Code(col("emb")).as("q"))
+    val qc = sq8Corpus(c)
     val probes = qc.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"))
     val scored = qc.crossJoin(broadcast(probes))
@@ -1387,11 +1614,13 @@ object Vectors {
     "q_sim_ann_lsh"       -> annLsh,
     "q_sim_ann_multiprobe"-> annMultiprobe,
     "q_sim_ann_hamming"   -> annHamming,
+    "q_sim_ann_lsh_tables" -> annLshTables,
     "q_sim_ann_ivf"       -> annIvf,
     "q_sim_ann_ivf_sampled" -> annIvfSampled,
     "q_sim_ann_pq_sampled"  -> annPqSampled,
     "q_sim_ann_ivfpq_residual" -> annIvfPqResidual,
     "q_sim_ann_ivfpq_residual_stored" -> annIvfPqResidualStored,
+    "q_sim_ann_ivfpq_residual_rerank" -> annIvfPqResidualRerank,
     "q_sim_ann_sq8"         -> annSq8,
     "q_sim_ann_sq8_rerank"  -> annSq8Rerank,
     "q_sim_kmeans"        -> simKmeans,
@@ -1414,20 +1643,24 @@ object Vectors {
       |                             CAST(embedding AS DOUBLE[]))) AS nrm
       |FROM embeddings""".stripMargin
 
-  /** DuckDB twin of [[kmeansCentroids]]: k0 = first-8 init, then per
-    * round assign (cosine argmax) → per-dimension davg mean → list
+  /** DuckDB twin of [[kmeansCentroids]]: k0 = first-⌈√n⌉ init
+    * ([[sqlNCells]] — the corpus-derived cell count), then per round
+    * assign (cosine argmax) → per-dimension davg mean → list
     * reassembly → empty-cell coalesce. Ends with `cents(cent_id,
     * c_emb, c_nrm)`. Requires a CTE `c` bound to [[sqlCorpus]].
     * `trainWhere` restricts the Lloyd MEMBERSHIP rows (the sampled
-    * index build) — with the default TRUE it is full-corpus training;
-    * searches downstream always run over all of `c`. */
+    * index build) — always OR-unioned with the seed predicate, the
+    * [[kmeansCentroids]] contract; with the default TRUE it is
+    * full-corpus training. Searches downstream always run over all
+    * of `c`. */
   private def sqlKmeansCents(rounds: Int,
                              trainWhere: String = "TRUE"): String = {
     val init =
-      s"""ct AS (SELECT * FROM c WHERE $trainWhere),
+      s"""ct AS (SELECT * FROM c
+         |      WHERE ($trainWhere) OR vec_id < $sqlNCells),
          |k0 AS (
          |  SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-         |  FROM ct WHERE vec_id < 8)""".stripMargin
+         |  FROM c WHERE vec_id < $sqlNCells)""".stripMargin
     val rs = (1 to rounds).map { r =>
       val prev = s"k${r - 1}"
       s"""asg$r AS (
@@ -1526,10 +1759,6 @@ object Vectors {
     ((init +: rs) :+ fin).mkString(",\n")
   }
 
-  /** Shared oracle for [[annPq]] and [[annPqStored]] — the stored
-    * index is value-identical to the in-query-trained one, so one SQL
-    * serves both and the driver compare doubles as the identity
-    * proof. */
   /** ADC CTE chain shared by the PQ-search oracles: LUT, summed
     * quantized distances, per-probe rank — ends with
     * `r(probe_id, vec_id, adist, rn)`. Requires `c`/`sv`/`cd`/`pq`
@@ -1553,6 +1782,18 @@ object Vectors {
   private lazy val sqlAnnPq: String =
     s"""WITH c AS ($sqlCorpus),
        |${sqlPqCodes(2)},
+       |$sqlAdcRanked
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+       |FROM r WHERE rn <= 5
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  /** [[annPqStored]]'s oracle: the same ADC chain with the SAMPLED
+    * book training the offline builder uses ([[storedPqBook]]) — the
+    * hash-compare certifies the sampled store end-to-end; [[annPq]]
+    * keeps the full-training oracle as the recompute witness. */
+  private lazy val sqlAnnPqStored: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlPqCodes(2, sqlSamplePq)},
        |$sqlAdcRanked
        |SELECT probe_id, rn, vec_id AS neighbor_id, adist
        |FROM r WHERE rn <= 5
@@ -1590,7 +1831,7 @@ object Vectors {
 
   /** IVF-PQ CTE chain shared by [[annIvfPq]]'s and
     * [[annIvfPqRerank]]'s oracles: cell assignment, cell-tagged
-    * codes, nprobe=2 probe cells, per-probe LUT, cell-pruned ADC sum,
+    * codes, derived-nprobe probe cells, per-probe LUT, cell-pruned ADC sum,
     * per-probe rank — ends with `r(probe_id, vec_id, adist, rn)`.
     * Requires `c`/`cents`/`sv`/`cd`/`pq` from [[sqlCorpus]] +
     * [[sqlKmeansCents]] + [[sqlPqCodes]]. */
@@ -1617,7 +1858,7 @@ object Vectors {
        |  SELECT probe_id, cent_id AS cell
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
        |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
-       |  WHERE crn <= 2),
+       |  WHERE crn <= $sqlNProbe),
        |plut AS (
        |  SELECT pc.probe_id, pc.cell, s.j, k.cent_id,
        |         ${Det.sqlQi4(
@@ -1643,10 +1884,21 @@ object Vectors {
        |FROM r WHERE rn <= 3
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
+  /** [[annIvfPqStored]]'s oracle: both codebooks trained SAMPLED,
+    * exactly as [[storedIvfPqIndex]] builds them. */
+  private lazy val sqlAnnIvfPqStored: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlKmeansCents(3, sqlTrainSample)},
+       |${sqlPqCodes(2, sqlSamplePq)},
+       |$sqlIvfpqRanked
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+       |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
   private lazy val sqlAnnIvfPqRerank: String =
     s"""WITH c AS ($sqlCorpus),
-       |${sqlKmeansCents(3)},
-       |${sqlPqCodes(2)},
+       |${sqlKmeansCents(3, sqlTrainSample)},
+       |${sqlPqCodes(2, sqlSamplePq)},
        |$sqlIvfpqRanked,
        |sl AS (SELECT probe_id, vec_id FROM r WHERE rn <= $sqlClim),
        |rr AS (
@@ -1661,6 +1913,47 @@ object Vectors {
        |       ${Det.sqlR4("cos")} AS cosine
        |FROM r2 WHERE rn <= 3
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  /** Multi-table LSH oracle: re-derives the Rademacher weights with
+    * the SAME md5 rule as [[lshW]] (same strings, same hex), the same
+    * qi4-before-sum sign test, one (t, bucket) join, DISTINCT pair
+    * dedup, exact-cosine rank. */
+  private lazy val sqlAnnLshTables: String = {
+    val qi = Det.sqlQi4("w.w * c.emb[w.d]")
+    s"""WITH c AS ($sqlCorpus),
+       |w AS (
+       |  SELECT t, b, d,
+       |         CASE WHEN SUBSTRING(md5(CAST(t AS VARCHAR) || '_' ||
+       |                CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+       |                1, 1) < '8' THEN 1.0 ELSE -1.0 END AS w
+       |  FROM (SELECT UNNEST(generate_series(0, ${LshTables - 1})) AS t) ts,
+       |       (SELECT UNNEST(generate_series(0, ${LshTableBits - 1})) AS b) bs,
+       |       (SELECT UNNEST(generate_series(1, $LshDims)) AS d) ds),
+       |bits AS (
+       |  SELECT c.vec_id, w.t, w.b,
+       |         CASE WHEN SUM($qi) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM c CROSS JOIN w
+       |  GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT vec_id, t, STRING_AGG(bit, '' ORDER BY b ASC) AS bucket
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, k.vec_id
+       |  FROM bk k JOIN bk p USING (t, bucket)
+       |  WHERE p.vec_id < 10 AND k.vec_id <> p.vec_id),
+       |j AS (
+       |  SELECT cand.probe_id, cand.vec_id,
+       |         list_dot_product(cv.emb, pv.emb)
+       |           / NULLIF(cv.nrm * pv.nrm, 0.0) AS cos
+       |  FROM cand JOIN c cv ON cand.vec_id = cv.vec_id
+       |            JOIN c pv ON cand.probe_id = pv.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY cos DESC, vec_id ASC) AS rn FROM j)
+       |SELECT probe_id, rn, vec_id AS neighbor_id,
+       |       ${Det.sqlR4("cos")} AS cosine
+       |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+  }
 
   private val sqlBucket = (1 to 8)
     .map(i => s"CASE WHEN emb[$i] > 0 THEN '1' ELSE '0' END")
@@ -1708,7 +2001,7 @@ object Vectors {
        |  SELECT probe_id, p_emb, p_nrm, cent_id AS cell
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
        |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
-       |  WHERE crn <= 2),
+       |  WHERE crn <= $sqlNProbe),
        |j AS (
        |  SELECT pc.probe_id, asg.vec_id,
        |         list_dot_product(asg.emb, pc.p_emb)
@@ -1722,12 +2015,15 @@ object Vectors {
        |FROM r WHERE rn <= 3
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
-  /** Residual IVF-PQ oracle: coarse cells, residual corpus by
+  /** Residual IVF-PQ ranked chain: coarse cells, residual corpus by
     * list_zip subtraction, [[sqlPqCodes]] re-pointed at the residual
-    * CTE, per-(probe, probed-cell) residual LUT, cell-pruned ADC. */
-  private lazy val sqlAnnIvfPqResidual: String =
-    s"""WITH c AS ($sqlCorpus),
-       |${sqlKmeansCents(3)},
+    * CTE, per-(probe, probed-cell) residual LUT, cell-pruned ADC —
+    * ends with `r(probe_id, vec_id, adist, rn)`. Requires `c` bound
+    * to [[sqlCorpus]]; shared by the residual oracle and its exact
+    * re-rank tail ([[sqlAnnIvfPqResidualRerank]]). */
+  private def sqlResidualRanked(kmTrain: String = "TRUE",
+                                pqTrain: String = "TRUE"): String =
+    s"""${sqlKmeansCents(3, kmTrain)},
        |cell0 AS (
        |  SELECT c.vec_id, cents.cent_id,
        |         list_dot_product(c.emb, cents.c_emb)
@@ -1744,7 +2040,7 @@ object Vectors {
        |                        x -> x[1] - x[2]) AS emb
        |  FROM c JOIN cellasg USING (vec_id)
        |         JOIN cents k ON cellasg.cell = k.cent_id),
-       |${sqlPqCodes(2, src = "rc")},
+       |${sqlPqCodes(2, pqTrain, src = "rc")},
        |ccd AS (
        |  SELECT cd.vec_id, rc.cell, cd.j, cd.code
        |  FROM cd JOIN rc USING (vec_id)),
@@ -1757,7 +2053,7 @@ object Vectors {
        |  SELECT probe_id, cent_id AS cell
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
        |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
-       |  WHERE crn <= 2),
+       |  WHERE crn <= $sqlNProbe),
        |prc AS (
        |  SELECT pc.probe_id, pc.cell,
        |         list_transform(list_zip(p.emb, k.c_emb),
@@ -1784,9 +2080,45 @@ object Vectors {
        |  WHERE ccd.vec_id <> plut.probe_id
        |  GROUP BY plut.probe_id, ccd.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-       |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)
+       |                ORDER BY adist ASC, vec_id ASC) AS rn FROM ad)""".stripMargin
+
+  private lazy val sqlAnnIvfPqResidual: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlResidualRanked()}
        |SELECT probe_id, rn, vec_id AS neighbor_id, adist
        |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  /** The stored residual twin's oracle: the SAME chain with the
+    * sampled-training predicates the offline builders use — the
+    * driver hash-compare certifies the sampled store end-to-end
+    * (the in-query key above stays the full-training recompute
+    * witness with its own oracle). */
+  private lazy val sqlAnnIvfPqResidualStored: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlResidualRanked(sqlTrainSample, sqlSamplePq)}
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adist
+       |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  /** Residual search + exact re-rank oracle: the residual ranked
+    * chain, the corpus-derived shortlist cut, then the exact-cosine
+    * tail — the [[sqlAnnIvfPqRerank]] recipe over the residual CTEs. */
+  private lazy val sqlAnnIvfPqResidualRerank: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlResidualRanked(sqlTrainSample, sqlSamplePq)},
+       |sl AS (SELECT probe_id, vec_id FROM r WHERE rn <= $sqlClim),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id,
+       |         list_dot_product(cv.emb, p.emb)
+       |           / NULLIF(cv.nrm * p.nrm, 0.0) AS cos
+       |  FROM sl JOIN c cv ON sl.vec_id = cv.vec_id
+       |          JOIN c p  ON sl.probe_id = p.vec_id),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                 ORDER BY cos DESC, vec_id ASC) AS rn FROM rr)
+       |SELECT probe_id, rn, vec_id AS neighbor_id,
+       |       ${Det.sqlR4("cos")} AS cosine
+       |FROM r2 WHERE rn <= 3
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
   /** SQ8 CTE chain shared by both SQ8 oracles: per-dim stats,
@@ -1946,6 +2278,7 @@ object Vectors {
          |       ${Det.sqlR4("cos")} AS cosine
          |FROM r WHERE rn <= 3
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
+    "q_sim_ann_lsh_tables" -> sqlAnnLshTables,
     "q_sim_ann_multiprobe" ->
       s"""WITH c0 AS ($sqlCorpus),
          |c AS (SELECT *, $sqlBucket AS bucket,
@@ -1973,10 +2306,10 @@ object Vectors {
          |ORDER BY probe_id ASC, rn ASC""".stripMargin,
     "q_sim_ann_ivf" -> sqlAnnIvf("TRUE"),
     "q_sim_ann_ivf_sampled" ->
-      sqlAnnIvf(s"$sqlTrainSample OR vec_id < 8"),
+      sqlAnnIvf(sqlTrainSample),
     "q_sim_ann_pq_sampled" ->
       s"""WITH c AS ($sqlCorpus),
-         |${sqlPqCodes(2, s"$sqlTrainSample OR vec_id < $PqK")},
+         |${sqlPqCodes(2, sqlSamplePq)},
          |$sqlAdcRanked
          |SELECT probe_id, rn, vec_id AS neighbor_id, adist
          |FROM r WHERE rn <= 5
@@ -1984,7 +2317,8 @@ object Vectors {
     "q_sim_ann_ivfpq_residual" -> sqlAnnIvfPqResidual,
     // stored residual twin shares the oracle verbatim (hash match
     // proves stored ≡ trained-in-query).
-    "q_sim_ann_ivfpq_residual_stored" -> sqlAnnIvfPqResidual,
+    "q_sim_ann_ivfpq_residual_stored" -> sqlAnnIvfPqResidualStored,
+    "q_sim_ann_ivfpq_residual_rerank" -> sqlAnnIvfPqResidualRerank,
     "q_sim_kmeans" ->
       s"""WITH c AS ($sqlCorpus),
          |${sqlKmeansCents(3)},
@@ -2042,13 +2376,13 @@ object Vectors {
          |ORDER BY vec_id ASC""".stripMargin,
     // stored twin shares the oracle verbatim: identical output by
     // construction, so the hash-compare proves stored ≡ in-query.
-    "q_sim_ann_pq_stored" -> sqlAnnPq,
+    "q_sim_ann_pq_stored" -> sqlAnnPqStored,
     "q_sim_ann_pq" -> sqlAnnPq,
     "q_sim_ann_pq_rerank" -> sqlAnnPqRerank,
     "q_sim_ann_ivfpq" -> sqlAnnIvfPq,
     // stored twin shares the oracle verbatim (the pq_stored
     // precedent): hash match proves stored ≡ trained-in-query.
-    "q_sim_ann_ivfpq_stored" -> sqlAnnIvfPq,
+    "q_sim_ann_ivfpq_stored" -> sqlAnnIvfPqStored,
     "q_sim_ann_ivfpq_rerank" -> sqlAnnIvfPqRerank,
     "q_sim_ann_pq_day2" -> sqlAnnPqDay2,
     "q_dedup_embedding" -> {

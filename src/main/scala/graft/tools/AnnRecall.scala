@@ -68,11 +68,13 @@ object AnnRecall {
     val nL2 = l2Truth.count().toDouble
 
     val variants = Seq("q_sim_ann_lsh", "q_sim_ann_multiprobe",
-      "q_sim_ann_hamming", "q_sim_ann_ivf", "q_sim_ann_ivf_sampled",
+      "q_sim_ann_hamming", "q_sim_ann_lsh_tables",
+      "q_sim_ann_ivf", "q_sim_ann_ivf_sampled",
       "q_sim_ann_pq", "q_sim_ann_pq_sampled", "q_sim_ann_pq_stored",
       "q_sim_ann_pq_day2", "q_sim_ann_pq_rerank", "q_sim_ann_ivfpq",
       "q_sim_ann_ivfpq_stored", "q_sim_ann_ivfpq_residual",
-      "q_sim_ann_ivfpq_residual_stored", "q_sim_ann_ivfpq_rerank",
+      "q_sim_ann_ivfpq_residual_stored", "q_sim_ann_ivfpq_residual_rerank",
+      "q_sim_ann_ivfpq_rerank",
       "q_sim_ann_sq8", "q_sim_ann_sq8_rerank")
     val rows = variants.map { key =>
       val (got, secs) = timed {

@@ -555,11 +555,14 @@ class OperatorSpec extends AnyFunSuite {
     val trained = Vectors.kmeansCentroids(c, rounds = 3)
     val rTrained = recall(Vectors.ivfTopk(c, trained))
     val rStandin = recall(Vectors.ivfTopk(c, Vectors.initCentroids(c)))
-    info(f"IVF recall@3: trained $rTrained%.3f vs first-8 $rStandin%.3f")
+    info(f"IVF recall@3: trained $rTrained%.3f vs seed stand-in $rStandin%.3f")
     assert(rTrained >= rStandin,
       f"k-means codebook lost recall: $rTrained%.3f < $rStandin%.3f")
-    // codebook well-formed: 8 cells, full dimensionality, nonzero norms
-    assert(trained.count() == 8)
+    // codebook well-formed: exactly the corpus-derived
+    // max(NCellsMin, ⌈√n⌉) cells, full dimensionality, nonzero norms
+    val ncells = math.max(graft.ops.Vectors.NCellsMin,
+      math.ceil(math.sqrt(c.count().toDouble)).toLong)
+    assert(trained.count() == ncells)
     assert(trained.filter(size(col("c_emb")) =!= 64).count() == 0)
     assert(trained.filter(col("c_nrm") <= 0.0).count() == 0)
   }
@@ -609,6 +612,35 @@ class OperatorSpec extends AnyFunSuite {
       f"residual coding lost recall: $rRes%.3f < $rRaw%.3f")
   }
 
+  test("multi-table rotated-base LSH: recall floor holds and dominates " +
+      "every single-table sign tier") {
+    // The rescue the Vectors header promised and the r13 verdict
+    // demanded (#5): L independent Rademacher-rotated tables of
+    // shorter codes vs the 0.00-0.13-recall single-table tiers.
+    // Pinned: a hard floor (the ≥0.5-class claim at fixture scale
+    // carries slack for regeneration), plus strict dominance over
+    // each single-table variant — the structural claim (L chances
+    // beat one) that must hold at ANY corpus geometry.
+    val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
+    val nTruth = truth.count()
+    def recall(key: String): Double =
+      truth.join(SparkEntry.queries(key)(spark, sf)
+          .filter(col("rn") <= 3).select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id")).count().toDouble / nTruth
+    val rTables = recall("q_sim_ann_lsh_tables")
+    val rLsh = recall("q_sim_ann_lsh")
+    val rMulti = recall("q_sim_ann_multiprobe")
+    val rHam = recall("q_sim_ann_hamming")
+    info(f"recall@3: tables $rTables%.3f vs lsh $rLsh%.3f / " +
+      f"multiprobe $rMulti%.3f / hamming $rHam%.3f")
+    assert(rTables >= 0.3,
+      f"multi-table LSH recall $rTables%.3f below the pinned floor 0.3")
+    assert(rTables >= rLsh && rTables >= rMulti && rTables >= rHam,
+      f"multi-table LSH $rTables%.3f lost to a single-table tier " +
+        f"($rLsh%.3f / $rMulti%.3f / $rHam%.3f)")
+  }
+
   test("SQ8: codes well-formed; per-dim fidelity beats subspace PQ") {
     val truth = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
       .filter(col("rn") <= 3).select("probe_id", "neighbor_id")
@@ -629,17 +661,24 @@ class OperatorSpec extends AnyFunSuite {
       f"SQ8 ranked below PQ: $rSq8%.3f < $rPq%.3f")
     assert(rSq8R >= rSq8,
       f"exact re-rank lost recall: $rSq8R%.3f < $rSq8%.3f")
-    // every code is an in-range int and every vector is coded
+    // every code is an in-range int and every vector is coded —
+    // asserted directly on the QUANTIZED CORPUS (round-13 ADVICE: the
+    // previous qdist>=0 / count>0 checks were vacuous)
     import graft.ops.Vectors
     val c = Vectors.corpus(spark, sf)
+    val coded = Vectors.sq8Corpus(c)
+    assert(coded.count() == c.count(), "a vector went uncoded")
+    assert(coded.filter(exists(col("q"),
+        q => q < 0 || q > 255 || q.isNull)).count() == 0,
+      "an SQ8 code fell outside [0, 255]")
+    assert(coded.filter(size(col("q")) =!= 64).count() == 0,
+      "an SQ8 code vector lost dimensions")
     val sq8 = SparkEntry.queries("q_sim_ann_sq8")(spark, sf)
-    assert(sq8.filter(col("qdist") < 0).count() == 0)
     assert(sq8.groupBy("probe_id").count()
       .filter(col("count") =!= 5).count() == 0)
-    assert(c.count() > 0)
   }
 
-  test("kmeans clusters: sizes reconcile, ids from the 8-cell codebook") {
+  test("kmeans clusters: sizes reconcile, ids from the derived codebook") {
     val k = SparkEntry.queries("q_sim_kmeans")(spark, sf)
     val corpus = graft.io.Tables.embeddings(spark, sf).count()
     assert(k.count() == corpus, "every vector must be assigned")
@@ -648,7 +687,10 @@ class OperatorSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") =!= col("cluster_size"))
     assert(bad.count() == 0, "cluster_size disagrees with actual population")
-    assert(k.filter(col("cluster_id") < 0 || col("cluster_id") > 7).count() == 0)
+    // ids come from the corpus-derived max(8, ceil(sqrt(n)))-cell codebook
+    val ncells = math.max(8L, math.ceil(math.sqrt(corpus.toDouble)).toLong)
+    assert(k.filter(col("cluster_id") < 0 || col("cluster_id") >= ncells)
+      .count() == 0)
     assert(k.filter(col("cent_cos") < -1.0001 || col("cent_cos") > 1.0001)
       .count() == 0)
   }
@@ -1620,8 +1662,14 @@ class OperatorSpec extends AnyFunSuite {
     }
     val ivfpq = SparkEntry.queries("q_sim_ann_ivfpq")(spark, sf).cache()
     try {
+      // the engine's corpus-derived geometry, from the ONE set of
+      // constants the engine itself uses
+      val ncells = math.max(graft.ops.Vectors.NCellsMin,
+        math.ceil(math.sqrt(c.count().toDouble)).toLong)
+      val nprobe = math.max(graft.ops.Vectors.NProbeMin, math.ceil(
+        ncells.toDouble / graft.ops.Vectors.CellsPerProbe).toLong).toInt
       val probeCells = cellOf(c.filter(col("vec_id") < 10)
-        .withColumnRenamed("vec_id", "probe_id"), "probe_id", 2)
+        .withColumnRenamed("vec_id", "probe_id"), "probe_id", nprobe)
       val nbrCells = cellOf(c.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id", 1)
       val outside = ivfpq.join(nbrCells, "neighbor_id")
@@ -1760,12 +1808,15 @@ class OperatorSpec extends AnyFunSuite {
       "binned interval join diverged from the plain formulation")
   }
 
-  test("stored PQ index: search equals in-query training, store reused") {
+  test("stored PQ index: search equals in-query SAMPLED training, store reused") {
+    // round 14: the offline builder trains on the deterministic 25%
+    // sample (+ seeds), so the stored index's value-identity twin is
+    // q_sim_ann_pq_sampled — the SAME trainWhere, trained in-query.
     val stored = SparkEntry.queries("q_sim_ann_pq_stored")(spark, sf)
-    val trained = SparkEntry.queries("q_sim_ann_pq")(spark, sf)
+    val trained = SparkEntry.queries("q_sim_ann_pq_sampled")(spark, sf)
     assert(stored.exceptAll(trained).count() == 0 &&
       trained.exceptAll(stored).count() == 0,
-      "stored-index ADC diverged from in-query-trained ADC")
+      "stored-index ADC diverged from in-query sampled-trained ADC")
     // second run must READ the store, not rebuild it: the receipt's
     // mtime is the witness (the incremental_stored precedent)
     val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")

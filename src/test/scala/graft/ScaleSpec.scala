@@ -33,9 +33,26 @@ class ScaleSpec extends AnyFunSuite {
     // cleanly from anything corpus-shaped. ORDER BY output sorts use
     // RangePartitioning and are exempt by construction: the contract's
     // output sort is output-sized, and AQE sizes its partition count.
+    //
+    // Second mechanized shape (the round-13 finding, fixed round 14):
+    // a COUNT window — count().over(Window.partitionBy(key)) — on a
+    // group-size reporting step. On an unbounded-cardinality key whose
+    // hottest group is data-sized (cluster_id, simhash, gram, fp), the
+    // window shuffles every member of that group into ONE task and
+    // sorts it, and AQE cannot split window partitions; the skew-safe
+    // form is Skew.withGroupSize (groupBy + join-back). No registry
+    // query may plan a Count window function at all, except the one
+    // declared trade: q_dedup_minhash_capped keeps a band-key count
+    // window precisely so the self-join downstream lands on the SAME
+    // exchange (ReusedExchange) instead of re-deriving the 64-minhash
+    // signature lineage per branch (Dedup.lshCandidatePairsCapped's
+    // comment carries the full reasoning; its hot keys are the thing
+    // the cap bounds).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
@@ -44,6 +61,7 @@ class ScaleSpec extends AnyFunSuite {
       case other => other +: other.children.flatMap(flatten)
     }
     val cap = 4096L
+    val countWindowOk = Set("q_dedup_minhash_capped")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val qe = fn(spark, sf).queryExecution
@@ -54,6 +72,13 @@ class ScaleSpec extends AnyFunSuite {
               e.metrics.get("shuffleRecordsWritten").exists(_.value > cap) =>
             s"$name: ${e.metrics("shuffleRecordsWritten").value} records " +
               "through a single-partition shuffle"
+          case w: WindowExec
+            if !countWindowOk.contains(name) && w.partitionSpec.nonEmpty &&
+              w.windowExpression.exists(
+                _.collectFirst { case c: Count => c }.isDefined) =>
+            s"$name: Count window over partitionBy(" +
+              w.partitionSpec.mkString(",") +
+              ") — use Skew.withGroupSize (groupBy + join-back)"
         }
     }
     assert(offenders.isEmpty, offenders.mkString("; "))

@@ -347,6 +347,94 @@ class StreamsSpec extends AnyFunSuite {
       "post-restart snapshot diverges from the one-shot full replay")
   }
 
+  test("checkpoint restart: incremental-dedup label fold resumes from " +
+      "its offsets and matches the one-shot CC") {
+    // The SECOND production foreachBatch loop, given the same
+    // kill-and-resume treatment as the CDC compactor above (round-13
+    // verdict #8): the incremental signature/label fold — here with
+    // DURABLE state (labels + corpus signatures persisted to parquet
+    // each batch, exactly what a daily-ingest deployment keeps) so the
+    // consumer state survives the kill like the compactor's snapshot
+    // does. A file-source query with a durable checkpoint is stopped
+    // mid-ingest, the remaining new docs land while it is down, a new
+    // query starts from the SAME checkpoint, and:
+    //  1. only the pending rows are reprocessed (offset resume);
+    //  2. the final durable label table equals q_dedup_clusters_sig's
+    //     one-shot full-CC recompute (the driver-verified twin).
+    import graft.ops.{Dedup, Text}
+    val sfDir = SparkTestSession.sf
+    val docs = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def sb(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sigBands(df.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("word")))
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (ingest0, ingest1) = newDocs.splitAt(newDocs.length / 2)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt-")
+      .toFile
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val sigDir = new java.io.File(root, "sigs").getPath
+    val labelDir = new java.io.File(root, "labels").getPath
+    // day-0 durable state: signatures + labels of the existing corpus
+    sb(docs.filter(pmod(col("doc_id"), lit(10)) =!= 9))
+      .write.mode("overwrite").parquet(sigDir)
+    Dedup.storedOldClusterLabels(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .write.mode("overwrite").parquet(labelDir)
+    def feed(ds: Seq[(Long, String)]): Unit =
+      spark.createDataset(ds).toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(srcDir.getPath)
+
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    def startQuery() = spark.readStream
+      .schema(docs.schema)
+      .parquet(srcDir.getPath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        processed.addAndGet(batch.count())
+        val bsb = sb(batch).localCheckpoint()
+        val corpus = spark.read.parquet(sigDir)
+        val pairs = Dedup.incrementalPairs(corpus, bsb)
+          .select(col("a_id"), col("b_id"))
+        val prev = spark.read.parquet(labelDir)
+        // materialize BEFORE overwriting the dirs the fold read from
+        val folded = Dedup.foldBatchLabels(prev,
+            batch.select(col("doc_id")), pairs).localCheckpoint()
+        val grown = corpus.unionByName(bsb).localCheckpoint()
+        folded.write.mode("overwrite").parquet(labelDir)
+        grown.write.mode("overwrite").parquet(sigDir)
+        ()
+      }
+      .outputMode("update").start()
+
+    feed(ingest0)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(processed.get() == ingest0.length.toLong)
+    q1.stop()            // killed mid-ingest …
+    feed(ingest1)        // … the rest of the day arrives while DOWN
+
+    processed.set(0)
+    val q2 = startQuery()  // same checkpoint, new query instance
+    q2.processAllAvailable()
+    q2.stop()
+    assert(processed.get() == ingest1.length.toLong,
+      s"restart reprocessed history: saw ${processed.get()} rows, " +
+        s"expected only the ${ingest1.length} pending ones")
+
+    val expected = graft.SparkEntry.queries("q_dedup_clusters_sig")(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val got = spark.read.parquet(labelDir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expected,
+      "post-restart labels diverge from the one-shot full-CC recompute")
+  }
+
   test("epoch parquet sink writes idempotent epoch directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-epoch-ck").toString
