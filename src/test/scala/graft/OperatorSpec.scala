@@ -470,7 +470,13 @@ class OperatorSpec extends AnyFunSuite {
     val root = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store"))
     def store(kind: String): java.io.File = {
-      val tok = s"-$kind-v${Dedup.StoreFormatVersion}-"
+      // the PQ family composes its own version beside the shared token
+      // (-vN.pM-): match the engine's EXACT current composition, or a
+      // leftover store from an older version would satisfy the lookup
+      // (this bit a fresh machine: the old "-$kind-vN-" token matched
+      // nothing current and only ever passed against stale dirs)
+      val tok =
+        s"-$kind-v${Dedup.StoreFormatVersion}.p${Vectors.PqStoreVersion}-"
       val ds = Option(root.listFiles()).toSeq.flatten
         .filter(f => f.getName.contains("sf0.001") &&
           f.getName.contains(tok) && !f.getName.contains(".tmp-") &&
@@ -1862,7 +1868,12 @@ class OperatorSpec extends AnyFunSuite {
     // append proof: every tf0 part file appears in tf1 as a HARD LINK
     val root = sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
     def store(kind: String): java.io.File = {
-      val tok = s"-$kind-v${graft.ops.Dedup.StoreFormatVersion}-"
+      // the TF family composes its version into the KIND (tf<day>.tN):
+      // match the engine's exact composition (see OperatorSpec's PQ
+      // day-chain note — the bare "-$kind-vN-" token only ever matched
+      // stale pre-family-token dirs)
+      val tok = s"-$kind.t${graft.ops.Dedup.TfStoreVersion}" +
+        s"-v${graft.ops.Dedup.StoreFormatVersion}-"
       val ds = Option(new java.io.File(root).listFiles()).toSeq.flatten
         .filter(f => f.getName.contains("sf0.001") && f.getName.contains(tok) &&
           !f.getName.contains(".tmp-") && !f.getName.endsWith(".lock"))
