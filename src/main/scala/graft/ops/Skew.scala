@@ -51,12 +51,19 @@ object Skew {
     * map-combines to ≤ one row per key per map partition before its
     * exchange, Catalyst broadcasts the key-sized count table when it is
     * small, and when it is not, the join-back exchange IS
-    * AQE-skew-splittable. `df` is referenced on both sides, but any
-    * exchange inside its lineage is planned once and reused
-    * (ReusedExchange) — nothing upstream runs twice past the last
-    * shuffle. `key` must be non-null (a null key would drop rows in the
-    * equi-join where the window kept them); every call site's key is
-    * non-null by construction. */
+    * AQE-skew-splittable. `df` is referenced on both sides; when its
+    * lineage ends in a shuffle or checkpoint both consumers share it
+    * (ReusedExchange / the cut lineage), and when Catalyst instead
+    * rewrites the count side into its own partial-agg chain (it elides
+    * `df`'s final aggregate where counting groups ≡ counting distinct
+    * keys), the narrow segment below the first shuffle runs once more —
+    * two parallel map scans, never a single-task sort. That bounded
+    * recompute is the price of the skew bound, the same trade
+    * rankPerProbe makes (ScaleSpec pins the shape: hash-keyed
+    * exchanges only, results ≡ the window form). `key` must be
+    * non-null (a null key would drop rows in the equi-join where the
+    * window kept them); every call site's key is non-null by
+    * construction. */
   def withGroupSize(df: DataFrame, key: String, out: String): DataFrame =
     df.join(df.groupBy(col(key)).agg(count(lit(1)).as(out)), Seq(key))
 }

@@ -150,6 +150,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(jPlan.toLowerCase.contains("dynamicpruning"), jPlan.take(1500))
   }
 
+  test("withGroupSize: window-equal results; non-broadcast join-back " +
+      "plans only hash-keyed exchanges, no window, no single-partition") {
+    // Pins Skew.withGroupSize's universal scale claims beyond the
+    // sweep's negative check. (1) Result identity with the window form
+    // it replaced. (2) The shape that makes it skew-safe: with
+    // broadcast disabled (at 100 TB a distinct-gram count table is not
+    // broadcastable), the executed plan must contain NO WindowExec (no
+    // single-task family sort), NO SinglePartition shuffle, and every
+    // exchange hash-partitioned on real keys — the partitioning AQE's
+    // skew split can act on. Deliberately NOT pinned: ReusedExchange.
+    // Catalyst is free to rewrite the count side into its own
+    // partial-agg chain (counting base's groups ≡ counting distinct
+    // keys, so it elides base's final aggregate) — the first draft of
+    // this test demanded ReusedExchange and the optimizer's CHEAPER
+    // rewrite failed it; the doc and this spec now state the claim the
+    // engine actually needs (bounded parallel recompute, never a
+    // funnel).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val base = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val sized = Skew.withGroupSize(base, "w", "n_docs")
+    val win = base.withColumn("n_docs", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+    assert(sized.exceptAll(win).count() == 0 &&
+      win.exceptAll(sized).count() == 0,
+      "groupBy + join-back diverged from the window form")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec        => p +: flatten(q.plan)
+      case r: ReusedExchangeExec    => p +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val qe = sized.queryExecution
+    qe.toRdd.count()
+    val nodes = flatten(qe.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "join-back planned a window:\n" + qe.executedPlan.toString.take(1500))
+    val badExchanges = nodes.collect {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning == SinglePartition ||
+          !e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        e.outputPartitioning.toString
+    }
+    assert(badExchanges.isEmpty,
+      s"non-hash exchange(s) in the join-back plan: $badExchanges\n" +
+        qe.executedPlan.toString.take(1500))
+  }
+
   test("salted join equals plain join") {
     val fact = Tables.events(spark, sf)
     val dim = Tables.customer(spark, sf)
