@@ -440,9 +440,13 @@ class StreamsSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-epoch-ck").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
+    // data must land BEFORE start: AvailableNow snapshots the available
+    // end-offset when the query starts, so a post-start addData can race
+    // the snapshot and the query terminates having processed nothing
+    // (observed as an intermittent empty-epoch failure)
+    mem.addData(evs)
     val q = graft.io.Sinks.epochParquetSink(mem.toDF(), out, ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    mem.addData(evs)
     q.awaitTermination(60000)
     val epochs = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("epoch=")).map(_.getName)
