@@ -90,6 +90,30 @@ object Bench {
     val spread = byQuery.collect { case (k, xs) if xs.nonEmpty =>
       k -> (xs.min, xs.max)
     }
+    // Cold/warm split: the FIRST pass at the target SF is the one that
+    // builds every store the key reads (signature/pair/label/PQ/TF
+    // chains publish on first touch), so its time is store-build +
+    // query; later passes read published stores only. (On a re-run
+    // against unchanged fixtures the stamp-keyed stores are already
+    // published and cold ≈ warm — the split is meaningful on the
+    // fresh-store run the driver performs.) Reporting
+    // `cold` (first successful pass) and `warm_median` (median of the
+    // remaining successful passes) separately makes store economics
+    // first-class evidence instead of a spread anomaly — a stored
+    // key's [1.4, 27.4] spread is really cold=27.4 / warm=1.4.
+    // warm_median is -1 when no post-first pass succeeded (e.g. a
+    // single-pass run): unknown is reported as unknown, never
+    // approximated by the cold value.
+    val coldPass = queries.keys.map { k =>
+      k -> allPasses.iterator.map(_(k))
+        .collectFirst { case (v, true) => v }.getOrElse(-1.0)
+    }.toMap
+    val warmMedian = queries.keys.map { k =>
+      val later = allPasses.drop(1).flatMap { p =>
+        val (v, ok) = p(k); if (ok) Some(v) else None
+      }
+      k -> median(later)
+    }.toMap
     // A query that failed every pass has no measurement — its -1 marker
     // must never enter the total (round 5 committed a crashed sf1 run
     // whose total summed 94 sentinels to -85s and still parsed as a
@@ -115,7 +139,7 @@ object Bench {
     val heapJson =
       if (heapProbe) s""","peak_heap_mb":${jsonMap(peakHeapMb.toSeq.sortBy(-_._2))}"""
       else ""
-    val full = s"""{"n":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"spread":${jsonSpread(spread)}$heapJson}"""
+    val full = s"""{"n":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"cold":${jsonMap(coldPass)},"warm_median":${jsonMap(warmMedian)},"spread":${jsonSpread(spread)}$heapJson}"""
     println(s"BENCH_FULL $full")
     // ... and persisted to a file so no round's per-query history can be
     // lost to stdout-tail truncation again (BENCH_r01's total was)

@@ -356,7 +356,7 @@ object Dedup {
   /** Batch selector for [[incremental]]: doc_id ≡ 9 (mod 10) plays
     * "today's ingest" (~10% of the corpus). Deterministic and
     * engine-agnostic, like [[Text]]'s BenchMod eval split. */
-  private val NewBatchMod = 10
+  private[graft] val NewBatchMod = 10
 
   /** Incremental near-dedup — the daily-ingest production shape: find
     * every ≥0.8-estimated pair with AT LEAST ONE endpoint in the new
@@ -444,7 +444,7 @@ object Dedup {
     * stamp, which changes the store path, which forces a rebuild. In a
     * production deployment the table format's snapshot id
     * (Delta/Iceberg) plays exactly this role. */
-  private[ops] def fsStamp(path: String): String = {
+  private[graft] def fsStamp(path: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
@@ -614,16 +614,25 @@ object Dedup {
     * use. `upstream` lists the store dirs the build READS — recorded
     * in the published dir ([[UpstreamMarker]]) and re-verified on
     * every read, so an incoherent store root refuses loudly instead of
-    * pairing fresh tables with stale ones. */
+    * pairing fresh tables with stale ones. `partitionBy` writes the
+    * store hive-partitioned on those columns — physical layout
+    * pruning: a reader whose join/filter keys on a partition column
+    * scans only the matching subdirectories (static filters at plan
+    * time, broadcast-derived keys via dynamic partition pruning). The
+    * partition columns move to the END of the read-back schema, so
+    * every consumer must select by name (all do). */
   private[ops] def storedTable(s: SparkSession, dir: String,
-                          upstream: Seq[String] = Nil)
+                          upstream: Seq[String] = Nil,
+                          partitionBy: Seq[String] = Nil)
                          (build: => DataFrame): DataFrame = {
     val target = new java.io.File(dir)
     def ready = new java.io.File(target, "_SUCCESS").exists()
     if (!ready) {
       val tmp = new java.io.File(target.getParentFile,
         s"${target.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      build.write.mode("overwrite").parquet(tmp.getPath)
+      val w = build.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.getPath)
       if (upstream.nonEmpty)
         java.nio.file.Files.write(tmp.toPath.resolve(UpstreamMarker),
           upstream.map(p => new java.io.File(p).getName)
@@ -1659,9 +1668,23 @@ object Dedup {
   /** 16-bit SimHash from md5 nibble high-bits, weighted by token
     * frequency; identical fingerprints grouped (hamming-0 collisions).
     * At scale: one doc-keyed aggregation, then the fingerprint group
-    * size via [[Skew.withGroupSize]] — a count window by fingerprint
-    * would sort the hottest collision family (the empty/boilerplate
-    * page fingerprint) in one task. */
+    * size via groupBy + broadcast join-back — a count window by
+    * fingerprint would sort the hottest collision family (the
+    * empty/boilerplate page fingerprint) in one task, and
+    * [[Skew.withGroupSize]]'s generic join is unnecessary here
+    * because this key's count table is bounded (see below). The
+    * fingerprint frame is LAZILY
+    * localCheckpointed first: its lineage (token explode + 16-bit
+    * agg) is the expensive part of the query, and Catalyst compiles
+    * the join-back's count side into its own aggregate chain, so
+    * without the cut that lineage runs once per consumer (measured
+    * 2.8× at sf0.1). Lazy (not eager): the count side materializes
+    * the blocks inside the one query execution and the probe side
+    * reads them — no separate up-front job. The count side is
+    * explicitly broadcast because it is BOUNDED at any corpus size
+    * (≤ 2^16 rows, one per distinct 16-bit fingerprint) — the one
+    * group-size case where broadcast is scale-correct by
+    * construction, so the probe side never shuffles. */
   private val simhash: Q = (s, d) => {
     val bits = (1 to 16).map { k =>
       sum(when(substring(md5(col("word").cast("binary")), k, 1)
@@ -1675,7 +1698,10 @@ object Dedup {
       .select(col("doc_id"),
         concat((1 to 16).map(k =>
           when(col(s"b$k") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-    Skew.withGroupSize(fp, "simhash", "n_same")
+      .localCheckpoint(false)
+    fp.join(
+        broadcast(fp.groupBy(col("simhash")).agg(count(lit(1)).as("n_same"))),
+        Seq("simhash"))
       .select(col("doc_id"), col("simhash"), col("n_same"))
       .orderBy(col("doc_id").asc)
   }
@@ -1716,23 +1742,41 @@ object Dedup {
     * case of two long documents sharing one boilerplate paragraph —
     * doc-level Jaccard stays low, span-level duplication flags it.
     *
-    * Scale shape — linear lineage, NO self-join and no broadcast of
-    * anything corpus-sized: (gram, doc)-keyed partial agg (map-side
-    * combine collapses within-doc repeats), the distinct-doc count per
-    * gram via [[Skew.withGroupSize]] (the wide exchanges carry one row
-    * per distinct (gram, doc); a gram-keyed count window would sort
-    * every holder of the hottest boilerplate 5-gram in one task), then
-    * the doc-keyed roll-up. The gram strings could be xxhash64-folded
-    * at real scale, kept verbatim here so the oracle stays
-    * string-exact. */
+    * Scale shape — SINGLE linear lineage over the gram stream, no
+    * self-join, no join-back, nothing corpus-sized broadcast or
+    * re-derived. The algebraic key: a doc's span total is generator
+    * arithmetic (`max(0, tokens − SpanK + 1)` — no gram stream
+    * needed), and its duplicated-span count is that total minus its
+    * UNIQUE-span count; a gram with exactly one holding document
+    * (nd = 1) has exactly one (gram, doc, c) row, so the holder and
+    * its count ride through the gram-keyed aggregation as `min`s and
+    * the unique-span mass rolls up per doc with no redistribution of
+    * nd over member rows at all. Every aggregate is hash+partial
+    * (map-side combine bounds any task's share of the hottest
+    * boilerplate gram before its exchange); the r14 join-back form
+    * ([[Skew.withGroupSize]]) computed the same thing with a second
+    * traversal of the gram lineage — this form needs one, and ran 5×
+    * faster at sf0.1 (0.3 s vs 1.45 s ckpt / 1.9 s re-derive). The
+    * gram strings could be xxhash64-folded at real scale, kept
+    * verbatim here so the oracle stays string-exact. */
   private val spans: Q = (s, d) => {
-    val perDocGram = docSpanGrams(s, d)
+    val totals = Tables.documents(s, d)
+      .select(col("doc_id"),
+        greatest(size(Text.tokens(col("text"))) - (SpanK - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .filter(col("n_spans") > 0)
+    val uniqPerDoc = docSpanGrams(s, d)
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-    Skew.withGroupSize(perDocGram, "gram", "nd")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_spans"),
-        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"),
+        min(col("doc_id")).as("doc_id"), min(col("c")).as("c"))
+      .filter(col("nd") === 1)
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_uniq"))
+    totals.join(uniqPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_uniq"), lit(0L)))
+          .as("n_dup_spans"))
       .withColumn("dup_frac",
         Det.r4(col("n_dup_spans").cast("double") / col("n_spans")))
       .orderBy(col("doc_id").asc)

@@ -371,10 +371,16 @@ object Text {
     def tokhash(w: Column): Column =
       (ascii(substring(w, 1, 1)) * 961 +
         ascii(substring(w, -1, 1)) * 31 + length(w)).cast("long")
+    // LAZY localCheckpoint: the rolling-hash fold over every token is
+    // the query's whole cost; the cut makes the join-back's two
+    // consumers read one materialization instead of re-folding (7× at
+    // sf0.1 r14), and lazy means the first consumer materializes the
+    // blocks inside the one query execution — no separate eager job
     val withFp = Tables.documents(s, d)
       .withColumn("fp",
         aggregate(tokens(col("text")), lit(0L),
           (h, w) => pmod(h * 31L + tokhash(w), lit(p))))
+      .localCheckpoint(false)
     // family size via groupBy+join-back, not a fp-keyed count window:
     // the hottest fingerprint family (empty/boilerplate pages) is
     // data-sized at corpus scale and a window would sort it in one task

@@ -119,9 +119,11 @@ object Vectors {
     * scan fraction across scales, computed map-side from data the
     * expression already holds (no extra aggregate, no collect). */
   private def withNearestCells(df: DataFrame, cents: DataFrame,
-                               emb: Column, nrm: Column): DataFrame = {
+                               emb: Column, nrm: Column,
+                               cellsPerProbe: Long = CellsPerProbe)
+      : DataFrame = {
     val nprobe = greatest(lit(NProbeMin),
-      ceil(size(col("cb")).cast("double") / lit(CellsPerProbe.toDouble))
+      ceil(size(col("cb")).cast("double") / lit(cellsPerProbe.toDouble))
         .cast("long")).cast("int")
     df.crossJoin(broadcast(centsAsArray(cents)))
       .withColumn("cell", explode(transform(
@@ -901,7 +903,34 @@ object Vectors {
   // p3: corpus-derived geometry (ncells = ⌈√n⌉, derived nprobe) and
   // SAMPLED training in every stored builder (codebook, coarse,
   // resbook) — all stored contents change.
-  private[graft] val PqStoreVersion = 3
+  // p4: ivfcodes/rescodes hive-partitioned by cell (physical layout
+  // pruning for the probed-cell scan) — dir layout changes.
+  private[graft] val PqStoreVersion = 4
+
+  /** One-time (per JVM) sweep of PQ store dirs carrying a superseded
+    * family version (`.pM-` with M ≠ [[PqStoreVersion]]): they are
+    * rebuilt under the new token and would otherwise accumulate stale
+    * parquet forever (the Dedup.legacySwept tf-tag precedent). Runs
+    * ONLY against the built-in /tmp default — an explicit
+    * SPARK_GRAFT_PQ_STORE may hold a store a concurrent older-code
+    * JVM is mid-read of. Best-effort, never fatal. */
+  private lazy val pqLegacySwept: Unit =
+    if (sys.env.contains("SPARK_GRAFT_PQ_STORE")) ()
+    else {
+      val tag = """\.p(\d+)-""".r
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmAll)
+        f.delete(); ()
+      }
+      try Option(new java.io.File("/tmp/graft-pq-store").listFiles())
+        .toSeq.flatten
+        .filter { f =>
+          f.isDirectory && !f.getName.contains(".tmp-") &&
+            tag.findFirstMatchIn(f.getName)
+              .exists(_.group(1).toInt != PqStoreVersion)
+        }.foreach(rmAll)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Root dir of the flat PQ index store for fixture `d`.
     * "t" prefix: see Dedup.storeDir — a leading "_" marks the dir
@@ -909,6 +938,7 @@ object Vectors {
     * freshness (shared machinery + PQ-family builders), the stamp
     * DATA freshness — same contract as Dedup.storeDir. */
   private def pqIndexDir(d: String): String = {
+    pqLegacySwept
     val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")
     s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-" +
       s"v${Dedup.StoreFormatVersion}.p$PqStoreVersion-" +
@@ -935,6 +965,7 @@ object Vectors {
     * freshness, content stamp = DATA freshness) over the embeddings
     * table and the PQ store root. */
   private def pqStoreDir(d: String, kind: String): String = {
+    pqLegacySwept
     val root = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE", "/tmp/graft-pq-store")
     s"$root/t${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-" +
       s"v${Dedup.StoreFormatVersion}.p$PqStoreVersion-" +
@@ -1036,10 +1067,13 @@ object Vectors {
   private[graft] val RerankCFactor = 3.0
 
   /** The 1-row (c_lim) frame: crossJoin(broadcast(...)) it onto a
-    * score stream, then rank with k = col("c_lim"). */
-  private def rerankClim(c: DataFrame): DataFrame =
+    * score stream, then rank with k = col("c_lim"). `factor` defaults
+    * to the published [[RerankCFactor]]; the AnnFrontier sweep passes
+    * the other points of the C(n) = factor·√n frontier. */
+  private def rerankClim(c: DataFrame,
+      factor: Double = RerankCFactor): DataFrame =
     c.agg(greatest(lit(RerankCMin),
-      ceil(lit(RerankCFactor) * sqrt(count(lit(1)).cast("double"))))
+      ceil(lit(factor) * sqrt(count(lit(1)).cast("double"))))
         .as("c_lim"))
 
   /** DuckDB form of the shortlist depth — a scalar subquery over the
@@ -1150,12 +1184,13 @@ object Vectors {
     * — callers rank two-level via [[rankPerProbe]]. The corpus is
     * never shuffled with its vectors and never self-joined. */
   private def ivfpqScores(c: DataFrame, coarse: DataFrame, book: DataFrame,
-                          ccodes: DataFrame): DataFrame = {
+                          ccodes: DataFrame,
+                          cellsPerProbe: Long = CellsPerProbe): DataFrame = {
     val probeCells = withNearestCells(
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm")),
-      coarse, col("p_emb"), col("p_nrm"))
+      coarse, col("p_emb"), col("p_nrm"), cellsPerProbe)
       .select(col("probe_id"), col("p_emb"), col("cell"))
     val probeLut = probeCells
       .select(col("probe_id"), col("cell"),
@@ -1205,7 +1240,11 @@ object Vectors {
         trainWhere = Some(trainSample(col("vec_id"))))
     }
     val ccodes = Dedup.storedTable(s, pqStoreDir(d, "ivfcodes"),
-        upstream = Seq(coarseDir, bookDir)) {
+        upstream = Seq(coarseDir, bookDir),
+        // hive-partitioned inverted lists: a search probing nprobe of
+        // ncells cells scans only those cells' files — the physical
+        // half of IVF pruning (the logical half is the cell equi-join)
+        partitionBy = Seq("cell")) {
       ivfpqCodes(c, coarse, book)
     }
     (coarse, book, ccodes)
@@ -1273,12 +1312,13 @@ object Vectors {
     * per-(probe, cell) LUT against the residual book, cell-pruned
     * code join, partial-aggregated sum. Unranked — callers rank. */
   private def residualScores(c: DataFrame, coarse: DataFrame,
-                             book: DataFrame, ccodes: DataFrame): DataFrame = {
+                             book: DataFrame, ccodes: DataFrame,
+                             cellsPerProbe: Long = CellsPerProbe): DataFrame = {
     val probeRes = withNearestCells(
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm")),
-      coarse, col("p_emb"), col("p_nrm"))
+      coarse, col("p_emb"), col("p_nrm"), cellsPerProbe)
       .select(col("probe_id"), col("p_emb"), col("cell"))
       .join(broadcast(coarse.select(col("cent_id").as("cell"), col("c_emb"))),
         "cell")
@@ -1343,7 +1383,10 @@ object Vectors {
         .select(col("vec_id"), col("res").as("emb")), PqRounds)
     }
     val ccodes = Dedup.storedTable(s, pqStoreDir(d, "rescodes"),
-        upstream = Seq(coarseDir, resBookDir)) {
+        upstream = Seq(coarseDir, resBookDir),
+        // same cell-partitioned layout as the raw ivfcodes store —
+        // the rerank path's code scan prunes to the probed cells
+        partitionBy = Seq("cell")) {
       residualCodes(rf, book)
     }
     (coarse, book, ccodes)
@@ -1378,16 +1421,9 @@ object Vectors {
     * fetch is an ID-keyed broadcast semijoin. Before this key the
     * best-recall search re-ranked the NON-residual index; the better
     * index existed and nothing searched it at full quality. */
-  private val annIvfPqResidualRerank: Q = (s, d) => {
-    val c = corpus(s, d)
-    val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
-    val shortlist = rankPerProbe(
-        residualScores(c, coarse, book, ccodes)
-          .crossJoin(broadcast(rerankClim(c))),
-        col("c_lim"), col("adist").asc, col("vec_id").asc)
-      .select(col("probe_id"), col("vec_id"))
-    exactRerank(c, shortlist, 3)
-  }
+  private val annIvfPqResidualRerank: Q =
+    rerankFrontier("q_sim_ann_ivfpq_residual_rerank",
+      RerankCFactor, CellsPerProbe)
 
   /** IVF-PQ with exact re-ranking — the full production ANN stack
     * (FAISS `IndexIVFPQ` + `IndexRefineFlat`): the coarse quantizer
@@ -1401,16 +1437,8 @@ object Vectors {
     * search pays no codebook training (the round-12 verdict's 5.2 s
     * was two in-query Lloyd trainings; the store's coherence is
     * certified by [[annIvfPqStored]]'s own sampled-lineage oracle). */
-  private val annIvfPqRerank: Q = (s, d) => {
-    val c = corpus(s, d)
-    val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
-    val shortlist = rankPerProbe(
-        ivfpqScores(c, coarse, book, ccodes)
-          .crossJoin(broadcast(rerankClim(c))),
-        col("c_lim"), col("adist").asc, col("vec_id").asc)
-      .select(col("probe_id"), col("vec_id"))
-    exactRerank(c, shortlist, 3)
-  }
+  private val annIvfPqRerank: Q =
+    rerankFrontier("q_sim_ann_ivfpq_rerank", RerankCFactor, CellsPerProbe)
 
   // --- Scalar quantization (SQ8) --------------------------------------
   //
@@ -1485,21 +1513,55 @@ object Vectors {
     * scalar-quantized scan: integer-distance shortlist of the
     * corpus-derived top-[[rerankClim]], then exact cosine over the
     * probes×C fetch only. */
-  private val annSq8Rerank: Q = (s, d) => {
+  private val annSq8Rerank: Q =
+    rerankFrontier("q_sim_ann_sq8_rerank", RerankCFactor, CellsPerProbe)
+
+  /** The three production rerank searches with their SEARCH-SIDE
+    * knobs exposed: `cFactor` scales the shortlist rule
+    * C(n) = max([[RerankCMin]], ⌈cFactor·√n⌉) and `cellsPerProbe`
+    * sets nprobe = max([[NProbeMin]], ⌈ncells/cellsPerProbe⌉)
+    * (ignored by sq8, which scans all cells by construction). The
+    * registry keys ARE the (RerankCFactor, CellsPerProbe) point of
+    * this family; the AnnFrontier tool sweeps the rest of the grid
+    * against the SAME stored index — both knobs are search-time
+    * only, so the sweep never retrains or re-codes anything. */
+  private[graft] def rerankFrontier(key: String, cFactor: Double,
+      cellsPerProbe: Long): Q = (s, d) => {
     val c = corpus(s, d)
-    val qc = sq8Corpus(c)
-    val probes = qc.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
-    val scored = qc.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("qdist",
-        aggregate(zip_with(col("q"), col("pq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), _ + _))
-      .crossJoin(broadcast(rerankClim(c)))
-    val shortlist = rankPerProbe(scored, col("c_lim"),
-        col("qdist").asc, col("vec_id").asc)
-      .select(col("probe_id"), col("vec_id"))
-    exactRerank(c, shortlist, 5)
+    key match {
+      case "q_sim_ann_ivfpq_rerank" =>
+        val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
+        val shortlist = rankPerProbe(
+            ivfpqScores(c, coarse, book, ccodes, cellsPerProbe)
+              .crossJoin(broadcast(rerankClim(c, cFactor))),
+            col("c_lim"), col("adist").asc, col("vec_id").asc)
+          .select(col("probe_id"), col("vec_id"))
+        exactRerank(c, shortlist, 3)
+      case "q_sim_ann_ivfpq_residual_rerank" =>
+        val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
+        val shortlist = rankPerProbe(
+            residualScores(c, coarse, book, ccodes, cellsPerProbe)
+              .crossJoin(broadcast(rerankClim(c, cFactor))),
+            col("c_lim"), col("adist").asc, col("vec_id").asc)
+          .select(col("probe_id"), col("vec_id"))
+        exactRerank(c, shortlist, 3)
+      case "q_sim_ann_sq8_rerank" =>
+        val qc = sq8Corpus(c)
+        val probes = qc.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+        val scored = qc.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("qdist",
+            aggregate(zip_with(col("q"), col("pq"),
+              (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+          .crossJoin(broadcast(rerankClim(c, cFactor)))
+        val shortlist = rankPerProbe(scored, col("c_lim"),
+            col("qdist").asc, col("vec_id").asc)
+          .select(col("probe_id"), col("vec_id"))
+        exactRerank(c, shortlist, 5)
+      case other => throw new IllegalArgumentException(
+        s"rerankFrontier knows no key $other")
+    }
   }
 
   /** Multimodal join: text features ⊕ vector features per document. */

@@ -53,7 +53,17 @@ object GenSf {
     // behavior (dup families stay intra-replica) while deliberately
     // breaking the ≤64-token mask invariant, so only the mask-free
     // signature queries (minhash_lsh/verify/clusters_sig/hot_keys) may
-    // run against it.
+    // run against it. "sparsebatch": growvocab PLUS realistic
+    // daily-ingest geometry — the day-2 batch (final doc_id ≡ Day2Res
+    // mod NewBatchMod) is rewritten with PER-DOCUMENT token suffixes
+    // (~u<id>), so each batch doc's token set is globally unique and
+    // joins no dup family, EXCEPT the 1-in-100 batch docs (doc_id ≡
+    // Day2Res mod 100·NewBatchMod) that keep the grown-vocab text and
+    // still touch their family. On growvocab/bijection geometry the
+    // 10% batch touches nearly every dup component (every family
+    // spans all residues), which makes "refresh the touched
+    // components" cost as much as full recompute; a real daily batch
+    // touches ~1% of families, and this fixture measures THAT regime.
     val mode = if (args.length > 3) args(3) else "bijection"
 
     val spark = SparkSession.builder()
@@ -72,7 +82,8 @@ object GenSf {
     * `main` stopping their shared test session. */
   def run(spark: SparkSession, src: String, dst: String, replicas: Int,
       mode: String = "bijection"): Unit = {
-    require(Set("bijection", "growvocab")(mode), s"unknown GenSf mode: $mode")
+    require(Set("bijection", "growvocab", "sparsebatch")(mode),
+      s"unknown GenSf mode: $mode")
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
@@ -103,16 +114,31 @@ object GenSf {
         else vocab.zip(new scala.util.Random(0xC0FFEE + k).shuffle(vocab)).toMap
     }
 
-    /** Per-replica document text rewrite, by mode. */
-    def textReplica(k: Int): org.apache.spark.sql.Column = mode match {
-      case "growvocab" =>
+    /** Per-replica document text rewrite, by mode. `fid` is the FINAL
+      * (offset) doc_id — sparsebatch keys its day-2-batch residue
+      * arithmetic off the id the engine will see. */
+    def textReplica(k: Int, fid: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      def grown =
         if (k == 0) col("text")
         else array_join(transform(split(col("text"), " "),
           w => when(length(w) > 0, concat(w, lit(s"~$k"))).otherwise(w)), " ")
-      case _ =>
-        val m = typedLit(perm(k))
-        array_join(transform(split(col("text"), " "),
-          w => when(length(w) > 0, element_at(m, w)).otherwise(w)), " ")
+      mode match {
+        case "growvocab" => grown
+        case "sparsebatch" =>
+          val mod = graft.ops.Dedup.NewBatchMod
+          val day2 = graft.ops.Dedup.Day2Res
+          val uniq = array_join(transform(split(col("text"), " "),
+            w => when(length(w) > 0, concat(w, lit("~u"), fid)).otherwise(w)),
+            " ")
+          when(pmod(fid, lit(mod)) === day2 &&
+              pmod(fid, lit(100L * mod)) =!= day2, uniq)
+            .otherwise(grown)
+        case _ =>
+          val m = typedLit(perm(k))
+          array_join(transform(split(col("text"), " "),
+            w => when(length(w) > 0, element_at(m, w)).otherwise(w)), " ")
+      }
     }
 
     def offset(c: String, k: Int, s: Long) = (col(c) + lit(k * s)).as(c)
@@ -129,15 +155,15 @@ object GenSf {
     writeUnion("documents", (0 until replicas).map { k =>
       docs.select(
         offset("doc_id", k, dN),
-        textReplica(k).as("text"),
+        textReplica(k, col("doc_id") + lit(k * dN)).as("text"),
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")))
     })
 
-    // Growvocab is the documents-only signature-path fixture — every
-    // other table is byte-identical to what bijection mode writes, so
-    // regenerating them here would only double fixture disk.
-    if (mode == "growvocab") return
+    // Growvocab/sparsebatch are documents-only signature-path fixtures
+    // — every other table is byte-identical to what bijection mode
+    // writes, so regenerating them here would only double fixture disk.
+    if (mode == "growvocab" || mode == "sparsebatch") return
 
     // Dims referenced by unchanged keys: single copy.
     Seq("region", "nation").foreach { t =>

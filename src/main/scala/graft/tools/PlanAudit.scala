@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 
@@ -27,6 +27,13 @@ object PlanAudit {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Audit-session-only: DPP's stats heuristic vetoes partition
+      // pruning when the prunable scan is fixture-tiny (the benefit
+      // estimate rounds to zero). At real scale the same stats FAVOR
+      // pruning; disabling the veto here shows the plan shape the
+      // partitioned store buys — scan metrics below report the actual
+      // files/partitions read.
+      .config("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,6 +91,27 @@ object PlanAudit {
           s"node=${s.nodeName} " +
           s"child=${s.children.headOption.map(_.nodeName).getOrElse("-")} " +
           s"part=${s.outputPartitioning.getClass.getSimpleName}")
+      }
+      // Per file scan: how much of the source was physically read.
+      // For a hive-partitioned store (the cell-partitioned IVF code
+      // tables), partsRead < partsTotal is the layout-pruning receipt
+      // — numFiles counts only the files of the partitions that
+      // survived static + dynamic (DPP) pruning.
+      val scanSeen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+        .filter(scanSeen.add)
+      scans.zipWithIndex.foreach { case (f, i) =>
+        val m = f.metrics
+        def v(key: String): String =
+          m.get(key).map(_.value.toString).getOrElse("-")
+        val root = f.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("-")
+        val dpp = if (f.partitionFilters.exists(
+            _.toString.toLowerCase.contains("dynamicpruning"))) "dpp" else "-"
+        println(s"PLANAUDIT $k   scan$i src=$root " +
+          s"filesRead=${v("numFiles")} partsRead=${v("numPartitions")} " +
+          s"staticFiles=${v("staticFilesNum")} prune=$dpp")
       }
     }
     spark.stop()

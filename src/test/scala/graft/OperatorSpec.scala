@@ -477,10 +477,15 @@ class OperatorSpec extends AnyFunSuite {
       // nothing current and only ever passed against stale dirs)
       val tok =
         s"-$kind-v${Dedup.StoreFormatVersion}.p${Vectors.PqStoreVersion}-"
+      // ... AND the current fixture's content stamp: a same-version dir
+      // left by an older fixture generation is not aged out by the
+      // legacy sweep and would otherwise make this lookup ambiguous
+      // ("expected one ... got 2") on long-lived machines
+      val stamp = Dedup.fsStamp(s"$sf/embeddings.parquet")
       val ds = Option(root.listFiles()).toSeq.flatten
         .filter(f => f.getName.contains("sf0.001") &&
-          f.getName.contains(tok) && !f.getName.contains(".tmp-") &&
-          !f.getName.endsWith(".lock"))
+          f.getName.contains(tok) && f.getName.endsWith(s"-$stamp") &&
+          !f.getName.contains(".tmp-") && !f.getName.endsWith(".lock"))
       assert(ds.size == 1, s"expected one $kind store, got ${ds.map(_.getName)}")
       ds.head
     }

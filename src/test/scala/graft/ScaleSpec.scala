@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 import graft.io.{Bucketing, Tables}
 import graft.ops.Skew
@@ -11,6 +14,16 @@ import graft.ops.Skew
 class ScaleSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
+
+  /** Every physical node of an executed adaptive plan, descending
+    * through query stages and reused exchanges — shared by the three
+    * plan-shape tests below. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec        => p +: flatten(q.plan)
+    case r: ReusedExchangeExec    => p +: flatten(r.child)
+    case other => other +: other.children.flatMap(flatten)
+  }
 
   test("token explode fans out across the configured partition count") {
     // regression guard for the one-file-corpus fix: the tokenization
@@ -48,18 +61,10 @@ class ScaleSpec extends AnyFunSuite {
     // signature lineage per branch (Dedup.lshCandidatePairsCapped's
     // comment carries the full reasoning; its hot keys are the thing
     // the cap bounds).
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.catalyst.expressions.aggregate.Count
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec        => p +: flatten(q.plan)
-      case r: ReusedExchangeExec    => p +: flatten(r.child)
-      case other => other +: other.children.flatMap(flatten)
-    }
     val cap = 4096L
     val countWindowOk = Set("q_dedup_minhash_capped")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -179,17 +184,9 @@ class ScaleSpec extends AnyFunSuite {
     assert(sized.exceptAll(win).count() == 0 &&
       win.exceptAll(sized).count() == 0,
       "groupBy + join-back diverged from the window form")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec        => p +: flatten(q.plan)
-      case r: ReusedExchangeExec    => p +: flatten(r.child)
-      case other => other +: other.children.flatMap(flatten)
-    }
     val qe = sized.queryExecution
     qe.toRdd.count()
     val nodes = flatten(qe.executedPlan)
@@ -229,16 +226,7 @@ class ScaleSpec extends AnyFunSuite {
     // SHJ node — the API flag, not a string match). Then demand the
     // explicit salting fallback (Skew.saltedJoin — the non-AQE path
     // q_join_salted declares) computes the identical multiset.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec        => p +: flatten(q.plan)
-      case r: ReusedExchangeExec    => p +: flatten(r.child)
-      case other => other +: other.children.flatMap(flatten)
-    }
     val s2 = SparkTestSession.spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
@@ -316,5 +304,39 @@ class ScaleSpec extends AnyFunSuite {
     val r0 = grown.filter(col("doc_id") < stride)
     assert(r0.select("text").except(base.select("text")).count() == 0 &&
       base.select("text").except(r0.select("text")).count() == 0)
+  }
+
+  test("GenSf sparsebatch: day-2 batch is family-free except the 1% keepers") {
+    import graft.ops.Dedup
+    val out = java.nio.file.Files.createTempDirectory("graft-sfsp").toString
+    graft.tools.GenSf.run(spark, sf, out, 2, "sparsebatch")
+    assert(new java.io.File(out).list().toSet == Set("documents.parquet"))
+    val base = graft.io.Tables.documents(spark, sf)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.count() == 2 * base.count())
+    val mod = Dedup.NewBatchMod
+    val isBatch = pmod(col("doc_id"), lit(mod)) === Dedup.Day2Res
+    val isKeeper = pmod(col("doc_id"), lit(100L * mod)) === Dedup.Day2Res
+    // keepers are the declared ~1% of the batch and carry grown-vocab
+    // text (no per-doc ~u suffix) — they still touch their dup family
+    val keepers = docs.filter(isBatch && isKeeper)
+    assert(keepers.count() > 0 &&
+      keepers.count() * 50 <= docs.filter(isBatch).count(),
+      "keeper fraction must be ≤ 2% of the batch")
+    assert(keepers.filter(col("text").contains("~u")).count() == 0)
+    // every non-keeper batch token is globally unique to its document:
+    // the suffix ~u<id> makes each batch doc's vocabulary disjoint from
+    // EVERY other document, so it can join no dup family
+    val batchTok = docs.filter(isBatch && !isKeeper)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val allTok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val shared = batchTok.select(col("w"), col("doc_id").as("b_id")).distinct()
+      .join(allTok.select(col("w"), col("doc_id").as("o_id")).distinct(), Seq("w"))
+      .filter(col("b_id") =!= col("o_id"))
+    assert(shared.count() == 0,
+      "a uniquified batch token appears in another document")
   }
 }
