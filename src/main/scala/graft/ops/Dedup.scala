@@ -630,7 +630,15 @@ object Dedup {
     if (!ready) {
       val tmp = new java.io.File(target.getParentFile,
         s"${target.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      val w = build.write.mode("overwrite")
+      // repartition on the partition columns first: a partitionBy
+      // write from an N-task frame otherwise emits up to N files PER
+      // partition value (measured 2× slower reads at fixture scale
+      // from ~1400 tiny files); clustered, each value gets its file
+      // count from the tasks that actually hold it (~1 here)
+      val frame =
+        if (partitionBy.nonEmpty) build.repartition(partitionBy.map(col): _*)
+        else build
+      val w = frame.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.getPath)
       if (upstream.nonEmpty)
@@ -1273,6 +1281,38 @@ object Dedup {
         pairs))
   }
 
+  /** Day-2 signature store = day-1 store APPEND batch-9 signatures —
+    * the third generation of the append contract ([[storedDay1Sigs]]
+    * documents it): day-0 AND day-1 part files are hard-linked, only
+    * batch 9 is ever signed. This is the day-2 INGEST publish a daily
+    * pipeline runs once per morning; every day-2 consumer (rank
+    * refresh today, keeper refresh tomorrow) reads it instead of
+    * re-signing the batch per query — the round-15 fix for the
+    * refresh-loses-to-full evidence inversion: the old in-query
+    * preamble re-paid batch signing + band join on EVERY run (8.6 s
+    * of the 26.9 s sf1sp day-2 cost), which is ingest work, not
+    * refresh work. */
+  private[graft] def storedDay2Sigs(s: SparkSession, d: String): DataFrame = {
+    storedDay1Sigs(s, d) // force the base build before linking it
+    storedTableAppend(s, storeDir(d, "d2sigs"), storeDir(d, "d1sigs")) {
+      sigBands(docTokens(s, d).filter(resIs(Day2Res)))
+    }
+  }
+
+  /** Day-2 pair store = day-1 pairs APPEND batch-9's increment
+    * ([[incrementalPairs]] over the day-2 signature store — corpus
+    * side = the hard-linked day-0/1 files, batch side = the appended
+    * batch-9 files; nothing re-signed, no old×old pair
+    * re-enumerated). Same append-only-pair-table claim as
+    * [[storedDay1Pairs]], one generation later. */
+  private[graft] def storedDay2Pairs(s: SparkSession, d: String): DataFrame = {
+    storedDay1Pairs(s, d) // force the base build before linking it
+    storedTableAppend(s, storeDir(d, "d2pairs"), storeDir(d, "d1pairs")) {
+      val d2 = storedDay2Sigs(s, d)
+      incrementalPairs(d2.filter(!resIs(Day2Res)), d2.filter(resIs(Day2Res)))
+    }
+  }
+
   /** Day-2 rank refresh — "ranks refreshed only for touched
     * components", the last leg of the day chain: this PageRank
     * decomposes exactly per connected component (see
@@ -1280,35 +1320,46 @@ object Dedup {
     * it touches need the five rounds re-run; every other component's
     * day-1 ranks are STILL the day-2 ranks, verbatim.
     *
-    * Plan: (1) the batch-sized label fold locates touched components
-    * (clusters of the day-2 labeling containing a batch-9 doc — every
-    * new pair touches the batch, so no other component's edge set
-    * changed); (2) the refresh subgraph = day-1 pairs with an
-    * endpoint in a touched component (one semi-join — connectivity
-    * implies the other endpoint is in the same component) plus the
-    * new increment; (3) [[pagerankLoop]] over that subgraph only;
-    * (4) untouched docs anti-join in their stored day-1 rows. Cost is
-    * proportional to touched-component volume, not corpus volume —
-    * the full five-round corpus loop never runs. Output ≡
-    * [[pagerank]] over the full corpus (oracle shared VERBATIM), so
-    * the driver hash-compare proves per-component refresh ≡ full
+    * Plan — everything before the loop is store reads and
+    * batch-proportional joins: (1) the batch-9 pair increment is read
+    * back out of the appended [[storedDay2Pairs]] by a residue filter
+    * (the [[storedDay1Labels]] precedent — day-0/1 pairs have no
+    * batch-9 endpoint); (2) touched components WITHOUT any label
+    * fold: a day-2 cluster containing a batch doc is exactly the
+    * union of the day-1 clusters of the increment's day-1 endpoints
+    * plus the batch docs (merges happen only across increment edges),
+    * so members = day-1 docs sharing a day-1 cluster with an
+    * increment endpoint ∪ the batch; (3) the refresh subgraph =
+    * day-2 pairs with an endpoint in a touched component (one
+    * semi-join — connectivity implies the other endpoint is in the
+    * same component); (4) [[pagerankLoop]] over that subgraph only;
+    * (5) untouched docs anti-join in their stored day-1 rows. Warm
+    * cost is proportional to touched-component volume; the one-time
+    * ingest (sign batch, discover increment) lives in the day-2
+    * store publish, amortized across every day-2 consumer — the
+    * BENCH cold/warm split reports the two prices separately. Output
+    * ≡ [[pagerank]] over the full corpus (oracle shared VERBATIM),
+    * so the driver hash-compare proves per-component refresh ≡ full
     * recompute through the whole chained store lineage. */
   private val pagerankDay2: Q = (s, d) => {
-    val batch = sigBands(docTokens(s, d).filter(resIs(Day2Res)))
-      .localCheckpoint()
-    val newPairs = incrementalPairs(storedDay1Sigs(s, d), batch)
+    val touches9 =
+      pmod(col("a_id"), lit(NewBatchMod)) === Day2Res ||
+        pmod(col("b_id"), lit(NewBatchMod)) === Day2Res
+    val newPairs = storedDay2Pairs(s, d).filter(touches9)
       .select(col("a_id"), col("b_id")).localCheckpoint()
-    val newDocs = Tables.documents(s, d).select(col("doc_id"))
+    val batchDocs = Tables.documents(s, d).select(col("doc_id"))
       .filter(resIs(Day2Res))
-    val day2 = foldBatchLabels(storedDay1Labels(s, d), newDocs, newPairs)
-      .localCheckpoint()
-    val touchedCl = day2.filter(resIs(Day2Res))
+    val endpoints = newPairs.select(col("a_id").as("doc_id"))
+      .unionAll(newPairs.select(col("b_id").as("doc_id"))).distinct()
+    val touchedCl = storedDay1Labels(s, d)
+      .join(endpoints, Seq("doc_id"), "left_semi")
       .select(col("cluster_id")).distinct()
-    val members = day2.join(touchedCl, Seq("cluster_id"), "left_semi")
-      .select(col("doc_id")).localCheckpoint()
-    val subEdges = storedDay1Pairs(s, d).select(col("a_id"), col("b_id"))
+    val members = storedDay1Labels(s, d)
+      .join(touchedCl, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"))
+      .unionAll(batchDocs).distinct().localCheckpoint()
+    val subEdges = storedDay2Pairs(s, d).select(col("a_id"), col("b_id"))
       .join(members.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
-      .unionAll(newPairs)
     val subRanks = pagerankLoop(members, subEdges)
     storedDay1Ranks(s, d)
       .join(members, Seq("doc_id"), "left_anti")

@@ -105,18 +105,20 @@ object Pack {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
       .orderBy(col("doc_id").asc)
 
-  /** [[packed]] with budgets counted in TRAINED SUBWORD units
-    * ([[Text.subwordPieces]]) instead of whitespace words — the number
-    * a real pretraining pipeline packs by, since the model consumes
-    * subword tokens, not words. Same two-level prefix decomposition;
-    * only the per-doc counting changes (empty docs keep their
-    * zero-count row so every doc still gets an offset). The oracle
-    * recomputes the subword counts AND the textbook single-window
-    * prefix, so the hash match proves decomposition-exactness over the
+  /** [[packed]] with budgets counted in TRAINED BPE units
+    * ([[Text.bpePieces]] — the true 8-round trained merges, replacing
+    * the closed-form subword proxy this key budgeted by before round
+    * 15) instead of whitespace words — the number a real pretraining
+    * pipeline packs by, since the model consumes subword tokens, not
+    * words. Same two-level prefix decomposition; only the per-doc
+    * counting changes (empty docs keep their zero-count row so every
+    * doc still gets an offset). The oracle recomputes the BPE
+    * training AND the textbook single-window prefix, so the hash
+    * match proves decomposition-exactness over the trained
     * segmentation. */
   private[graft] def packedBpe(s: SparkSession, d: String): DataFrame =
     packedFrom(Tables.documents(s, d).select(col("doc_id"))
-      .join(Text.subwordPieces(s, d)
+      .join(Text.bpePieces(s, d)
         .groupBy(col("doc_id"))
         .agg(sum(size(col("pieces"))).cast("long").as("n_tokens")),
         Seq("doc_id"), "left")
@@ -225,14 +227,17 @@ object Pack {
          |       last_chunk - first_chunk + 1 AS n_chunks
          |FROM sp
          |ORDER BY doc_id ASC""".stripMargin,
-    // subword-unit packing: trained-vocab piece counts feed the SAME
-    // textbook window — one oracle lineage proves both the counting
-    // and the prefix decomposition
+    // BPE-unit packing: the trained-merge piece counts feed the SAME
+    // textbook window — one oracle lineage proves the 8-round
+    // training, the counting, and the prefix decomposition together
     "q_pack_sequences_bpe" ->
-      s"""WITH ${Text.sqlSubwordCountCtes},
+      s"""WITH ${Text.sqlBpeCtes},
+         |bwc AS (
+         |  SELECT doc_id, CAST(SUM(LEN(pieces)) AS BIGINT) AS n_tokens
+         |  FROM bseg GROUP BY doc_id),
          |t2 AS (
-         |  SELECT d.doc_id, COALESCE(swc.n_tokens, 0) AS n_tokens
-         |  FROM documents d LEFT JOIN swc ON swc.doc_id = d.doc_id),
+         |  SELECT d.doc_id, COALESCE(bwc.n_tokens, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN bwc ON bwc.doc_id = d.doc_id),
          |p2 AS (
          |  SELECT doc_id, n_tokens,
          |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ASC

@@ -858,6 +858,206 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  // ───────────────────────── trained BPE ─────────────────────────
+
+  /** Merge rounds trained by [[bpeMergeFrames]] — the vocabulary-size
+    * knob of byte-pair encoding (|merges| = |vocab| − |chars|). */
+  private[graft] val BpeRounds = 8
+
+  /** Symbol-boundary sentinel for the BPE working representation: a
+    * word is held as `␁s₁␁␁s₂␁…␁sₖ␁` (every symbol wrapped in ␁),
+    * so the pair (a,b) is the SUBSTRING `␁a␁␁b␁` and one
+    * `replace(w, "␁a␁␁b␁", "␁ab␁")` call IS the greedy left-to-right
+    * non-overlapping merge — identical semantics in Spark and DuckDB,
+    * no per-word loop in either engine, and the wrapper makes a
+    * cross-symbol false match impossible (a symbol's first char is
+    * always preceded by ␁␁ or the word start). ␁ never occurs in
+    * fixture tokens; a corpus that could carry it would hash-fold
+    * tokens first. */
+  private val BpeSep = "\u0001"
+
+  /** TRUE bounded-round BPE training (Sennrich et al., ACL 2016 — the
+    * algorithm pretraining pipelines actually run, replacing the
+    * closed-form [[subwordPieces]] proxy as the unit [[Pack]] budgets
+    * by): [[BpeRounds]] rounds of (count adjacent symbol pairs over
+    * the train-split word-frequency table; merge the argmax pair
+    * everywhere), starting from characters. Engine-neutral
+    * determinism: pair counts are EXACT INTEGER sums of word
+    * frequencies (overlapping adjacent positions counted, the
+    * textbook rule), the winner is the unique (cnt DESC, a ASC,
+    * b ASC) argmax (ASCII binary order in both engines), and merge
+    * application is the sentinel-string replace above. Each round's
+    * winner stays IN-PLAN as a broadcast 1-row frame (no collect); a
+    * sentinel ("", "", −1) row keeps the chain total when a round
+    * runs out of pairs (its pattern `␁␁␁␁` can never match — symbols
+    * are non-empty).
+    *
+    * Scale shape: training runs over the DISTINCT-WORD frequency
+    * table (vocab-sized — dimension-side work, the same economics as
+    * every tokenizer trainer); per round one keyed pair aggregation
+    * (map-combined) and one TakeOrdered(1) — never a data-sized
+    * single-partition shuffle — then a map-side replace, lineage cut
+    * per round ([[graft.ops.Dedup]] pagerankLoop's checkpoint
+    * discipline). Returns the [[BpeRounds]] winner frames in merge
+    * order, each (a, b, pat, rep). */
+  private[graft] def bpeMergeFrames(
+      s: SparkSession, d: String): Seq[DataFrame] = {
+    val SS = BpeSep + BpeSep
+    def wrapped(c: Column): Column =
+      concat(lit(BpeSep), array_join(split(c, ""), SS), lit(BpeSep))
+    var words = docTokens(s, d)
+      .filter(Sampling.splitCol(col("doc_id")) === "train")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(wrapped(col("word")).as("w"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer.empty[DataFrame]
+    (1 to BpeRounds).foreach { _ =>
+      val sy = split(col("w").substr(lit(2), length(col("w")) - 2), SS)
+      val pairs = words
+        .select(sy.as("sy"), col("n"))
+        .select(explode(when(size(col("sy")) >= 2,
+          expr("transform(sequence(1, size(sy) - 1), i -> " +
+            "struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
+          .otherwise(expr(
+            "CAST(array() AS array<struct<a:string,b:string>>)"))).as("p"),
+          col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+      val winner = pairs
+        .unionByName(s.range(1).select(lit("").as("a"), lit("").as("b"),
+          lit(-1L).as("cnt")))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .select(col("a"), col("b"),
+          concat(lit(BpeSep), col("a"), lit(SS), col("b"), lit(BpeSep))
+            .as("pat"),
+          concat(lit(BpeSep), col("a"), col("b"), lit(BpeSep)).as("rep"))
+        .localCheckpoint()
+      merges += winner
+      words = words
+        .crossJoin(broadcast(winner.select(col("pat"), col("rep"))))
+        .select(expr("replace(w, pat, rep)").as("w"), col("n"))
+        .localCheckpoint()
+    }
+    merges.toSeq
+  }
+
+  /** BPE segmentation of the FULL corpus token stream by the trained
+    * merge chain: wrap each word's characters, apply the
+    * [[BpeRounds]] replaces in merge order (each a broadcast
+    * crossJoin + one map-side string replace — the corpus never
+    * shuffles for segmentation), split the sentinels back out.
+    * Returns (doc_id, word, pieces); concatenating `pieces` recovers
+    * `word` exactly (every piece is a substring of the word in
+    * order — the losslessness spec proves it per token). */
+  private[graft] def bpePieces(s: SparkSession, d: String): DataFrame = {
+    val SS = BpeSep + BpeSep
+    var seg = docTokens(s, d).select(col("doc_id"), col("word"),
+      concat(lit(BpeSep), array_join(split(col("word"), ""), SS),
+        lit(BpeSep)).as("w"))
+    bpeMergeFrames(s, d).foreach { m =>
+      seg = seg.crossJoin(broadcast(m.select(col("pat"), col("rep"))))
+        .select(col("doc_id"), col("word"),
+          expr("replace(w, pat, rep)").as("w"))
+    }
+    seg.select(col("doc_id"), col("word"),
+      split(col("w").substr(lit(2), length(col("w")) - 2), SS).as("pieces"))
+  }
+
+  /** Declared query: per-document accounting over the trained-BPE
+    * segmentation — word/piece counts, merged-piece count (pieces
+    * longer than one character, i.e. the merges' work), fertility,
+    * and the 40-bit md5 piece checksum (the [[subword]] convention)
+    * so the oracle hash match certifies every piece string through
+    * the whole 8-round trained chain. The DuckDB oracle RERUNS the
+    * training: same char wrapping, same integer pair counts, same
+    * argmax order, same replace chain — the driver compare is a
+    * cross-engine proof of the trainer, not just the segmenter. */
+  private val bpe: Q = (s, d) => {
+    val per = bpePieces(s, d)
+      .withColumn("n_p", size(col("pieces")).cast("long"))
+      .withColumn("n_m",
+        expr("CAST(size(filter(pieces, p -> length(p) > 1)) AS BIGINT)"))
+      .withColumn("ck",
+        expr("aggregate(transform(pieces, p -> " +
+          "CAST(conv(substring(md5(CAST(p AS BINARY)), 1, 10), 16, 10) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_p")).as("n_pieces"),
+        sum(col("n_m")).as("n_merged_pieces"),
+        sum(col("ck")).as("piece_checksum"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_merged_pieces"), lit(0L)).as("n_merged_pieces"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          Det.r4(col("n_pieces").cast("double") / col("n_words")))
+          .as("fertility"),
+        coalesce(col("piece_checksum"), lit(0L)).as("piece_checksum"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** CTE chain `btok/w0/(syR,pxR,pR,mR,wR)×BpeRounds/bseg` — the
+    * DuckDB restatement of [[bpeMergeFrames]] + [[bpePieces]]: w0 is
+    * the wrapped train-split word-frequency table, each round counts
+    * pairs off the previous words table (UNNEST(generate_series) over
+    * the split symbol list — overlapping adjacent positions, exact
+    * integer sums), picks the (cnt DESC, a, b) LIMIT 1 winner with
+    * the same sentinel union, and advances by the same replace;
+    * `bseg` applies the 8 winners to every corpus token via nested
+    * replace with scalar subqueries. Shared by the q_text_bpe oracle
+    * and the re-budgeted q_pack_sequences_bpe oracle. */
+  // lazy: interpolates sqlToks, which is declared further down the file.
+  // Every chain CTE is AS MATERIALIZED: wK is referenced twice (by
+  // sy(K+1) and w(K+1)), so DuckDB's default inlining would expand the
+  // 8-round chain 2^8 ways — measured as a >30 s hang at sf0.001 vs
+  // 0.2 s materialized.
+  private[graft] lazy val sqlBpeCtes: String = {
+    def wrap(c: String) =
+      s"CONCAT(chr(1), array_to_string(string_split($c, ''), " +
+        s"chr(1)||chr(1)), chr(1))"
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""bsy$r AS MATERIALIZED (
+         |  SELECT string_split(trim(w, chr(1)), chr(1)||chr(1)) AS sy, n
+         |  FROM bw${r - 1}),
+         |bpx$r AS MATERIALIZED (
+         |  SELECT UNNEST(generate_series(1, len(sy) - 1)) AS i, sy, n
+         |  FROM bsy$r),
+         |bp$r AS MATERIALIZED (
+         |  SELECT sy[i] AS a, sy[i+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM bpx$r GROUP BY 1, 2),
+         |bm$r AS MATERIALIZED (
+         |  SELECT a, b,
+         |         chr(1)||a||chr(1)||chr(1)||b||chr(1) AS pat,
+         |         chr(1)||a||b||chr(1) AS rep
+         |  FROM (SELECT a, b, cnt FROM bp$r
+         |        UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |bw$r AS MATERIALIZED (
+         |  SELECT replace(w, (SELECT pat FROM bm$r),
+         |                 (SELECT rep FROM bm$r)) AS w, n
+         |  FROM bw${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val segExpr = (1 to BpeRounds).foldLeft(wrap("word")) { (acc, r) =>
+      s"replace($acc, (SELECT pat FROM bm$r), (SELECT rep FROM bm$r))"
+    }
+    s"""btok AS MATERIALIZED (
+       |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),
+       |bw0 AS MATERIALIZED (
+       |  SELECT ${wrap("word")} AS w, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM btok WHERE ${Sampling.sqlSplit("doc_id")} = 'train'
+       |  GROUP BY 1),
+       |$rounds,
+       |bseg AS MATERIALIZED (
+       |  SELECT doc_id, word,
+       |         string_split(trim($segExpr, chr(1)), chr(1)||chr(1))
+       |           AS pieces
+       |  FROM btok)""".stripMargin
+  }
+
   /** Hashed-feature buckets for [[dsir]]. */
   private val DsirBuckets = 64
 
@@ -934,6 +1134,7 @@ object Text {
   val queries: Map[String, Q] = Map(
     "q_text_dsir"        -> dsir,
     "q_text_subword"     -> subword,
+    "q_text_bpe"         -> bpe,
     "q_text_entropy"     -> entropy,
     "q_text_kl_drift"    -> klDrift,
     "q_dedup_containment" -> containment,
@@ -1098,39 +1299,6 @@ object Text {
        |  SELECT doc_id, lang, split, $sqlPred AS predicted FROM li_best)""".stripMargin
   }
 
-  /** CTE block `tok/tc/vw/vp/swc` — per-doc SUBWORD counts (piece
-    * counts by the closed-form arithmetic: 1 for a vocab word,
-    * 1 + ceil((len−P)/C) for a prefix hit, ceil(len/C) fallback —
-    * identically LEN(pieces) without building the lists). Shared by
-    * the q_pack_sequences_bpe oracle. */
-  private[graft] val sqlSubwordCountCtes: String = {
-    val P = SubwordPrefLen
-    val C = SubwordChunk
-    s"""tok AS (
-       |  SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),
-       |tc AS (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok
-       |  WHERE ${Sampling.sqlSplit("doc_id")} = 'train' GROUP BY word),
-       |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM tc),
-       |vw AS (SELECT word FROM tc CROSS JOIN tt
-       |       WHERE n * $SubwordWordDen >= tot),
-       |vp AS (
-       |  SELECT SUBSTRING(word, 1, $P) AS pref FROM tc CROSS JOIN tt
-       |  WHERE LENGTH(word) >= $P
-       |  GROUP BY 1, tot HAVING SUM(n) * $SubwordPrefDen >= tot),
-       |swc AS (
-       |  SELECT t.doc_id, CAST(SUM(CASE
-       |      WHEN vw.word IS NOT NULL THEN 1
-       |      WHEN vp.pref IS NOT NULL AND LENGTH(t.word) >= $P THEN
-       |        1 + CAST(CEIL((LENGTH(t.word) - $P) / $C.0) AS BIGINT)
-       |      ELSE CAST(CEIL(LENGTH(t.word) / $C.0) AS BIGINT)
-       |    END) AS BIGINT) AS n_tokens
-       |  FROM tok t
-       |  LEFT JOIN vw ON vw.word = t.word
-       |  LEFT JOIN vp ON vp.pref = SUBSTRING(t.word, 1, $P)
-       |  GROUP BY t.doc_id)""".stripMargin
-  }
-
   val oracle: Map[String, String] = Map(
     // dsir: same md5 bucket hash, same add-one smoothing, same
     // qi4-quantized log-ratio sum — the weight is engine-exact
@@ -1170,6 +1338,29 @@ object Text {
     // twin of [[subword]]: same thresholds, same closed-form greedy
     // scan, same md5-integer piece checksum — string-level equality of
     // the segmentation is what the hash compare certifies
+    // the trained-BPE twin RERUNS the whole 8-round training in SQL
+    // (sqlBpeCtes) — the hash match certifies trainer + segmenter
+    "q_text_bpe" ->
+      s"""WITH $sqlBpeCtes,
+         |bagg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(LEN(pieces)) AS BIGINT) AS n_pieces,
+         |         CAST(SUM(LEN(list_filter(pieces,
+         |           p -> LENGTH(p) > 1))) AS BIGINT) AS n_merged_pieces,
+         |         CAST(SUM(list_aggregate(list_transform(pieces,
+         |           p -> CAST('0x' || SUBSTRING(md5(p), 1, 10) AS BIGINT)),
+         |           'sum')) AS BIGINT) AS piece_checksum
+         |  FROM bseg GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(n_words, 0) AS n_words,
+         |       COALESCE(n_pieces, 0) AS n_pieces,
+         |       COALESCE(n_merged_pieces, 0) AS n_merged_pieces,
+         |       CASE WHEN COALESCE(n_words, 0) > 0 THEN
+         |         ${Det.sqlR4("n_pieces / CAST(n_words AS DOUBLE)")}
+         |       END AS fertility,
+         |       COALESCE(piece_checksum, 0) AS piece_checksum
+         |FROM documents d LEFT JOIN bagg ON bagg.doc_id = d.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin,
     "q_text_subword" -> {
       val P = SubwordPrefLen
       val C = SubwordChunk

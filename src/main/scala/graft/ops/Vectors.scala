@@ -905,7 +905,10 @@ object Vectors {
   // resbook) — all stored contents change.
   // p4: ivfcodes/rescodes hive-partitioned by cell (physical layout
   // pruning for the probed-cell scan) — dir layout changes.
-  private[graft] val PqStoreVersion = 4
+  // p5: partitioned stores cluster on cell before writing (one file
+  // per cell instead of one per task×cell — the p4 layout's ~1400
+  // tiny files read 2× slower than flat at fixture scale).
+  private[graft] val PqStoreVersion = 5
 
   /** One-time (per JVM) sweep of PQ store dirs carrying a superseded
     * family version (`.pM-` with M ≠ [[PqStoreVersion]]): they are
@@ -1185,7 +1188,8 @@ object Vectors {
     * never shuffled with its vectors and never self-joined. */
   private def ivfpqScores(c: DataFrame, coarse: DataFrame, book: DataFrame,
                           ccodes: DataFrame,
-                          cellsPerProbe: Long = CellsPerProbe): DataFrame = {
+                          cellsPerProbe: Long = CellsPerProbe,
+                          pruneCells: Boolean = false): DataFrame = {
     val probeCells = withNearestCells(
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
@@ -1199,7 +1203,8 @@ object Vectors {
       .join(broadcast(book), Seq("j"))
       .select(col("probe_id"), col("cell").as("lcell"), col("j").as("lj"),
         col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
-    ccodes.join(broadcast(probeLut),
+    (if (pruneCells) prunedToCells(ccodes, probeCells) else ccodes)
+      .join(broadcast(probeLut),
         col("cell") === col("lcell") && col("j") === col("lj") &&
           col("code") === col("lc"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -1260,7 +1265,8 @@ object Vectors {
   private val annIvfPqStored: Q = (s, d) => {
     val c = corpus(s, d)
     val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
-    rankPerProbe(ivfpqScores(c, coarse, book, ccodes),
+    rankPerProbe(
+        ivfpqScores(c, coarse, book, ccodes, pruneCells = true),
         lit(3), col("adist").asc, col("vec_id").asc)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
@@ -1313,7 +1319,8 @@ object Vectors {
     * code join, partial-aggregated sum. Unranked — callers rank. */
   private def residualScores(c: DataFrame, coarse: DataFrame,
                              book: DataFrame, ccodes: DataFrame,
-                             cellsPerProbe: Long = CellsPerProbe): DataFrame = {
+                             cellsPerProbe: Long = CellsPerProbe,
+                             pruneCells: Boolean = false): DataFrame = {
     val probeRes = withNearestCells(
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
@@ -1330,12 +1337,35 @@ object Vectors {
       .join(broadcast(book), Seq("j"))
       .select(col("probe_id"), col("cell").as("lcell"), col("j").as("lj"),
         col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
-    ccodes.join(broadcast(probeLut),
+    (if (pruneCells) prunedToCells(ccodes, probeRes) else ccodes)
+      .join(broadcast(probeLut),
         col("cell") === col("lcell") && col("j") === col("lj") &&
           col("code") === col("lc"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adist"))
+  }
+
+  /** PLAN-TIME coarse-index read: restrict a cell-partitioned code
+    * table to the union of probed cells with a LITERAL `IN` filter,
+    * resolved by collecting the probe frame's cell column. The
+    * collected set is bounded by probes × nprobe — SEARCH parameters,
+    * independent of corpus size (a few hundred ints at any scale) —
+    * so this is the coarse-index lookup every vector store's query
+    * planner performs before touching inverted lists, not a
+    * corpus-sized driver loop. The literal filter becomes a static
+    * PartitionFilter on the hive-partitioned store, so only the
+    * probed cells' files are ever read (PlanAudit's filesRead
+    * receipt); the equi-join alone cannot prune the scan, and AQE's
+    * dynamic partition pruning declines this composite-key broadcast
+    * (measured: DynamicPruningExpression planned, zero partitions
+    * removed). Semantically a no-op — the cell equi-join already
+    * drops every unprobed cell's rows. */
+  private def prunedToCells(ccodes: DataFrame, probeCells: DataFrame)
+      : DataFrame = {
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    ccodes.filter(col("cell").isin(cells: _*))
   }
 
   private val annIvfPqResidual: Q = (s, d) => {
@@ -1345,6 +1375,8 @@ object Vectors {
     val book = pqCodebook(
       rf.select(col("vec_id"), col("res").as("emb")), PqRounds)
     val ccodes = residualCodes(rf, book)
+    // no pruneCells: this recompute witness trains in-query, and the
+    // plan-time cell resolve would re-run that training once more
     rankPerProbe(residualScores(c, coarse, book, ccodes),
         lit(3), col("adist").asc, col("vec_id").asc)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
@@ -1400,7 +1432,8 @@ object Vectors {
   private val annIvfPqResidualStored: Q = (s, d) => {
     val c = corpus(s, d)
     val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
-    rankPerProbe(residualScores(c, coarse, book, ccodes),
+    rankPerProbe(
+        residualScores(c, coarse, book, ccodes, pruneCells = true),
         lit(3), col("adist").asc, col("vec_id").asc)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
@@ -1532,7 +1565,8 @@ object Vectors {
       case "q_sim_ann_ivfpq_rerank" =>
         val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
         val shortlist = rankPerProbe(
-            ivfpqScores(c, coarse, book, ccodes, cellsPerProbe)
+            ivfpqScores(c, coarse, book, ccodes, cellsPerProbe,
+              pruneCells = true)
               .crossJoin(broadcast(rerankClim(c, cFactor))),
             col("c_lim"), col("adist").asc, col("vec_id").asc)
           .select(col("probe_id"), col("vec_id"))
@@ -1540,7 +1574,8 @@ object Vectors {
       case "q_sim_ann_ivfpq_residual_rerank" =>
         val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
         val shortlist = rankPerProbe(
-            residualScores(c, coarse, book, ccodes, cellsPerProbe)
+            residualScores(c, coarse, book, ccodes, cellsPerProbe,
+              pruneCells = true)
               .crossJoin(broadcast(rerankClim(c, cFactor))),
             col("c_lim"), col("adist").asc, col("vec_id").asc)
           .select(col("probe_id"), col("vec_id"))

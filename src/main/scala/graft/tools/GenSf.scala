@@ -53,17 +53,25 @@ object GenSf {
     // behavior (dup families stay intra-replica) while deliberately
     // breaking the ≤64-token mask invariant, so only the mask-free
     // signature queries (minhash_lsh/verify/clusters_sig/hot_keys) may
-    // run against it. "sparsebatch": growvocab PLUS realistic
-    // daily-ingest geometry — the day-2 batch (final doc_id ≡ Day2Res
-    // mod NewBatchMod) is rewritten with PER-DOCUMENT token suffixes
-    // (~u<id>), so each batch doc's token set is globally unique and
-    // joins no dup family, EXCEPT the 1-in-100 batch docs (doc_id ≡
-    // Day2Res mod 100·NewBatchMod) that keep the grown-vocab text and
-    // still touch their family. On growvocab/bijection geometry the
-    // 10% batch touches nearly every dup component (every family
-    // spans all residues), which makes "refresh the touched
-    // components" cost as much as full recompute; a real daily batch
-    // touches ~1% of families, and this fixture measures THAT regime.
+    // run against it. "sparsebatch": realistic daily-ingest geometry,
+    // two rewrites at once. (1) MANY SMALL FAMILIES: every non-batch
+    // token is suffixed with its doc's 4-id family slice (~g<id/4>),
+    // which fragments the driver fixture's handful of mega dup
+    // clusters into ≤4-doc families — the real-web shape, where dup
+    // families are millions of small clusters and the rare
+    // boilerplate mega-cluster is the hot-key-diversion case, not the
+    // norm. (2) SPARSE BATCH: the day-2 batch (final doc_id ≡ Day2Res
+    // mod NewBatchMod) gets PER-DOCUMENT suffixes (~u<id>) instead,
+    // so each batch doc's token set is globally unique and joins no
+    // family, EXCEPT the 1-in-100 keepers (doc_id ≡ Day2Res mod
+    // 100·NewBatchMod) that keep the family-sliced text and touch
+    // their ≤4-doc family. On growvocab/bijection geometry the 10%
+    // batch touches components covering ~80% of the corpus (measured:
+    // 50 keepers → 39.6k of 50k docs members, because each keeper
+    // lands in a mega-family), which makes "refresh the touched
+    // components" cost MORE than full recompute; a real daily batch
+    // touches ~1% of small families, and this fixture measures THAT
+    // regime.
     val mode = if (args.length > 3) args(3) else "bijection"
 
     val spark = SparkSession.builder()
@@ -128,12 +136,19 @@ object GenSf {
         case "sparsebatch" =>
           val mod = graft.ops.Dedup.NewBatchMod
           val day2 = graft.ops.Dedup.Day2Res
+          // ≤4-doc family slice: ids 4k..4k+3 share a vocabulary, so a
+          // dup family can never span more than 4 documents (and the
+          // slice tag also separates replicas — no ~k tag needed)
+          val grp = floor(fid.cast("double") / 4.0).cast("long")
+          val fam = array_join(transform(split(col("text"), " "),
+            w => when(length(w) > 0, concat(w, lit("~g"), grp)).otherwise(w)),
+            " ")
           val uniq = array_join(transform(split(col("text"), " "),
             w => when(length(w) > 0, concat(w, lit("~u"), fid)).otherwise(w)),
             " ")
           when(pmod(fid, lit(mod)) === day2 &&
               pmod(fid, lit(100L * mod)) =!= day2, uniq)
-            .otherwise(grown)
+            .otherwise(fam)
         case _ =>
           val m = typedLit(perm(k))
           array_join(transform(split(col("text"), " "),

@@ -939,7 +939,8 @@ class OperatorSpec extends AnyFunSuite {
     def fileKey(f: java.io.File) =
       java.nio.file.Files.readAttributes(f.toPath,
         classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-    for ((base, appended) <- Seq("d0sigs" -> "d1sigs", "d0pairs" -> "d1pairs")) {
+    for ((base, appended) <- Seq("d0sigs" -> "d1sigs", "d0pairs" -> "d1pairs",
+        "d1sigs" -> "d2sigs", "d1pairs" -> "d2pairs")) {
       val d0parts = store(base).listFiles().filter(_.getName.startsWith("part-"))
       val d1keys = store(appended).listFiles()
         .filter(_.getName.startsWith("part-")).map(fileKey).toSet
@@ -952,7 +953,7 @@ class OperatorSpec extends AnyFunSuite {
     // reuse proof: a re-run of the day-2 folds READS every chained
     // store, rebuilding none (_SUCCESS mtime receipts)
     val markers = Seq("d0sigs", "d0pairs", "d0labels", "d1sigs",
-        "d1pairs", "d1labels", "d1ranks")
+        "d1pairs", "d1labels", "d1ranks", "d2sigs", "d2pairs")
       .map(k => new java.io.File(store(k), "_SUCCESS"))
     markers.foreach(m => assert(m.exists()))
     val receipts = markers.map(m => m.getPath -> m.lastModified).toMap
@@ -1058,6 +1059,38 @@ class OperatorSpec extends AnyFunSuite {
       col("n_words")).count() == 0, "tier hits exceed word count")
     assert(q.filter(col("n_word_hits") > 0).count() > 0,
       "vocabulary never hit — thresholds degenerate on this fixture")
+  }
+
+  test("trained BPE: lossless round-trip, merges real, pieces cover chars") {
+    import graft.ops.Text
+    val p = Text.bpePieces(spark, sf)
+    // losslessness: every piece is a substring of its word in order,
+    // so plain concatenation must rebuild every token exactly
+    val bad = p.withColumn("rebuilt", expr("concat_ws('', pieces)"))
+      .filter(col("rebuilt") =!= col("word"))
+    assert(bad.count() == 0, "BPE round-trip lost characters")
+    // the trained merges actually fire on this fixture: some pieces
+    // are longer than one character, and no word ever yields zero
+    // pieces or an empty piece
+    assert(p.filter(expr("exists(pieces, x -> length(x) > 1)")).count() > 0,
+      "no merge ever applied — training degenerate")
+    assert(p.filter(expr("size(pieces) = 0 or exists(pieces, x -> length(x) = 0)"))
+      .count() == 0, "empty piece emitted")
+    // the BpeRounds winners are distinct, non-sentinel merges — the
+    // fixture has enough pair mass for every round to train a real rule
+    val merges = Text.bpeMergeFrames(spark, sf)
+    assert(merges.size == Text.BpeRounds)
+    val all = merges.map(_.select(col("a"), col("b")))
+      .reduce(_ unionAll _).collect().toSeq
+    assert(all.forall(r => r.getString(0).nonEmpty && r.getString(1).nonEmpty),
+      s"a sentinel winner surfaced: $all")
+    assert(all.distinct.size == all.size, s"duplicate merge trained: $all")
+    // determinism: the whole train+segment lineage reproduces itself
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "word", "concat_ws(chr(2), pieces) AS ps")
+    val a = flat(p); val b = flat(Text.bpePieces(spark, sf))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "BPE segmentation is not deterministic across invocations")
   }
 
   test("bpe packing: exclusive prefix property in subword units") {

@@ -338,5 +338,13 @@ class ScaleSpec extends AnyFunSuite {
       .filter(col("b_id") =!= col("o_id"))
     assert(shared.count() == 0,
       "a uniquified batch token appears in another document")
+    // family-slice geometry: no token is shared by more than 4 docs,
+    // so no dup family can exceed 4 members — the many-small-families
+    // real-corpus shape (the driver fixture's mega-clusters are the
+    // hot-key-diversion case, not the refresh-economics baseline)
+    val widest = allTok.distinct().groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(max(col("nd"))).first().getLong(0)
+    assert(widest <= 4, s"a token spans $widest docs — families not sliced")
   }
 }
