@@ -90,6 +90,15 @@ object Bench {
     val spread = byQuery.collect { case (k, xs) if xs.nonEmpty =>
       k -> (xs.min, xs.max)
     }
+    // Per-key MIN persisted as its own stat (round-15 verdict #7): the
+    // ≥5 s store/CC keys are machine-state-sensitive at ±2× in their
+    // medians (documented r13/r14), so round-over-round regression
+    // checks on those keys should compare min-of-passes — the best
+    // pass is the least co-tenant-contaminated observation — while
+    // the headline total keeps the median methodology.
+    val minPass = byQuery.collect { case (k, xs) if xs.nonEmpty =>
+      k -> xs.min
+    }
     // Cold/warm split: the FIRST pass at the target SF is the one that
     // builds every store the key reads (signature/pair/label/PQ/TF
     // chains publish on first touch), so its time is store-build +
@@ -103,10 +112,16 @@ object Bench {
     // key's [1.4, 27.4] spread is really cold=27.4 / warm=1.4.
     // warm_median is -1 when no post-first pass succeeded (e.g. a
     // single-pass run): unknown is reported as unknown, never
-    // approximated by the cold value.
+    // approximated by the cold value. `cold` is a measurement ONLY
+    // when it is literally pass 1 (round-15 ADVICE: if pass 1 failed
+    // after publishing some stores, pass 2 runs warm — reporting it
+    // as cold would overstate store economics); a first-pass failure
+    // reports cold = -1, same unknown-stays-unknown rule.
     val coldPass = queries.keys.map { k =>
-      k -> allPasses.iterator.map(_(k))
-        .collectFirst { case (v, true) => v }.getOrElse(-1.0)
+      k -> (allPasses.head(k) match {
+        case (v, true) => v
+        case _ => -1.0
+      })
     }.toMap
     val warmMedian = queries.keys.map { k =>
       val later = allPasses.drop(1).flatMap { p =>
@@ -139,7 +154,7 @@ object Bench {
     val heapJson =
       if (heapProbe) s""","peak_heap_mb":${jsonMap(peakHeapMb.toSeq.sortBy(-_._2))}"""
       else ""
-    val full = s"""{"n":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"cold":${jsonMap(coldPass)},"warm_median":${jsonMap(warmMedian)},"spread":${jsonSpread(spread)}$heapJson}"""
+    val full = s"""{"n":${results.size},"n_failed":${failed.size},"failed":${jsonList(failed)},"total_sec":${r3(total)},"sf":"$sfDir","passes":$passes,"queries":${jsonMap(results)},"cold":${jsonMap(coldPass)},"warm_median":${jsonMap(warmMedian)},"min":${jsonMap(minPass)},"spread":${jsonSpread(spread)}$heapJson}"""
     println(s"BENCH_FULL $full")
     // ... and persisted to a file so no round's per-query history can be
     // lost to stdout-tail truncation again (BENCH_r01's total was)

@@ -485,7 +485,10 @@ object Dedup {
     * (round-13 ADVICE: a TfStoreVersion bump used to strand old
     * `-tf*-v3-<stamp>` dirs on disk forever). Bump when the TF
     * builders change. */
-  private[graft] val TfStoreVersion = 1
+  // t2: the TF chain grew a third generation (tf1 now appends ONLY
+  // doc_id%10==8; tf2 appends ==9) — a stale t1 tf1 store holds the
+  // old two-way split's ≥8 batch and must not satisfy the new chain.
+  private[graft] val TfStoreVersion = 2
 
   private[ops] def storeRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_SIG_STORE", "/tmp/graft-sig-store")
@@ -620,7 +623,16 @@ object Dedup {
     * scans only the matching subdirectories (static filters at plan
     * time, broadcast-derived keys via dynamic partition pruning). The
     * partition columns move to the END of the read-back schema, so
-    * every consumer must select by name (all do). */
+    * every consumer must select by name (all do). Partition columns
+    * are LONG by engine convention (required at write): Spark's
+    * read-side partition-column type inference would otherwise narrow
+    * a long-valued directory name to IntegerType and silently change
+    * the store schema (round-15 ADVICE), so read-back casts them
+    * right back. A partitioned publish also writes a [[CellsMarker]]
+    * sidecar — the sorted distinct partition values — so a planner
+    * can learn the store's partition universe from one small file
+    * read instead of a directory listing (at 100 TB, a million-entry
+    * namespace scan). */
   private[ops] def storedTable(s: SparkSession, dir: String,
                           upstream: Seq[String] = Nil,
                           partitionBy: Seq[String] = Nil)
@@ -638,6 +650,12 @@ object Dedup {
       val frame =
         if (partitionBy.nonEmpty) build.repartition(partitionBy.map(col): _*)
         else build
+      partitionBy.foreach { c =>
+        require(frame.schema(c).dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"store partition column $c must be LONG (engine convention " +
+            "— read-back casts partition columns to long)")
+      }
       val w = frame.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.getPath)
@@ -645,10 +663,38 @@ object Dedup {
         java.nio.file.Files.write(tmp.toPath.resolve(UpstreamMarker),
           upstream.map(p => new java.io.File(p).getName)
             .mkString("", "\n", "\n").getBytes("UTF-8"))
+      if (partitionBy.nonEmpty) {
+        // the partition universe, from the directory names the write
+        // just created (col=value per level-1 subdir) — sorted longs,
+        // one per line
+        val values = Option(tmp.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory &&
+            f.getName.startsWith(partitionBy.head + "="))
+          .map(_.getName.split("=", 2)(1).toLong).sorted
+        java.nio.file.Files.write(tmp.toPath.resolve(CellsMarker),
+          values.mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
       publish(tmp, target)
     }
     checkUpstream(target, upstream)
-    s.read.parquet(dir)
+    val raw = s.read.parquet(dir)
+    partitionBy.foldLeft(raw)((df, c) =>
+      df.withColumn(c, col(c).cast("long")))
+  }
+
+  /** Sidecar naming the partition universe of a hive-partitioned
+    * store (see [[storedTable]]). */
+  private[graft] val CellsMarker = "_CELLS"
+
+  /** The partition universe recorded at publish — None for a store
+    * published before the sidecar existed or not partitioned at all
+    * (callers must then fall back to not pruning / listing). */
+  private[graft] def storedPartValues(dir: String): Option[Seq[Long]] = {
+    val f = new java.io.File(dir, CellsMarker)
+    if (!f.exists()) None
+    else Some(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty).map(_.toLong))
   }
 
   /** Day-chain store builder — publish day N+1's table by APPENDING to

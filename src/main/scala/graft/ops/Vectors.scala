@@ -908,7 +908,10 @@ object Vectors {
   // p5: partitioned stores cluster on cell before writing (one file
   // per cell instead of one per task×cell — the p4 layout's ~1400
   // tiny files read 2× slower than flat at fixture scale).
-  private[graft] val PqStoreVersion = 5
+  // p6: partitioned publishes carry the _CELLS partition-universe
+  // sidecar (Dedup.CellsMarker) and long-typed read-back — the
+  // plan-time cell resolve reads the sidecar instead of listing.
+  private[graft] val PqStoreVersion = 6
 
   /** One-time (per JVM) sweep of PQ store dirs carrying a superseded
     * family version (`.pM-` with M ≠ [[PqStoreVersion]]): they are
@@ -916,7 +919,14 @@ object Vectors {
     * parquet forever (the Dedup.legacySwept tf-tag precedent). Runs
     * ONLY against the built-in /tmp default — an explicit
     * SPARK_GRAFT_PQ_STORE may hold a store a concurrent older-code
-    * JVM is mid-read of. Best-effort, never fatal. */
+    * JVM is mid-read of — and AGE-GATED to dirs untouched for
+    * [[SweepGraceMs]] (round-15 ADVICE: even under the default root,
+    * a concurrent older-code JVM may be mid-read of a store it just
+    * published; a superseded-version dir that old code is actively
+    * using is recent by construction, so the grace window protects
+    * it while still clearing multi-day leftovers). Best-effort,
+    * never fatal. */
+  private val SweepGraceMs = 6L * 3600 * 1000
   private lazy val pqLegacySwept: Unit =
     if (sys.env.contains("SPARK_GRAFT_PQ_STORE")) ()
     else {
@@ -925,10 +935,12 @@ object Vectors {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmAll)
         f.delete(); ()
       }
+      val cutoff = System.currentTimeMillis() - SweepGraceMs
       try Option(new java.io.File("/tmp/graft-pq-store").listFiles())
         .toSeq.flatten
         .filter { f =>
           f.isDirectory && !f.getName.contains(".tmp-") &&
+            f.lastModified() < cutoff &&
             tag.findFirstMatchIn(f.getName)
               .exists(_.group(1).toInt != PqStoreVersion)
         }.foreach(rmAll)
@@ -1189,9 +1201,10 @@ object Vectors {
   private def ivfpqScores(c: DataFrame, coarse: DataFrame, book: DataFrame,
                           ccodes: DataFrame,
                           cellsPerProbe: Long = CellsPerProbe,
-                          pruneCells: Boolean = false): DataFrame = {
+                          pruneDir: Option[String] = None,
+                          probeMax: Long = 10): DataFrame = {
     val probeCells = withNearestCells(
-      c.filter(col("vec_id") < 10)
+      c.filter(col("vec_id") < probeMax)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm")),
       coarse, col("p_emb"), col("p_nrm"), cellsPerProbe)
@@ -1203,7 +1216,9 @@ object Vectors {
       .join(broadcast(book), Seq("j"))
       .select(col("probe_id"), col("cell").as("lcell"), col("j").as("lj"),
         col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
-    (if (pruneCells) prunedToCells(ccodes, probeCells) else ccodes)
+    pruneDir.map(prunedToCells(ccodes, probeCells, _,
+        s"$cellsPerProbe#$probeMax"))
+      .getOrElse(ccodes)
       .join(broadcast(probeLut),
         col("cell") === col("lcell") && col("j") === col("lj") &&
           col("code") === col("lc"))
@@ -1266,11 +1281,34 @@ object Vectors {
     val c = corpus(s, d)
     val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
     rankPerProbe(
-        ivfpqScores(c, coarse, book, ccodes, pruneCells = true),
+        ivfpqScores(c, coarse, book, ccodes,
+          pruneDir = Some(pqStoreDir(d, "ivfcodes"))),
         lit(3), col("adist").asc, col("vec_id").asc)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
       .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** Parameterized search over the STORED IVF-PQ index for the
+    * AnnOneProbe audit tool: `probeMax` bounds the probe set
+    * (`vec_id < probeMax` — 1 is the production single-query
+    * geometry), `cellsPerProbe` the derived nprobe, `prune` toggles
+    * the plan-time partition resolve so the tool can measure the
+    * partitioned layout's filesRead/wall win against the same store
+    * scanned flat. Not a registry key — the registry points
+    * ([[annIvfPqStored]], [[annIvfPqRerank]]) stay the 10-probe
+    * oracle-checked geometry. */
+  private[graft] def ivfpqStoredSearch(s: SparkSession, d: String,
+      probeMax: Long, cellsPerProbe: Long, prune: Boolean): DataFrame = {
+    val c = corpus(s, d)
+    val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
+    rankPerProbe(
+        ivfpqScores(c, coarse, book, ccodes, cellsPerProbe,
+          pruneDir = if (prune) Some(pqStoreDir(d, "ivfcodes")) else None,
+          probeMax = probeMax),
+        lit(3), col("adist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("adist"))
   }
 
   /** IVF-PQ with per-cell RESIDUAL coding — the production refinement
@@ -1320,7 +1358,7 @@ object Vectors {
   private def residualScores(c: DataFrame, coarse: DataFrame,
                              book: DataFrame, ccodes: DataFrame,
                              cellsPerProbe: Long = CellsPerProbe,
-                             pruneCells: Boolean = false): DataFrame = {
+                             pruneDir: Option[String] = None): DataFrame = {
     val probeRes = withNearestCells(
       c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
@@ -1337,7 +1375,8 @@ object Vectors {
       .join(broadcast(book), Seq("j"))
       .select(col("probe_id"), col("cell").as("lcell"), col("j").as("lj"),
         col("cent_id").as("lc"), Det.qi4(d2(col("sv"), col("cv"))).as("pd2"))
-    (if (pruneCells) prunedToCells(ccodes, probeRes) else ccodes)
+    pruneDir.map(prunedToCells(ccodes, probeRes, _, s"$cellsPerProbe"))
+      .getOrElse(ccodes)
       .join(broadcast(probeLut),
         col("cell") === col("lcell") && col("j") === col("lj") &&
           col("code") === col("lc"))
@@ -1360,12 +1399,48 @@ object Vectors {
     * dynamic partition pruning declines this composite-key broadcast
     * (measured: DynamicPruningExpression planned, zero partitions
     * removed). Semantically a no-op — the cell equi-join already
-    * drops every unprobed cell's rows. */
-  private def prunedToCells(ccodes: DataFrame, probeCells: DataFrame)
+    * drops every unprobed cell's rows.
+    *
+    * Two round-16 economies, both planner-shaped:
+    *  - the resolved cell set is MEMOIZED per (store dir,
+    *    cellsPerProbe): the store dir embeds the content stamp and
+    *    family version, so the probe→cell assignment is a pure
+    *    function of the key and re-running the probe sub-plan on
+    *    every execution (round-15 ADVICE) bought nothing. This is
+    *    the coarse-index cache every vector store's planner keeps.
+    *  - when the resolved union covers the store's ENTIRE partition
+    *    universe (read from the `_CELLS` sidecar the publish wrote —
+    *    one small file, not a namespace listing), the IN filter is
+    *    dropped: it can prune nothing, and at fixture geometry its
+    *    per-partition evaluation was a pure toll.
+    *
+    * [[MaxResolvedCells]] pins the collect to probe shape: the input
+    * frame is (probe, probed cell) pairs — if a future edit widens it
+    * to anything corpus-sized the require trips before the driver
+    * materializes it (ScaleSpec exercises the trip). */
+  private[graft] val MaxResolvedCells = 1 << 16
+  private val resolvedCellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  private[graft] def resolveProbeCells(probeCells: DataFrame): Seq[Long] = {
+    val rows = probeCells.select(col("cell")).limit(MaxResolvedCells + 1)
+      .collect()
+    require(rows.length <= MaxResolvedCells,
+      s"prunedToCells input is not probe-shaped: >$MaxResolvedCells rows " +
+        "(probes × nprobe is search-bounded; a corpus-sized frame must " +
+        "never reach a driver-side collect)")
+    rows.map(_.getLong(0)).distinct.sorted.toSeq
+  }
+
+  private def prunedToCells(ccodes: DataFrame, probeCells: DataFrame,
+                            storeDir: String, memoTag: String)
       : DataFrame = {
-    val cells = probeCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    ccodes.filter(col("cell").isin(cells: _*))
+    val cells = resolvedCellsMemo.computeIfAbsent(
+      s"$storeDir#$memoTag", _ => resolveProbeCells(probeCells))
+    Dedup.storedPartValues(storeDir) match {
+      case Some(all) if all.forall(cells.contains) => ccodes
+      case _ => ccodes.filter(col("cell").isin(cells: _*))
+    }
   }
 
   private val annIvfPqResidual: Q = (s, d) => {
@@ -1433,7 +1508,8 @@ object Vectors {
     val c = corpus(s, d)
     val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
     rankPerProbe(
-        residualScores(c, coarse, book, ccodes, pruneCells = true),
+        residualScores(c, coarse, book, ccodes,
+          pruneDir = Some(pqStoreDir(d, "rescodes"))),
         lit(3), col("adist").asc, col("vec_id").asc)
       .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("adist"))
@@ -1472,6 +1548,59 @@ object Vectors {
     * certified by [[annIvfPqStored]]'s own sampled-lineage oracle). */
   private val annIvfPqRerank: Q =
     rerankFrontier("q_sim_ann_ivfpq_rerank", RerankCFactor, CellsPerProbe)
+
+  /** Per-cell occupancy of the STORED IVF inverted lists — the
+    * index-health audit behind every scan-fraction claim: the
+    * nprobe/ncells arithmetic only bounds the scanned FRACTION when
+    * cells are balanced, and a skewed corpus can satisfy the probe
+    * count while a handful of mega-cells hold most rows (the IVF
+    * analogue of q_dedup_lsh_hot_keys' band-occupancy audit; FAISS
+    * surfaces the same statistic as imbalance_factor). ONE keyed agg
+    * over the stored code table's j=0 slice (exactly one row per
+    * vector) — O(index) with no vector payload; the oracle re-derives
+    * the identical assignment from the sampled-trained coarse book. */
+  private val annCellStats: Q = (s, d) => {
+    val (_, _, ccodes) = storedIvfPqIndex(s, d)
+    val occ = ccodes.filter(col("j") === 0)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = occ.agg(sum(col("n_vecs")).as("n_total"))
+    occ.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        Det.r4(col("n_vecs") / col("n_total")).as("corpus_frac"))
+      .orderBy(col("cell").asc)
+  }
+
+  /** Per-probe SCAN ACCOUNTING at the derived nprobe: how many
+    * inverted-list rows each probe's cell union actually scans, as a
+    * fraction of the corpus — the receipt behind "nprobe/ncells ≈
+    * fixed scan fraction" (a claim [[annCellStats]] shows can fail
+    * under skew: probing k of N cells is k/N of the corpus only when
+    * cells are balanced). Probe cells resolve map-side off the
+    * broadcast coarse book exactly as the searches do; occupancy is
+    * the same j=0 keyed agg; the join is probe-sized × ncells-sized,
+    * both broadcast. Empty probed cells scan zero rows but still
+    * count as probed (LEFT join). */
+  private val annScanFrac: Q = (s, d) => {
+    val c = corpus(s, d)
+    val (coarse, _, ccodes) = storedIvfPqIndex(s, d)
+    val occ = ccodes.filter(col("j") === 0)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = occ.agg(sum(col("n_vecs")).as("n_total"))
+    val probeCells = withNearestCells(
+      c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm")),
+      coarse, col("p_emb"), col("p_nrm"))
+      .select(col("probe_id"), col("cell"))
+    probeCells.join(broadcast(occ), Seq("cell"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_cells_probed"),
+        sum(coalesce(col("n_vecs"), lit(0L))).as("rows_scanned"))
+      .crossJoin(broadcast(total))
+      .select(col("probe_id"), col("n_cells_probed"), col("rows_scanned"),
+        Det.r4(col("rows_scanned") / col("n_total")).as("scan_frac"))
+      .orderBy(col("probe_id").asc)
+  }
 
   // --- Scalar quantization (SQ8) --------------------------------------
   //
@@ -1566,7 +1695,7 @@ object Vectors {
         val (coarse, book, ccodes) = storedIvfPqIndex(s, d)
         val shortlist = rankPerProbe(
             ivfpqScores(c, coarse, book, ccodes, cellsPerProbe,
-              pruneCells = true)
+              pruneDir = Some(pqStoreDir(d, "ivfcodes")))
               .crossJoin(broadcast(rerankClim(c, cFactor))),
             col("c_lim"), col("adist").asc, col("vec_id").asc)
           .select(col("probe_id"), col("vec_id"))
@@ -1575,7 +1704,7 @@ object Vectors {
         val (coarse, book, ccodes) = storedIvfPqResidualIndex(s, d)
         val shortlist = rankPerProbe(
             residualScores(c, coarse, book, ccodes, cellsPerProbe,
-              pruneCells = true)
+              pruneDir = Some(pqStoreDir(d, "rescodes")))
               .crossJoin(broadcast(rerankClim(c, cFactor))),
             col("c_lim"), col("adist").asc, col("vec_id").asc)
           .select(col("probe_id"), col("vec_id"))
@@ -1730,6 +1859,8 @@ object Vectors {
     "q_sim_ann_ivfpq"     -> annIvfPq,
     "q_sim_ann_ivfpq_stored" -> annIvfPqStored,
     "q_sim_ann_ivfpq_rerank" -> annIvfPqRerank,
+    "q_sim_ann_cell_stats"  -> annCellStats,
+    "q_sim_ann_scan_frac"   -> annScanFrac,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -2269,7 +2400,61 @@ object Vectors {
        |FROM r2 WHERE rn <= 5
        |ORDER BY probe_id ASC, rn ASC""".stripMargin
 
+  /** Cell assignment + occupancy CTEs shared by the two index-audit
+    * oracles: cosine-argmax assignment of the whole corpus against
+    * the (sampled-trained) `cents`, then the per-cell count — the
+    * relational restatement of the stored inverted-list table's j=0
+    * slice. Requires `c` + `cents`. */
+  private lazy val sqlCellOcc: String =
+    s"""cell0 AS (
+       |  SELECT c.vec_id, cents.cent_id,
+       |         list_dot_product(c.emb, cents.c_emb)
+       |           / NULLIF(c.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c CROSS JOIN cents),
+       |cellasg AS (
+       |  SELECT vec_id, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM cell0)
+       |  WHERE crn = 1),
+       |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |        FROM cellasg GROUP BY cell)""".stripMargin
+
+  private lazy val sqlAnnCellStats: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlKmeansCents(3, sqlTrainSample)},
+       |$sqlCellOcc
+       |SELECT cell, n_vecs,
+       |       ${Det.sqlR4("n_vecs / (SELECT COUNT(*) FROM c)")}
+       |         AS corpus_frac
+       |FROM occ
+       |ORDER BY cell ASC""".stripMargin
+
+  private lazy val sqlAnnScanFrac: String =
+    s"""WITH c AS ($sqlCorpus),
+       |${sqlKmeansCents(3, sqlTrainSample)},
+       |$sqlCellOcc,
+       |pc0 AS (
+       |  SELECT p.vec_id AS probe_id, cents.cent_id,
+       |         list_dot_product(p.emb, cents.c_emb)
+       |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
+       |pc AS (
+       |  SELECT probe_id, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
+       |  WHERE crn <= $sqlNProbe)
+       |SELECT pc.probe_id, CAST(COUNT(*) AS BIGINT) AS n_cells_probed,
+       |       CAST(SUM(COALESCE(occ.n_vecs, 0)) AS BIGINT) AS rows_scanned,
+       |       ${Det.sqlR4(
+             "SUM(COALESCE(occ.n_vecs, 0)) / (SELECT COUNT(*) FROM c)")}
+       |         AS scan_frac
+       |FROM pc LEFT JOIN occ USING (cell)
+       |GROUP BY pc.probe_id
+       |ORDER BY probe_id ASC""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_cell_stats" -> sqlAnnCellStats,
+    "q_sim_ann_scan_frac" -> sqlAnnScanFrac,
     "q_sim_ann_sq8" -> sqlAnnSq8,
     "q_sim_ann_sq8_rerank" -> sqlAnnSq8Rerank,
     "q_sim_centroid_drift" ->

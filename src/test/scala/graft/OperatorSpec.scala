@@ -1922,12 +1922,19 @@ class OperatorSpec extends AnyFunSuite {
       java.nio.file.Files.readAttributes(f.toPath,
         classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
     val t0 = store("tf0").listFiles().filter(_.getName.startsWith("part-"))
-    val t1keys = store("tf1").listFiles()
+    val t1 = store("tf1").listFiles().filter(_.getName.startsWith("part-"))
+    val t1keys = t1.map(fileKey).toSet
+    val t2keys = store("tf2").listFiles()
       .filter(_.getName.startsWith("part-")).map(fileKey).toSet
     assert(t0.nonEmpty)
     t0.foreach(f => assert(t1keys.contains(fileKey(f)),
       s"tf0 file ${f.getName} was not hard-linked into tf1"))
     assert(t1keys.size > t0.length, "tf1 holds no appended batch files")
+    // third generation: EVERY tf1 file (day-0's twice-removed links
+    // included) reappears in tf2 by inode — day 2 re-tokenized nothing
+    t1.foreach(f => assert(t2keys.contains(fileKey(f)),
+      s"tf1 file ${f.getName} was not hard-linked into tf2"))
+    assert(t2keys.size > t1.length, "tf2 holds no appended batch files")
   }
 
   test("bloom join: pre-filter is a superset of matches and prunes the fact side") {

@@ -347,4 +347,21 @@ class ScaleSpec extends AnyFunSuite {
       .agg(max(col("nd"))).first().getLong(0)
     assert(widest <= 4, s"a token spans $widest docs — families not sliced")
   }
+
+  test("prunedToCells resolve is probe-bounded: a corpus-shaped frame trips") {
+    import graft.ops.Vectors
+    // the declared coarse-index lookup collects (probe, probed cell)
+    // pairs — search parameters. The guard must refuse anything
+    // corpus-shaped BEFORE materializing it on the driver (the limit
+    // is pushed into the plan, so even the trip reads ≤ bound+1 rows).
+    val probeShaped = spark.range(40)
+      .select((col("id") % 10).as("probe_id"), col("id").as("cell"))
+    assert(Vectors.resolveProbeCells(probeShaped) == (0L until 40L))
+    val corpusShaped = spark.range(Vectors.MaxResolvedCells + 1L)
+      .select(col("id").as("cell"))
+    val e = intercept[IllegalArgumentException] {
+      Vectors.resolveProbeCells(corpusShaped)
+    }
+    assert(e.getMessage.contains("not probe-shaped"))
+  }
 }
