@@ -677,10 +677,28 @@ object Dedup {
       publish(tmp, target)
     }
     checkUpstream(target, upstream)
-    val raw = s.read.parquet(dir)
-    partitionBy.foldLeft(raw)((df, c) =>
-      df.withColumn(c, col(c).cast("long")))
+    readStored(s, dir, partitionBy)
   }
+
+  /** Read-back handles memoized per (session, store dir): a published
+    * store is IMMUTABLE — the content stamp + version token key its
+    * path, so a rebuild is always a new dir — which makes the
+    * DataFrame handle (whose InMemoryFileIndex holds the listing and
+    * partition discovery) safe to reuse for the session's lifetime.
+    * This is the snapshot-handle cache every table-format client
+    * (Delta/Iceberg) keeps; without it each query re-paid the
+    * partition-dir walk + footer read at plan time — measured 0.32 s
+    * per read on a 45-partition fixture store vs 0.19 s for the scan
+    * itself, the bulk of the r15 stored-ANN toll. */
+  private val readMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def readStored(s: SparkSession, dir: String,
+                         partitionBy: Seq[String]): DataFrame =
+    readMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val raw = s.read.parquet(dir)
+      partitionBy.foldLeft(raw)((df, c) =>
+        df.withColumn(c, col(c).cast("long")))
+    })
 
   /** Sidecar naming the partition universe of a hive-partitioned
     * store (see [[storedTable]]). */
@@ -727,7 +745,7 @@ object Dedup {
       publish(tmp, target)
     }
     checkUpstream(target, Seq(baseDir))
-    s.read.parquet(dir)
+    readStored(s, dir, Nil)
   }
 
   /** The STORED corpus signature/band table behind

@@ -61,11 +61,18 @@ object AnnOneProbe {
       ("one_probe_pruned", 1L, Long.MaxValue, true),
       ("one_probe_flat", 1L, Long.MaxValue, false))
     val rows = configs.map { case (label, probeMax, cpp, prune) =>
-      val t0 = System.nanoTime()
-      val df = Vectors.ivfpqStoredSearch(spark, sfDir, probeMax, cpp, prune)
-      val qe = df.queryExecution
-      val n = qe.toRdd.count()
-      val secs = (System.nanoTime() - t0) / 1e9
+      // two passes: pass 1 pays the one-time plan-time cell resolve
+      // (a planner cost, memoized per store+geometry after it); pass 2
+      // is the steady-state serving latency a deployment sees.
+      def pass(): (Long, Double, org.apache.spark.sql.execution.QueryExecution) = {
+        val t0 = System.nanoTime()
+        val df = Vectors.ivfpqStoredSearch(spark, sfDir, probeMax, cpp, prune)
+        val qe = df.queryExecution
+        val n = qe.toRdd.count()
+        (n, (System.nanoTime() - t0) / 1e9, qe)
+      }
+      val (n, secsFirst, _) = pass()
+      val (_, secs, qe) = pass()
       // the inverted-list scan is the store read rooted at the
       // ivfcodes dir; every other scan in the plan is codebook-sized
       val scan = flatten(qe.executedPlan)
@@ -75,6 +82,7 @@ object AnnOneProbe {
       def m(key: String): Long =
         scan.flatMap(_.metrics.get(key)).map(_.value).getOrElse(-1L)
       f""" {"config":"$label","rows":$n,"secs":$secs%.2f,""" +
+        f""""secs_first":$secsFirst%.2f,""" +
         s""""files_read":${m("numFiles")},"parts_read":${m("numPartitions")},""" +
         s""""static_files":${m("staticFilesNum")}}"""
     }
