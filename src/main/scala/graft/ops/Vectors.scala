@@ -1615,14 +1615,22 @@ object Vectors {
   // (sums of squared int deltas — order-free, engine-identical), so
   // the oracle parity needs no quantized-float discipline.
 
-  /** Per-dimension [lo, hi] corpus stats folded to ONE broadcast row
-    * (pos-sorted struct array, same shape trick as [[centsAsArray]]). */
-  private def sq8Stats(c: DataFrame): DataFrame =
+  /** Per-dimension [lo, hi] corpus stats as (pos, lo, hi) rows — d
+    * rows, one keyed partial agg over the corpus. Exposed unfolded so
+    * the stored IVF-SQ8 builder can persist them (the search must
+    * quantize probes against the SAME stats the stored codes used). */
+  private def sq8StatRows(c: DataFrame): DataFrame =
     c.select(posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi"))))
-        .as("st"))
+
+  /** The stat rows folded to ONE broadcast row (pos-sorted struct
+    * array, same shape trick as [[centsAsArray]]). */
+  private def sq8Fold(rows: DataFrame): DataFrame =
+    rows.agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi"))))
+      .as("st"))
+
+  private def sq8Stats(c: DataFrame): DataFrame = sq8Fold(sq8StatRows(c))
 
   /** Map-side SQ8 coding: q_d = round(255·(v_d − lo_d)/(hi_d − lo_d)),
     * clamped to [0, 255]; a degenerate dimension (hi = lo) codes 0.
@@ -1677,6 +1685,108 @@ object Vectors {
     * probes×C fetch only. */
   private val annSq8Rerank: Q =
     rerankFrontier("q_sim_ann_sq8_rerank", RerankCFactor, CellsPerProbe)
+
+  // --- IVF-SQ8 (FAISS IndexIVFScalarQuantizer) ------------------------
+  //
+  // The two compression economies composed the OTHER way from IVF-PQ:
+  // the coarse quantizer bounds WHAT is scanned (probed inverted
+  // lists only), SQ8 bounds the BYTES per scanned entry with
+  // per-dimension fidelity instead of PQ's 16-entry subspace
+  // codebooks. Search arithmetic stays EXACT INTEGER end-to-end
+  // (sums of squared int deltas — no quantized-float discipline
+  // needed for oracle parity), which is the practical reason a
+  // deployment picks IVF-SQ8 over IVF-PQ when memory allows 1
+  // byte/dim: no codebook training beyond the coarse step, no ADC
+  // lookup tables, better per-dim error.
+
+  /** The STORED IVF-SQ8 index: per-dimension stats (d rows — the
+    * "training" is one keyed partial agg), the SHARED coarse store,
+    * and the cell-partitioned quantized corpus (vec_id, q[64], cell)
+    * — same hardened store layer, `_UPSTREAM` receipts tying codes to
+    * BOTH the stats and the coarse book, same physical pruning layout
+    * as the PQ lists. */
+  private[graft] def storedIvfSq8Index(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val c = corpus(s, d)
+    val coarseDir = pqStoreDir(d, "coarse")
+    val statsDir = pqStoreDir(d, "sq8stats")
+    val coarse = Dedup.storedTable(s, coarseDir) {
+      kmeansCentroids(c, rounds = 3,
+        trainWhere = Some(trainSample(col("vec_id"))))
+    }
+    val stats = Dedup.storedTable(s, statsDir) { sq8StatRows(c) }
+    val codes = Dedup.storedTable(s, pqStoreDir(d, "sq8codes"),
+        upstream = Seq(coarseDir, statsDir),
+        partitionBy = Seq("cell")) {
+      withNearestCentroid(c, coarse, col("emb"), col("nrm"))
+        .crossJoin(broadcast(sq8Fold(stats)))
+        .select(col("vec_id"), sq8Code(col("emb")).as("q"),
+          col("cent_id").as("cell"))
+    }
+    (coarse, stats, codes)
+  }
+
+  /** IVF-SQ8 search over the stored index: probes pick their
+    * derived-nprobe cells map-side off the broadcast coarse book
+    * (raw-vector cosine, as every IVF search here), quantize against
+    * the STORED stats, and the integer distance runs only over the
+    * probed cells' lists — cell-pruned logically (equi-join) and
+    * physically ([[prunedToCells]] partition resolve). The oracle
+    * re-derives stats, cells and codes relationally; qdist is exact
+    * integer, so the hash match certifies the whole stored build. */
+  private val annIvfSq8: Q = (s, d) => {
+    val c = corpus(s, d)
+    val (coarse, stats, codes) = storedIvfSq8Index(s, d)
+    val probeCells = withNearestCells(
+      c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm")),
+      coarse, col("p_emb"), col("p_nrm"))
+      .crossJoin(broadcast(sq8Fold(stats)))
+      .select(col("probe_id"), col("cell"),
+        sq8Code(col("p_emb")).as("pq"))
+    val scored = prunedToCells(codes,
+        probeCells, pqStoreDir(d, "sq8codes"), s"$CellsPerProbe")
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qdist",
+        aggregate(zip_with(col("q"), col("pq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _))
+    rankPerProbe(scored, lit(3), col("qdist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("qdist"))
+      .orderBy(col("probe_id").asc, col("rn").asc)
+  }
+
+  /** IVF-SQ8 with exact re-ranking — the production serving form:
+    * integer-distance shortlist of the per-probe top-C(n) from the
+    * probed cells only, then [[exactRerank]] over the probes×C fetch.
+    * Rides the same stored index; the refinement cost is
+    * corpus-independent. */
+  private val annIvfSq8Rerank: Q = (s, d) => {
+    val c = corpus(s, d)
+    val (coarse, stats, codes) = storedIvfSq8Index(s, d)
+    val probeCells = withNearestCells(
+      c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm")),
+      coarse, col("p_emb"), col("p_nrm"))
+      .crossJoin(broadcast(sq8Fold(stats)))
+      .select(col("probe_id"), col("cell"),
+        sq8Code(col("p_emb")).as("pq"))
+    val scored = prunedToCells(codes,
+        probeCells, pqStoreDir(d, "sq8codes"), s"$CellsPerProbe")
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qdist",
+        aggregate(zip_with(col("q"), col("pq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _))
+      .crossJoin(broadcast(rerankClim(c)))
+    val shortlist = rankPerProbe(scored, col("c_lim"),
+        col("qdist").asc, col("vec_id").asc)
+      .select(col("probe_id"), col("vec_id"))
+    exactRerank(c, shortlist, 3)
+  }
 
   /** The three production rerank searches with their SEARCH-SIDE
     * knobs exposed: `cFactor` scales the shortlist rule
@@ -1861,6 +1971,8 @@ object Vectors {
     "q_sim_ann_ivfpq_rerank" -> annIvfPqRerank,
     "q_sim_ann_cell_stats"  -> annCellStats,
     "q_sim_ann_scan_frac"   -> annScanFrac,
+    "q_sim_ann_ivfsq8"        -> annIvfSq8,
+    "q_sim_ann_ivfsq8_rerank" -> annIvfSq8Rerank,
     "q_dedup_embedding"   -> embDedup,
     "q_multimodal_join"   -> multimodalJoin,
   )
@@ -2353,7 +2465,11 @@ object Vectors {
     * quantized corpus, probe codes, exact-integer squared distance,
     * per-probe rank — ends with `r(probe_id, vec_id, qdist, rn)`.
     * Requires `c` bound to [[sqlCorpus]]. */
-  private lazy val sqlSq8Ranked: String =
+  /** SQ8 stats + quantized corpus + quantized probes — the shared
+    * head of the flat ([[sqlSq8Ranked]]) and IVF
+    * ([[sqlAnnIvfSq8]]) oracles. Ends with `st`, `qc(vec_id, q)`,
+    * `qp(probe_id, pq)`. Requires `c`. */
+  private lazy val sqlSq8Codes: String =
     s"""st AS (
        |  SELECT i AS pos, MIN(emb[i]) AS lo, MAX(emb[i]) AS hi
        |  FROM c, UNNEST(generate_series(1, len(emb))) AS t(i)
@@ -2366,7 +2482,10 @@ object Vectors {
        |           ORDER BY st.pos) AS q
        |  FROM c CROSS JOIN st
        |  GROUP BY c.vec_id),
-       |qp AS (SELECT vec_id AS probe_id, q AS pq FROM qc WHERE vec_id < 10),
+       |qp AS (SELECT vec_id AS probe_id, q AS pq FROM qc WHERE vec_id < 10)""".stripMargin
+
+  private lazy val sqlSq8Ranked: String =
+    s"""$sqlSq8Codes,
        |qj AS (
        |  SELECT qp.probe_id, qc.vec_id,
        |         CAST(list_sum(list_transform(list_zip(qc.q, qp.pq),
@@ -2452,9 +2571,66 @@ object Vectors {
        |GROUP BY pc.probe_id
        |ORDER BY probe_id ASC""".stripMargin
 
+  /** Cell-pruned SQ8 distance chain shared by the IVF-SQ8 oracles:
+    * sampled coarse training, corpus cell assignment ([[sqlCellOcc]];
+    * its occupancy CTE rides along unused), SQ8 codes, derived-nprobe
+    * probe cells, integer distance over probed cells only — ends with
+    * `r(probe_id, vec_id, qdist, rn)`. */
+  private lazy val sqlIvfSq8Ranked: String =
+    s"""${sqlKmeansCents(3, sqlTrainSample)},
+       |$sqlCellOcc,
+       |$sqlSq8Codes,
+       |pc0 AS (
+       |  SELECT p.vec_id AS probe_id, cents.cent_id,
+       |         list_dot_product(p.emb, cents.c_emb)
+       |           / NULLIF(p.nrm * cents.c_nrm, 0.0) AS ccos
+       |  FROM c p CROSS JOIN cents WHERE p.vec_id < 10),
+       |pc AS (
+       |  SELECT probe_id, cent_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                  ORDER BY ccos DESC, cent_id ASC) AS crn FROM pc0)
+       |  WHERE crn <= $sqlNProbe),
+       |qj AS (
+       |  SELECT pc.probe_id, qc.vec_id,
+       |         CAST(list_sum(list_transform(list_zip(qc.q, qp.pq),
+       |             x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS qdist
+       |  FROM qc
+       |  JOIN cellasg ON qc.vec_id = cellasg.vec_id
+       |  JOIN pc ON cellasg.cell = pc.cell
+       |  JOIN qp ON qp.probe_id = pc.probe_id
+       |  WHERE qc.vec_id <> pc.probe_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY qdist ASC, vec_id ASC) AS rn FROM qj)""".stripMargin
+
+  private lazy val sqlAnnIvfSq8: String =
+    s"""WITH c AS ($sqlCorpus),
+       |$sqlIvfSq8Ranked
+       |SELECT probe_id, rn, vec_id AS neighbor_id, qdist
+       |FROM r WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
+  private lazy val sqlAnnIvfSq8Rerank: String =
+    s"""WITH c AS ($sqlCorpus),
+       |$sqlIvfSq8Ranked,
+       |sl AS (SELECT probe_id, vec_id FROM r WHERE rn <= $sqlClim),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id,
+       |         list_dot_product(cv.emb, p.emb)
+       |           / NULLIF(cv.nrm * p.nrm, 0.0) AS cos
+       |  FROM sl JOIN c cv ON sl.vec_id = cv.vec_id
+       |          JOIN c p  ON sl.probe_id = p.vec_id),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                 ORDER BY cos DESC, vec_id ASC) AS rn FROM rr)
+       |SELECT probe_id, rn, vec_id AS neighbor_id,
+       |       ${Det.sqlR4("cos")} AS cosine
+       |FROM r2 WHERE rn <= 3
+       |ORDER BY probe_id ASC, rn ASC""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sim_ann_cell_stats" -> sqlAnnCellStats,
     "q_sim_ann_scan_frac" -> sqlAnnScanFrac,
+    "q_sim_ann_ivfsq8" -> sqlAnnIvfSq8,
+    "q_sim_ann_ivfsq8_rerank" -> sqlAnnIvfSq8Rerank,
     "q_sim_ann_sq8" -> sqlAnnSq8,
     "q_sim_ann_sq8_rerank" -> sqlAnnSq8Rerank,
     "q_sim_centroid_drift" ->
