@@ -1583,8 +1583,14 @@ object Vectors {
   private val annScanFrac: Q = (s, d) => {
     val c = corpus(s, d)
     val (coarse, _, ccodes) = storedIvfPqIndex(s, d)
+    // localCheckpoint: occ feeds BOTH the probe join and the corpus
+    // total; without it the two consumers' plans differ (the join
+    // side carries a DPP filter) and ReuseExchange declines, so the
+    // index store was scanned twice (PlanAudit round 16). ncells
+    // rows — dim-sized at any scale.
     val occ = ccodes.filter(col("j") === 0)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint()
     val total = occ.agg(sum(col("n_vecs")).as("n_total"))
     val probeCells = withNearestCells(
       c.filter(col("vec_id") < 10)
