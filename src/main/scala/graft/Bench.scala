@@ -118,10 +118,11 @@ object Bench {
     // as cold would overstate store economics); a first-pass failure
     // reports cold = -1, same unknown-stays-unknown rule.
     val coldPass = queries.keys.map { k =>
-      k -> (allPasses.head(k) match {
+      // headOption + per-key get: a zero-pass run or a key absent from
+      // pass 1 degrades to the -1 unknown marker instead of throwing
+      k -> allPasses.headOption.flatMap(_.get(k)).collect {
         case (v, true) => v
-        case _ => -1.0
-      })
+      }.getOrElse(-1.0)
     }.toMap
     val warmMedian = queries.keys.map { k =>
       val later = allPasses.drop(1).flatMap { p =>

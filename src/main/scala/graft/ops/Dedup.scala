@@ -647,6 +647,15 @@ object Dedup {
       // partition value (measured 2× slower reads at fixture scale
       // from ~1400 tiny files); clustered, each value gets its file
       // count from the tasks that actually hold it (~1 here)
+      // _CELLS records only the FIRST partition column's level-1 dirs:
+      // a multi-column partitioned store would publish a first-level-
+      // only sidecar that storedPartValues consumers would misread as
+      // the full universe and wrongly drop their prune filter
+      // (round-16 ADVICE) — refuse at publish until the sidecar
+      // encodes per-column universes.
+      require(partitionBy.size <= 1,
+        s"storedTable supports at most one partition column, got " +
+          s"$partitionBy — the _CELLS sidecar contract is single-level")
       val frame =
         if (partitionBy.nonEmpty) build.repartition(partitionBy.map(col): _*)
         else build
@@ -663,17 +672,7 @@ object Dedup {
         java.nio.file.Files.write(tmp.toPath.resolve(UpstreamMarker),
           upstream.map(p => new java.io.File(p).getName)
             .mkString("", "\n", "\n").getBytes("UTF-8"))
-      if (partitionBy.nonEmpty) {
-        // the partition universe, from the directory names the write
-        // just created (col=value per level-1 subdir) — sorted longs,
-        // one per line
-        val values = Option(tmp.listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory &&
-            f.getName.startsWith(partitionBy.head + "="))
-          .map(_.getName.split("=", 2)(1).toLong).sorted
-        java.nio.file.Files.write(tmp.toPath.resolve(CellsMarker),
-          values.mkString("", "\n", "\n").getBytes("UTF-8"))
-      }
+      if (partitionBy.nonEmpty) writeCellsSidecar(tmp, partitionBy.head)
       publish(tmp, target)
     }
     checkUpstream(target, upstream)
@@ -690,19 +689,75 @@ object Dedup {
     * partition-dir walk + footer read at plan time — measured 0.32 s
     * per read on a 45-partition fixture store vs 0.19 s for the scan
     * itself, the bulk of the r15 stored-ANN toll. */
+  // Keyed BY THE SESSION OBJECT (round-16 ADVICE): identity hashes are
+  // reused after GC, so the old (identityHashCode, dir) key could
+  // silently serve a handle bound to a different (possibly stopped)
+  // session, and entries were never evicted. SparkSession keeps default
+  // identity equals, so LinkedHashMap keying on the object itself makes
+  // collisions impossible. Eviction is explicit, not weak-reference-
+  // based — a cached DataFrame strongly references its session (value →
+  // key), so a WeakHashMap here could never clear an entry: instead,
+  // entries of a STOPPED context are purged on every lookup, and an LRU
+  // cap bounds live-session growth (an evicted session just re-pays one
+  // listing on its next read).
+  private val ReadMemoSessionCap = 8
   private val readMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[String, DataFrame]]) =
+        size > ReadMemoSessionCap
+    }
+
+  /** Live sessions currently holding memoized store handles — test
+    * hook for the eviction contract. */
+  private[graft] def readMemoSessionCount: Int =
+    readMemo.synchronized(readMemo.size)
+
   private def readStored(s: SparkSession, dir: String,
-                         partitionBy: Seq[String]): DataFrame =
-    readMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+                         partitionBy: Seq[String]): DataFrame = {
+    val perSession = readMemo.synchronized {
+      readMemo.entrySet().removeIf(ent =>
+        ent.getKey.sparkContext.isStopped)
+      var m = readMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        readMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => {
       val raw = s.read.parquet(dir)
       partitionBy.foldLeft(raw)((df, c) =>
         df.withColumn(c, col(c).cast("long")))
     })
+  }
 
   /** Sidecar naming the partition universe of a hive-partitioned
     * store (see [[storedTable]]). */
   private[graft] val CellsMarker = "_CELLS"
+
+  /** Write the `_CELLS` partition-universe sidecar from the directory
+    * names a (possibly appended) partitioned write just created —
+    * sorted longs, one per line. A NULL partition value writes
+    * `col=__HIVE_DEFAULT_PARTITION__` — parsing it with .toLong made
+    * the publish fail with an opaque NumberFormatException AFTER the
+    * parquet write (round-16 ADVICE); name the cause instead:
+    * partition values must be non-null longs by engine convention. */
+  private def writeCellsSidecar(tmp: java.io.File, partCol: String): Unit = {
+    val dirs = Option(tmp.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+      .map(_.getName.split("=", 2)(1))
+    val bad = dirs.filterNot(_.matches("-?[0-9]+"))
+    require(bad.isEmpty,
+      s"store ${tmp.getName}: non-numeric partition dirs $bad — " +
+        s"null or non-long values in partition column $partCol " +
+        "(engine convention: non-null LONG)")
+    java.nio.file.Files.write(tmp.toPath.resolve(CellsMarker),
+      dirs.map(_.toLong).sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
 
   /** The partition universe recorded at publish — None for a store
     * published before the sidecar existed or not partitioned at all
@@ -724,28 +779,62 @@ object Dedup {
     * self-contained plain-parquet table = base ∪ batch; the base table
     * is never read, rewritten, or re-derived. Publication is the same
     * locked atomic rename as [[storedTable]]. */
-  private[ops] def storedTableAppend(s: SparkSession, dir: String, baseDir: String)
+  private[ops] def storedTableAppend(s: SparkSession, dir: String,
+                               baseDir: String,
+                               partitionBy: Seq[String] = Nil)
                                (batch: => DataFrame): DataFrame = {
     val target = new java.io.File(dir)
     def ready = new java.io.File(target, "_SUCCESS").exists()
     if (!ready) {
+      require(partitionBy.size <= 1,
+        s"storedTableAppend supports at most one partition column, got " +
+          s"$partitionBy — the _CELLS sidecar contract is single-level")
       val base = new java.io.File(baseDir)
       require(new java.io.File(base, "_SUCCESS").exists(),
         s"append base $baseDir is not published")
       val tmp = new java.io.File(target.getParentFile,
         s"${target.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       tmp.mkdirs()
-      Option(base.listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-        .foreach(f => java.nio.file.Files.createLink(
-          tmp.toPath.resolve(f.getName), f.toPath))
-      batch.write.mode("append").parquet(tmp.getPath)
+      def linkInto(srcDir: java.io.File, dstDir: java.io.File): Unit =
+        Option(srcDir.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .foreach(f => java.nio.file.Files.createLink(
+            dstDir.toPath.resolve(f.getName), f.toPath))
+      if (partitionBy.isEmpty) linkInto(base, tmp)
+      else {
+        // hive-partitioned base: hard-link each partition dir's data
+        // files under the same dir name — the append below then adds
+        // the batch's files beside them (new cells create new dirs),
+        // and the sidecar is rebuilt over the UNION of dirs. Still an
+        // O(#files) metadata-only commit, zero data movement.
+        Option(base.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory &&
+            f.getName.startsWith(partitionBy.head + "="))
+          .foreach { pd =>
+            val nd = new java.io.File(tmp, pd.getName)
+            nd.mkdirs()
+            linkInto(pd, nd)
+          }
+      }
+      val frame =
+        if (partitionBy.nonEmpty) batch.repartition(partitionBy.map(col): _*)
+        else batch
+      partitionBy.foreach { c =>
+        require(frame.schema(c).dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"store partition column $c must be LONG (engine convention " +
+            "— read-back casts partition columns to long)")
+      }
+      val w = frame.write.mode("append")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.getPath)
       java.nio.file.Files.write(tmp.toPath.resolve(UpstreamMarker),
         (base.getName + "\n").getBytes("UTF-8"))
+      if (partitionBy.nonEmpty) writeCellsSidecar(tmp, partitionBy.head)
       publish(tmp, target)
     }
     checkUpstream(target, Seq(baseDir))
-    readStored(s, dir, Nil)
+    readStored(s, dir, partitionBy)
   }
 
   /** The STORED corpus signature/band table behind

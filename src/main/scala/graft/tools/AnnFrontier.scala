@@ -46,7 +46,8 @@ object AnnFrontier {
     }
     val nTruth = truth.count().toDouble
 
-    val ivfKeys = Seq("q_sim_ann_ivfpq_rerank", "q_sim_ann_ivfpq_residual_rerank")
+    val ivfKeys = Seq("q_sim_ann_ivfpq_rerank", "q_sim_ann_ivfpq_residual_rerank",
+      "q_sim_ann_ivfsq8_rerank")
     val cFactors = Seq(1.0, 3.0, 5.0)
     val cpps = Seq(8L, 4L, 2L)
     // warm pass so every store is built OUTSIDE the timed grid — the

@@ -50,23 +50,37 @@ object AnnOneProbe {
       case other => other +: other.children.flatMap(flatten)
     }
 
-    // store build happens OUTSIDE the timed rows (one registry run)
+    // store builds happen OUTSIDE the timed rows (one registry run)
     graft.SparkEntry.queries("q_sim_ann_ivfpq_stored")(spark, sfDir).count()
+    graft.SparkEntry.queries("q_sim_ann_ivfsq8")(spark, sfDir).count()
 
     // (label, probeMax, cellsPerProbe, prune): Long.MaxValue as the
     // divisor forces nprobe to its floor (NProbeMin) — the narrowest
-    // honest search this index serves.
+    // honest search this index serves. Both cell-partitioned stored
+    // families run the same grid: ivfpq over the `ivfcodes` store,
+    // ivfsq8 over `sq8codes` (round-16 verdict #3 — the receipts must
+    // cover the new family too).
+    val families = Seq(
+      ("ivfpq", "ivfcodes",
+        (p: Long, c: Long, pr: Boolean) =>
+          Vectors.ivfpqStoredSearch(spark, sfDir, p, c, pr)),
+      ("ivfsq8", "sq8codes",
+        (p: Long, c: Long, pr: Boolean) =>
+          Vectors.ivfsq8StoredSearch(spark, sfDir, p, c, pr)))
     val configs = Seq(
       ("ten_probe_default", 10L, Vectors.CellsPerProbe, true),
       ("one_probe_pruned", 1L, Long.MaxValue, true),
       ("one_probe_flat", 1L, Long.MaxValue, false))
-    val rows = configs.map { case (label, probeMax, cpp, prune) =>
+    val rows = for {
+      (fam, marker, search) <- families
+      (label, probeMax, cpp, prune) <- configs
+    } yield {
       // two passes: pass 1 pays the one-time plan-time cell resolve
       // (a planner cost, memoized per store+geometry after it); pass 2
       // is the steady-state serving latency a deployment sees.
       def pass(): (Long, Double, org.apache.spark.sql.execution.QueryExecution) = {
         val t0 = System.nanoTime()
-        val df = Vectors.ivfpqStoredSearch(spark, sfDir, probeMax, cpp, prune)
+        val df = search(probeMax, cpp, prune)
         val qe = df.queryExecution
         val n = qe.toRdd.count()
         (n, (System.nanoTime() - t0) / 1e9, qe)
@@ -74,14 +88,14 @@ object AnnOneProbe {
       val (n, secsFirst, _) = pass()
       val (_, secs, qe) = pass()
       // the inverted-list scan is the store read rooted at the
-      // ivfcodes dir; every other scan in the plan is codebook-sized
+      // family's code dir; every other scan is codebook-sized
       val scan = flatten(qe.executedPlan)
         .collectFirst { case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(
-            _.toString.contains("ivfcodes")) => f }
+            _.toString.contains(marker)) => f }
       def m(key: String): Long =
         scan.flatMap(_.metrics.get(key)).map(_.value).getOrElse(-1L)
-      f""" {"config":"$label","rows":$n,"secs":$secs%.2f,""" +
+      f""" {"family":"$fam","config":"$label","rows":$n,"secs":$secs%.2f,""" +
         f""""secs_first":$secsFirst%.2f,""" +
         s""""files_read":${m("numFiles")},"parts_read":${m("numPartitions")},""" +
         s""""static_files":${m("staticFilesNum")}}"""

@@ -76,7 +76,8 @@ object AnnRecall {
       "q_sim_ann_ivfpq_residual_stored", "q_sim_ann_ivfpq_residual_rerank",
       "q_sim_ann_ivfpq_rerank",
       "q_sim_ann_sq8", "q_sim_ann_sq8_rerank",
-      "q_sim_ann_ivfsq8", "q_sim_ann_ivfsq8_rerank")
+      "q_sim_ann_ivfsq8", "q_sim_ann_ivfsq8_rerank",
+      "q_sim_ann_ivfsq8_day2", "q_sim_ann_ivfpq_split")
     val rows = variants.map { key =>
       val (got, secs) = timed {
         graft.SparkEntry.queries(key)(spark, sfDir)

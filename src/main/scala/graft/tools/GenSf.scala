@@ -90,11 +90,73 @@ object GenSf {
     * `main` stopping their shared test session. */
   def run(spark: SparkSession, src: String, dst: String, replicas: Int,
       mode: String = "bijection"): Unit = {
-    require(Set("bijection", "growvocab", "sparsebatch")(mode),
+    require(Set("bijection", "growvocab", "sparsebatch", "skewvec")(mode),
       s"unknown GenSf mode: $mode")
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
+
+    // "skewvec": EMBEDDINGS-ONLY adversarial fixture for the ANN cell
+    // audits (round-16 verdict #1: both stock fixtures are isotropic,
+    // so q_sim_ann_cell_stats measured imbalance ≈1.3 — nothing to
+    // catch). The mega-cell mechanism is EXACT-DUPLICATE embeddings —
+    // the real-web case (boilerplate/template pages embed identically),
+    // and the only one that concentrates at ANY scale: identical
+    // vectors tie on every centroid cosine, the deterministic
+    // (ccos DESC, cent_id ASC) tie-break sends ALL of them to one
+    // cell, and no amount of Lloyd re-seeding can pull ties apart. (A
+    // first cut used a tight Gaussian family, σ=0.02: at 20 k vectors
+    // the ~35 family seeds split it into ~seed-count cells of ≈ mean
+    // occupancy — measured imbalance only 2.0. Gaussian modes are what
+    // k-means is GOOD at; duplicates are what breaks it.)
+    //   - 25% hot duplicate family: probes 1–5 plus the trailing
+    //     vec_id ≥ ¾·n block, every one EXACTLY the fixed center
+    //     c_hot. The block sits OUTSIDE the seed range (seeds are the
+    //     first ⌈√n⌉ ids), so the only in-family seeds are the 5
+    //     probes — one inherits the whole family, four sit empty, and
+    //     a hot probe's nprobe picks the mega-cell + ~nprobe normal
+    //     cells: the scanned-rows blowup the audit must surface.
+    //   - 15% in 3 Gaussian satellites (vec_id%20 ∈ 6..8 outside the
+    //     hot block, 5% each): σ=0.15 around distinct centers —
+    //     moderate clustering texture.
+    //   - 60% isotropic N(0,1) background — the stock fixtures'
+    //     regime, so the balanced part of the index stays normal.
+    // Probe coverage by construction: probes 1-5 hot duplicates, 6-8
+    // satellite members, 0 and 9 background. All randomness is
+    // md5-derived (Box-Muller over two 32-bit md5 uniforms) — the
+    // fixture is a pure function of (vec_id, dim position).
+    if (mode == "skewvec") {
+      val emb = read("embeddings")
+      val dims = emb.select(size(col("embedding")).as("d")).distinct()
+        .collect().map(_.getInt(0))
+      require(dims.length == 1,
+        s"embeddings must share one dimension, found ${dims.toSeq}")
+      val dim = dims.head
+      val n = emb.count() * replicas
+      val hotFrom = 3L * n / 4
+      def u(t: String) =
+        s"((CAST(conv(substring(md5(CAST(($t) AS BINARY)),1,8),16,10) " +
+          "AS DOUBLE)+0.5)/4294967296.0)"
+      def z(t: String) =
+        s"(sqrt(-2*ln(${u(s"($t)||'_a'")})) * cos(2*pi()*${u(s"($t)||'_b'")}))"
+      val embExpr =
+        s"""transform(sequence(0, ${dim - 1}), p -> CAST(
+           |  CASE
+           |    WHEN vec_id >= $hotFrom OR vec_id BETWEEN 1 AND 5 THEN
+           |      2*${u("'hotc_'||p")} - 1
+           |    WHEN pmod(vec_id, 20) BETWEEN 6 AND 8 THEN
+           |      3*(2*${u("'satc_'||pmod(vec_id,20)||'_'||p")} - 1)
+           |        + 0.15 * ${z("'s'||vec_id||'_'||p")}
+           |    ELSE ${z("'b'||vec_id||'_'||p")}
+           |  END AS FLOAT))""".stripMargin
+      spark.range(n).select(col("id").as("vec_id"))
+        .selectExpr("vec_id", s"$embExpr AS embedding",
+          "CAST(pmod(vec_id, 10) AS INT) AS label")
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      val written = spark.read.parquet(s"$dst/embeddings.parquet").count()
+      println(s"GENSF embeddings rows=$written (skewvec)")
+      return
+    }
 
     // Per-table key strides = source cardinality (keys are dense 0..N-1
     // in the driver fixtures; computed, not assumed, so a different

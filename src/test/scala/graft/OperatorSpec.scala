@@ -1093,6 +1093,29 @@ class OperatorSpec extends AnyFunSuite {
       "BPE segmentation is not deterministic across invocations")
   }
 
+  test("BPE longest-match segmenter ≡ replace chain at the declared rounds") {
+    import graft.ops.Text
+    // the post-pin segmenter (one broadcast vocab, one corpus pass,
+    // merge-count-independent plan) must reproduce the merge-order
+    // replace chain PIECE FOR PIECE on this corpus — the equivalence
+    // the shared q_text_bpe_lm oracle then re-proves cross-engine on
+    // every driver run. Maximal munch and merge order are different
+    // algorithms in general; this pin is what licenses swapping one
+    // for the other at production merge counts.
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "word", "concat_ws(chr(2), pieces) AS ps")
+    val chain = flat(Text.bpePieces(spark, sf))
+    val lm = flat(Text.bpePiecesLM(spark, sf))
+    assert(lm.exceptAll(chain).count() == 0 &&
+      chain.exceptAll(lm).count() == 0,
+      "longest-match segmentation diverged from the merge-order chain")
+    // losslessness holds independently of the chain comparison
+    val bad = Text.bpePiecesLM(spark, sf)
+      .withColumn("rebuilt", expr("concat_ws('', pieces)"))
+      .filter(col("rebuilt") =!= col("word"))
+    assert(bad.count() == 0, "longest-match round-trip lost characters")
+  }
+
   test("bpe packing: exclusive prefix property in subword units") {
     import org.apache.spark.sql.expressions.Window
     val q = SparkEntry.queries("q_pack_sequences_bpe")(spark, sf)
