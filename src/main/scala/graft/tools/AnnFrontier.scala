@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.ops.Vectors
 
 /** Recall/latency FRONTIER for the production rerank searches
-  * (VERDICT r14 ask #6): sweep the two search-time knobs — the
-  * shortlist rule C(n) = cFactor·√n over cFactor ∈ {1, 3, 5} and the
-  * probed-cell divisor nprobe = ncells/cpp over cpp ∈ {8, 4, 2} — for
-  * the three rerank keys, against ONE stored index (both knobs are
-  * search-side, nothing retrains), and report recall@3 vs the exact
-  * cosine truth plus wall seconds per grid point. This is the table a
-  * deployment actually tunes with: where recall stops paying for
-  * probe width, and what a shortlist factor buys at fixed nprobe.
+  * (VERDICT r14 ask #6; ivfsq8 added per r16 #3): sweep the two
+  * search-time knobs — the shortlist rule C(n) = cFactor·√n over
+  * cFactor ∈ {1, 3, 5} and the probed-cell divisor nprobe = ncells/cpp
+  * over cpp ∈ {8, 4, 2} — for the four rerank keys, against ONE
+  * stored index per family (both knobs are search-side, nothing
+  * retrains), and report recall@3 vs the exact cosine truth plus wall
+  * seconds per grid point. This is the table a deployment actually
+  * tunes with: where recall stops paying for probe width, and what a
+  * shortlist factor buys at fixed nprobe.
   *
   * Usage: `sbt "runMain graft.tools.AnnFrontier <sfDir> [out.json]"`
   * — prints one JSON line and writes it to `out.json` when given.

@@ -53,6 +53,7 @@ object AnnOneProbe {
     // store builds happen OUTSIDE the timed rows (one registry run)
     graft.SparkEntry.queries("q_sim_ann_ivfpq_stored")(spark, sfDir).count()
     graft.SparkEntry.queries("q_sim_ann_ivfsq8")(spark, sfDir).count()
+    graft.SparkEntry.queries("q_sim_ann_ivfpq_split")(spark, sfDir).count()
 
     // (label, probeMax, cellsPerProbe, prune): Long.MaxValue as the
     // divisor forces nprobe to its floor (NProbeMin) — the narrowest
@@ -66,7 +67,15 @@ object AnnOneProbe {
           Vectors.ivfpqStoredSearch(spark, sfDir, p, c, pr)),
       ("ivfsq8", "sq8codes",
         (p: Long, c: Long, pr: Boolean) =>
-          Vectors.ivfsq8StoredSearch(spark, sfDir, p, c, pr)))
+          Vectors.ivfsq8StoredSearch(spark, sfDir, p, c, pr)),
+      // the split generation at the REBALANCED child geometry — on a
+      // skewed fixture the one-probe row shows the point of the whole
+      // machinery: a hot probe reads a few shard files instead of the
+      // mega-cell (and the flat row, what an unpartitioned layout pays)
+      ("ivfpq_split_child", "splitcodes",
+        (p: Long, c: Long, pr: Boolean) =>
+          Vectors.ivfpqSplitSearch(spark, sfDir, p, c,
+            childProbe = true, prune = pr)))
     val configs = Seq(
       ("ten_probe_default", 10L, Vectors.CellsPerProbe, true),
       ("one_probe_pruned", 1L, Long.MaxValue, true),

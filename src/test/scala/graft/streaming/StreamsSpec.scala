@@ -488,4 +488,84 @@ class StreamsSpec extends AnyFunSuite {
     // user 1: 5 | 20 | 70 (15- and 50-min gaps); user 2: 65 | 130
     assert(sess.length == 5)
   }
+
+  test("checkpoint restart: ANN ingest (frozen-book coding + append) " +
+      "resumes from its offsets and matches the day-chain index") {
+    // The STREAMING twin of the batch day-chain PQ index (round-16
+    // verdict #5): a production vector store ingests continuously —
+    // new vectors are coded with the FROZEN day-0 codebook and
+    // APPENDED to the code table; nothing existing is re-read or
+    // re-coded. Here that loop runs as a checkpointed file-source
+    // foreachBatch: day-1 vectors stream in two installments with a
+    // kill in between, the new query resumes from the SAME checkpoint,
+    // and
+    //  1. only the pending vectors are reprocessed (offset resume);
+    //  2. the final durable code table equals the BATCH day-chain
+    //     store (q_sim_ann_pq_day2's oracle-certified generation) —
+    //     stream-coded ≡ hard-link-append-coded, vector for vector.
+    import graft.ops.Vectors
+    val sfDir = SparkTestSession.sf
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    // batch twin: builds (or reads) the stored day-0 book + codes
+    val (book, chainCodes) = Vectors.storedPqDayIndex(spark, sfDir)
+    val day1 = emb.filter(pmod(col("vec_id"), lit(100)) >= 90)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val (ingest0, ingest1) = day1.splitAt(day1.length / 2)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-ckpt-")
+      .toFile
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val codesDir = new java.io.File(root, "codes").getPath
+    // day-0 durable state: the already-coded corpus (what the store
+    // holds before ingest begins)
+    Vectors.pqCodes(emb.filter(pmod(col("vec_id"), lit(100)) < 90), book)
+      .select(col("vec_id"), col("j"), col("code"))
+      .write.mode("overwrite").parquet(codesDir)
+    def feed(vs: Seq[(Long, Seq[Double])]): Unit =
+      spark.createDataset(vs).toDF("vec_id", "emb").repartition(1)
+        .write.mode("append").parquet(srcDir.getPath)
+
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    def startQuery() = spark.readStream
+      .schema(emb.schema)
+      .parquet(srcDir.getPath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        processed.addAndGet(batch.count())
+        // frozen-book coding, append-only — the whole ingest step
+        Vectors.pqCodes(batch, book)
+          .select(col("vec_id"), col("j"), col("code"))
+          .write.mode("append").parquet(codesDir)
+        ()
+      }
+      .outputMode("update").start()
+
+    feed(ingest0)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(processed.get() == ingest0.length.toLong)
+    q1.stop()            // killed mid-ingest …
+    feed(ingest1)        // … the rest arrives while it is DOWN
+
+    processed.set(0)
+    val q2 = startQuery()  // same checkpoint, new query instance
+    q2.processAllAvailable()
+    q2.stop()
+    assert(processed.get() == ingest1.length.toLong,
+      s"restart reprocessed history: saw ${processed.get()} rows, " +
+        s"expected only the ${ingest1.length} pending ones")
+
+    val got = spark.read.parquet(codesDir)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    val expected = chainCodes
+      .select(col("vec_id"), col("j"), col("code"))
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(got == expected,
+      "stream-ingested code table diverges from the batch day-chain " +
+        "index — frozen-book coding is not replay-equivalent")
+  }
 }
