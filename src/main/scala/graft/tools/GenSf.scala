@@ -90,8 +90,48 @@ object GenSf {
     * `main` stopping their shared test session. */
   def run(spark: SparkSession, src: String, dst: String, replicas: Int,
       mode: String = "bijection"): Unit = {
-    require(Set("bijection", "growvocab", "sparsebatch", "skewvec")(mode),
+    require(Set("bijection", "growvocab", "sparsebatch", "skewvec",
+      "skewjoin")(mode),
       s"unknown GenSf mode: $mode")
+
+    // "skewjoin": the bijection fixture with HOT JOIN/GROUP KEYS — the
+    // adversarial input for the relational families (round-16 verdict
+    // #7: saltedJoin / AQE skew splits / hot-key diversion were
+    // asserted from plan shape, never measured on genuinely skewed
+    // data). A deterministic 25% slice of each fact table is
+    // redirected to ONE dimension key — the real-web shape (one
+    // mega-customer, one commodity part, one bot user):
+    //   orders:   o_orderkey % 4 == 0  → o_custkey = 0
+    //   lineitem: l_orderkey % 4 == 0  → l_partkey = 0, l_suppkey = 0
+    //   events:   event_id % 4 == 0    → user_id = 0
+    // Everything else (docs, embeddings, dims, the other 75%) is the
+    // bijection fixture byte-for-byte, so a BENCH_skewjoin run against
+    // the same-scale testdata/sf1 isolates the skew penalty itself.
+    // Implemented as a rewrite pass over the bijection output: the
+    // redirection is pure key arithmetic, content-independent.
+    if (mode == "skewjoin") {
+      run(spark, src, dst, replicas, "bijection")
+      def rewrite(name: String)(f: DataFrame => DataFrame): Unit = {
+        val cur = f(spark.read.parquet(s"$dst/$name.parquet"))
+          .localCheckpoint() // materialize before overwriting the source dir
+        cur.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"GENSF $name rows=${spark.read.parquet(s"$dst/$name.parquet").count()} (skewjoin)")
+      }
+      rewrite("orders")(df => df.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(4)) === 0, lit(0L))
+          .otherwise(col("o_custkey"))))
+      rewrite("lineitem")(df => df
+        .withColumn("l_partkey",
+          when(pmod(col("l_orderkey"), lit(4)) === 0, lit(0L))
+            .otherwise(col("l_partkey")))
+        .withColumn("l_suppkey",
+          when(pmod(col("l_orderkey"), lit(4)) === 0, lit(0L))
+            .otherwise(col("l_suppkey"))))
+      rewrite("events")(df => df.withColumn("user_id",
+        when(pmod(col("event_id"), lit(4)) === 0, lit(0L))
+          .otherwise(col("user_id"))))
+      return
+    }
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
