@@ -279,7 +279,17 @@ object Dedup {
     val G = 16
     val wB = Window.partitionBy(col("band_idx"), col("band_key"))
       .orderBy(col("doc_id").asc)
+    // Pinned-count (band_idx, band_key) fan-out: the chunk window and
+    // the self-join both need exactly this clustering, so ONE explicit
+    // exchange serves both with no further shuffle — and, being
+    // user-specified, it is exempt from AQE coalescing, which sized
+    // the banded stream by its (tiny) bytes and folded the pair
+    // ENUMERATION stage to ~5 tasks at sf0.1 while the rest of the
+    // machine idled. Width is numShufflePartitions — cluster-sized in
+    // production, never a local constant.
     val chunked = banded
+      .repartition(withKeys.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band_idx"), col("band_key"))
       .withColumn("ck", pmod(row_number().over(wB) - 1, lit(G)))
     val x = chunked.select(Seq(col("band_idx"), col("band_key"),
       col("ck").as("a_ck"), col("doc_id").as("a_id")) ++
@@ -1016,6 +1026,17 @@ object Dedup {
     val cand = lshCandidatePairs(withKeys, Seq.empty)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
+      // Pinned-count fan-out BEFORE the per-pair signature compare
+      // (the docTokens rationale, applied to the pair stream): the
+      // band join's exchange carries few BYTES per pair, so AQE's
+      // byte-sized coalescing folded the compare stage to ~5 tasks at
+      // sf0.1 (ProbeKey r17: 4.1 s in one 5-task stage) while 27
+      // cores idled — compute per byte here is extreme (64 long
+      // compares per pair). At cluster scale the pair stream is huge
+      // and numShufflePartitions is sized for the cluster — the pin
+      // is scale-parameterised, not local-tuned.
+      .repartition(sigs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a_id"), col("b_id"))
     val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
     // native codegen'd match count — the HOF zip_with/aggregate twin
@@ -1111,6 +1132,12 @@ object Dedup {
     // files, not the signature pipeline) and need no further shuffle,
     // since the window's partitioning already satisfies the join.
     val ok = banded
+      // same pinned-count fan-out as [[lshCandidatePairs]]: one
+      // explicit (band_idx, band_key) exchange serves the size window
+      // AND the self-join below, exempt from AQE's byte-sized
+      // coalescing of this compute-heavy, byte-light stream
+      .repartition(withKeys.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band_idx"), col("band_key"))
       .withColumn("n_in_key", count(lit(1))
         .over(Window.partitionBy(col("band_idx"), col("band_key"))))
       .filter(col("n_in_key") <= cap)
@@ -1587,32 +1614,49 @@ object Dedup {
     val both = pairs.select(col("a_id").as("u"), col("b_id").as("w"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // materialize before the first multi-branch read: the union's two
+    // branches otherwise race past the still-empty cache and each
+    // re-run the `pairs` lineage (connectedComponentsStar's fix,
+    // applied here — pairs is a cheap stored scan for q_dedup_pagerank
+    // but a semi-joined induced subgraph for the day-2 refresh)
+    both.count()
     // node-sized → heap checkpoint is right; materializing it also
     // materializes `both` into the disk store
     val deg = both.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var ranks = nodes.select(col("doc_id"), lit(10000L).as("rank_q"))
+    // deg rides INSIDE the per-round rank table (r17): the old shape
+    // re-joined deg every round (one more broadcast build per round)
+    // and re-derived each round's base from the nodes parquet (one
+    // more scan per round); carrying (doc_id, rank_q, deg) through the
+    // checkpoint makes a round exactly: one map-side contribution
+    // projection off the previous checkpoint, one edge-keyed partial
+    // agg, one broadcast join back — identical integer arithmetic
+    // (deg-less nodes contributed nothing before via the inner deg
+    // join; they contribute nothing now via the null filter).
+    var ranks = nodes
+      .join(deg.select(col("u").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(10000L).as("rank_q"), col("deg"))
+      .localCheckpoint()
     for (_ <- 1 to PrRounds) {
       val inbound = ranks
-        .join(deg, col("doc_id") === col("u"))
+        .filter(col("deg").isNotNull)
         .select(col("doc_id").as("src"),
           floor(col("rank_q") / col("deg")).as("c_q"))
         .join(both.select(col("u").as("src"), col("w")), "src")
         .groupBy(col("w")).agg(sum(col("c_q")).as("in_q"))
-      ranks = nodes
+      ranks = ranks
         .join(inbound.select(col("w").as("doc_id"), col("in_q")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(1500L) +
             floor(coalesce(col("in_q"), lit(0L)) * lit(PrDamping)))
-            .as("rank_q"))
+            .as("rank_q"), col("deg"))
         .localCheckpoint()
     }
     // every round is materialized (eager checkpoints); the returned
-    // plan reads only the final ranks + deg — release the disk copy
+    // plan reads only the final ranks — release the disk copy
     both.unpersist(false)
     ranks
-      .join(deg.select(col("u").as("doc_id"), col("deg")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
         col("rank_q"))
   }
@@ -1809,6 +1853,16 @@ object Dedup {
         greatest(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // Force the cache BEFORE bothDirs reads it: the union's two
+    // branches run as parallel map stages inside one job, and a lazy
+    // persist is populated per-partition as tasks complete — both
+    // branches raced past the empty cache and each re-ran the full
+    // pair pipeline (ProbeKey r17: two identical 12.6 s stages under
+    // the hop checkpoint at sf0.1). One count materializes the disk
+    // cache once; every later consumer (both hop branches + the
+    // contraction join) then reads spilled blocks, so the pair
+    // pipeline executes exactly once per CC invocation.
+    raw.count()
     // Contraction pre-pass: hop every node to m(v) = min(Γ(v) ∪ v) —
     // one keyed aggregation over the edge list — and re-key the edges
     // through that label. Near-dup components are near-cliques, so

@@ -136,9 +136,22 @@ object Vectors {
   }
 
   /** Corpus with precomputed L2 norm (computed once, reused by every
-    * probe comparison). */
+    * probe comparison).
+    *
+    * One-file corpus → one input partition ([[graft.ops.Text.docTokens]]'
+    * rationale, applied to the vector table): every map-side pass over
+    * the corpus — Lloyd assignment, PQ coding, probe scoring — would
+    * otherwise run as a SINGLE task while the rest of the machine
+    * idles (ProbeKey r17: q_sim_ann_ivfpq = 40 one-task stages, wall ≈
+    * serial sum). Fan out by vec_id with a pinned count (exempt from
+    * AQE's byte-sized coalescing — the corpus is byte-light but
+    * compute-heavy); vec_id-keyed aggregations downstream are already
+    * clustered by the subset rule, so no re-shuffle. At cluster scale
+    * numShufflePartitions is cluster-sized, and one early exchange of
+    * the raw vectors is noise next to the rounds of passes it feeds. */
   private[graft] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
@@ -432,6 +445,11 @@ object Vectors {
   // the oracles restate them as scalar subqueries off the same CTEs.
 
   /** Seed/cell-count floor (the previous fixed geometry). */
+  /** Embedding width (= [[PqM]]·[[PqDim]]); the fixture schema is
+    * fixed-width dense vectors, so per-dimension aggregates can be
+    * built as static expression lists. */
+  private[graft] val VecDim = 64
+
   private[graft] val NCellsMin = 8L
 
   /** nprobe floor (the previous fixed geometry). */
@@ -502,6 +520,15 @@ object Vectors {
     for (_ <- 1 to rounds) {
       val members = withNearestCentroid(ct, cents, col("emb"), col("nrm"))
         .select(col("cent_id"), col("emb"))
+      // Means stay in the posexplode → (cent, pos) agg → re-assembly
+      // shape. The r17 one-exchange alternative — groupBy(cent_id)
+      // with array(davg(emb[0]), …, davg(emb[63])) — is bit-identical
+      // but 128 aggregate buffers per group fall out of whole-stage
+      // codegen and TRIPLED every coarse-training key (measured:
+      // q_sim_ann_ivfpq 6.4 → 15.9 s, q_sim_kmeans 4.0 → 14.3 s);
+      // the exploded form keeps ONE narrow codegen'd decimal agg.
+      // (pqCodebook's PqDim=8-wide version of the same rewrite stays —
+      // 16 buffers is inside codegen limits and saves an exchange.)
       val means = members
         .select(col("cent_id"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
@@ -513,6 +540,12 @@ object Vectors {
         .select(col("cent_id"),
           coalesce(col("n_emb"), col("c_emb")).as("c_emb"))
         .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+      // NO per-round checkpoint — measured r17: a LogicalRDD here (eager
+      // or lazy) loses `maxRows`/uniqueness facts, so Catalyst can no
+      // longer prune the training subtree out of consumers whose action
+      // doesn't need it (q_dedup_semantic 0.7 → 4.6-5.6 s), and the
+      // accumulated per-round blocks aged the whole suite's later
+      // passes. The nested rounds already share work via ReusedExchange.
     }
     cents
   }
@@ -766,19 +799,16 @@ object Vectors {
     for (_ <- 1 to rounds) {
       val members = withPqCode(sv, cents)
         .select(col("j"), col("code").as("cent_id"), col("sv"))
+      // one (j, cent)-keyed aggregation per round — the
+      // [[kmeansCentroids]] single-shuffle means, PqDim-wide
       val means = members
-        .select(col("j"), col("cent_id"),
-          posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("j"), col("cent_id"), col("pos"))
-        .agg(Det.davg(col("v")).as("cv1"))
         .groupBy(col("j"), col("cent_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("cv1"))))
-          .as("pe"))
-        .select(col("j"), col("cent_id"),
-          expr("transform(pe, e -> e.cv1)").as("n_cv"))
+        .agg(array((0 until PqDim).map(p =>
+          Det.davg(col("sv")(p))): _*).as("n_cv"))
       cents = cents.join(means, Seq("j", "cent_id"), "left")
         .select(col("j"), col("cent_id"),
           coalesce(col("n_cv"), col("cv")).as("cv"))
+      // no per-round checkpoint — see kmeansCentroids (r17 note)
     }
     cents
   }
@@ -1721,6 +1751,8 @@ object Vectors {
         val asg = members.join(broadcast(subCbByCell(sub)), Seq("pcell"))
           .withColumn("bc", bestCent(scoredCents(col("emb"), col("nrm"))))
           .select(col("pcell"), col("bc.cent_id").as("cent_id"), col("emb"))
+        // posexplode means — see kmeansCentroids' r17 note (the 64-wide
+        // single-groupBy rewrite breaks codegen and is ~3× slower)
         val means = asg
           .select(col("pcell"), col("cent_id"),
             posexplode(col("emb")).as(Seq("pos", "v")))
@@ -1735,6 +1767,7 @@ object Vectors {
           .select(col("pcell"), col("cent_id"),
             coalesce(col("n_emb"), col("c_emb")).as("c_emb"))
           .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+        // no per-round checkpoint — see kmeansCentroids (r17 note)
       }
       // children get parent-recoverable ids; untouched cells carry
       // their coarse centroid into the child book at parent·SplitBase
