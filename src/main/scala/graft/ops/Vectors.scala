@@ -138,20 +138,22 @@ object Vectors {
   /** Corpus with precomputed L2 norm (computed once, reused by every
     * probe comparison).
     *
-    * One-file corpus → one input partition ([[graft.ops.Text.docTokens]]'
-    * rationale, applied to the vector table): every map-side pass over
-    * the corpus — Lloyd assignment, PQ coding, probe scoring — would
-    * otherwise run as a SINGLE task while the rest of the machine
-    * idles (ProbeKey r17: q_sim_ann_ivfpq = 40 one-task stages, wall ≈
-    * serial sum). Fan out by vec_id with a pinned count (exempt from
-    * AQE's byte-sized coalescing — the corpus is byte-light but
-    * compute-heavy); vec_id-keyed aggregations downstream are already
-    * clustered by the subset rule, so no re-shuffle. At cluster scale
-    * numShufflePartitions is cluster-sized, and one early exchange of
-    * the raw vectors is noise next to the rounds of passes it feeds. */
+    * NO blanket fan-out here (r17, measured twice): a pinned
+    * `.repartition(numShufflePartitions, vec_id)` after the scan was
+    * tried to cure the one-file-corpus → one-task-per-pass shape
+    * (ProbeKey: q_sim_ann_ivfpq = 40 one-task stages). It made the
+    * hash-heavy parallel passes wide (q_sim_ann_lsh_tables −2.5 s) but
+    * REGRESSED every in-query-training key 20-35% in clean same-store
+    * full-suite A/Bs (q_sim_ann_ivfpq +4.2 s fresh / +15% warm,
+    * q_sim_kmeans +0.5-1.4 s, q_sim_ann_ivf_sampled +0.9-1.8 s): Lloyd
+    * rounds are SERIAL and fixture-tiny, so 32 tasks per round
+    * multiply per-stage scheduling overhead across ~40 dependent
+    * stages instead of buying parallelism. The fan-out lives at the
+    * consumers whose passes are parallel and compute-bound
+    * ([[annLshTables]]); at 100 TB the corpus is many files and scans
+    * parallelize at the source, so nothing is lost at scale. */
   private[graft] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
@@ -382,7 +384,19 @@ object Vectors {
     * 0.00-0.13 single-table) — the AnnRecall artifact records it. */
   private val annLshTables: Q = (s, d) => {
     val c = corpus(s, d)
-    val keyed = c.select(col("vec_id"),
+    // Pinned-count fan-out of the HASHING pass only (r17): computing
+    // L·B rotated-base sign bits = 6144 quantized multiply-adds per
+    // vector on a one-file (one-partition) corpus ran as a single
+    // task while 31 cores idled, and the stream is byte-light so AQE's
+    // byte-sized coalescing would re-fold it. This pass is PARALLEL
+    // (one map over the corpus, no serial rounds), so width is pure
+    // win — measured −2.5 to −2.9 s at sf0.1 in full-suite A/Bs. The
+    // pin is numShufflePartitions (cluster-sized in production); the
+    // blanket corpus()-level fan-out was measured and rejected — see
+    // [[corpus]].
+    val keyed = c
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .select(col("vec_id"),
         explode(lshTableKeys(col("emb"))).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val probes = keyed.filter(col("vec_id") < 10)
