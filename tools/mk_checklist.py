@@ -33,7 +33,16 @@ VERDICTS = {
     "q_sim_kmeans": "witness: Lloyd + full assignment output",
     "q_dedup_semantic": "count-prunable consumer of the trained codebook; left",
     "q_embed_pq": "count-prunable PQ coder; left",
-    "q_dedup_incremental": "batch x corpus band join; pins upstream",
+    "q_dedup_incremental": "batch x corpus band join; r17 pins upstream",
+    "q_dedup_ngram": "size-banded mask join; df-bounded candidates; no structural waste found",
+    "q_dedup_containment": "rare-gram inverted index, df-capped pair stream; left",
+    "q_dedup_near": "banded recall + signature verify chain; left",
+    "q_text_bpe": "bounded-round merge chain witness; segmenter twin is the production path",
+    "q_text_bpe_lm": "longest-match segmenter over trained vocab (mid-build r17)",
+    "q_pack_sequences_bpe": "two-level prefix-sum packing in trained-BPE units",
+    "q_pipeline_curate": "composition of q_dedup_exact/quality/langid; cost = sum of parts",
+    "q_pipeline_curate_rank": "composition via stored pagerank keepers",
+    "q_multimodal_audio": "JDK WAV decode per row; CPU-bound, bytes never shuffle",
     # --- declared witnesses / production twins ---
     "q_sim_ann_ivfpq_stored": "production: stored index + partition-pruned scan",
     "q_sim_ann_ivfpq_residual_stored": "production: stored residual index",
