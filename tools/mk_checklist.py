@@ -13,7 +13,7 @@ q, mn = j["queries"], j["min"]
 VERDICTS = {
     # --- touched this round ---
     "q_sim_ann_lsh_tables": "r17: fan-out pin on the hashing pass (measured -2.5 s full-suite A/B)",
-    "q_dedup_pagerank": "r17: deg carried through round checkpoints (Exchange 6->2)",
+    "q_dedup_pagerank": "r17: deg carried through round checkpoints (final deg join-back gone)",
     "q_dedup_pagerank_day2": "r17: same pagerankLoop restructure via day-chain refresh",
     "q_dedup_clusters": "r17: pair pipeline materialized once (CC double-compute fix)",
     "q_dedup_clusters_sig": "r17: CC fix; declared full-recompute witness (stored twin 50x cheaper)",
